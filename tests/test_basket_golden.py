@@ -1,0 +1,95 @@
+"""Golden-parity tests against the reference's committed outputs.
+
+Fixture + expectations embedded from /root/reference/input/input and
+/root/reference/output/CrystalBallPair/part-r-0000{0,1,2} (34 rows) and
+/root/reference/output/CrystalBallStripe/part-r-* (6 stripes), per
+FIXTURES.md §1a. Pair probabilities must be bit-equal doubles.
+"""
+
+import math
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+
+INPUT_LINES = [
+    "Mary 34 56 29 12 34 56 92 29 34 12",
+    "Kelly 92 29 12 34 79 29 56 12 34 18",
+]
+
+# (item, neighbor) -> prob, transcribed from the golden pair outputs.
+GOLDEN_PAIRS = {
+    ("12", "18"): 0.09090909090909091,
+    ("12", "29"): 0.18181818181818182,
+    ("12", "34"): 0.36363636363636365,
+    ("12", "56"): 0.18181818181818182,
+    ("12", "79"): 0.09090909090909091,
+    ("12", "92"): 0.09090909090909091,
+    ("29", "12"): 0.3076923076923077,
+    ("29", "18"): 0.07692307692307693,
+    ("29", "34"): 0.3076923076923077,
+    ("29", "56"): 0.15384615384615385,
+    ("29", "79"): 0.07692307692307693,
+    ("29", "92"): 0.07692307692307693,
+    ("34", "12"): 0.25,
+    ("34", "18"): 0.08333333333333333,
+    ("34", "29"): 0.25,
+    ("34", "56"): 0.25,
+    ("34", "79"): 0.08333333333333333,
+    ("34", "92"): 0.08333333333333333,
+    ("56", "12"): 0.3,
+    ("56", "18"): 0.1,
+    ("56", "29"): 0.2,
+    ("56", "34"): 0.3,
+    ("56", "92"): 0.1,
+    ("79", "12"): 0.2,
+    ("79", "18"): 0.2,
+    ("79", "29"): 0.2,
+    ("79", "34"): 0.2,
+    ("79", "56"): 0.2,
+    ("92", "12"): 0.25,
+    ("92", "18"): 0.08333333333333333,
+    ("92", "29"): 0.25,
+    ("92", "34"): 0.25,
+    ("92", "56"): 0.08333333333333333,
+    ("92", "79"): 0.08333333333333333,
+}
+
+
+def _baskets(spark):
+    df = spark.createDataFrame([(l,) for l in INPUT_LINES], ["value"])
+    return basket.baskets_from_text(df)
+
+
+def test_golden_pairs_bit_exact(spark):
+    got = {
+        (r["item"], r["neighbor"]): r["prob"]
+        for r in basket.cooccurrence_pairs(_baskets(spark)).collect()
+    }
+    assert set(got) == set(GOLDEN_PAIRS)
+    for k, v in GOLDEN_PAIRS.items():
+        # bit-exact double parity with the Java reference output
+        assert got[k] == v, f"{k}: {got[k]!r} != {v!r}"
+
+
+def test_golden_stripes_as_maps(spark):
+    rows = basket.cooccurrence_stripes(_baskets(spark)).collect()
+    got = {r["item"]: dict(r["stripe"]) for r in rows}
+    want = {}
+    for (item, n), p in GOLDEN_PAIRS.items():
+        want.setdefault(item, {})[n] = p
+    assert got == want
+
+
+def test_probs_sum_to_one(spark):
+    rows = basket.cooccurrence_pairs(_baskets(spark)).collect()
+    sums = {}
+    for r in rows:
+        sums[r["item"]] = sums.get(r["item"], 0.0) + r["prob"]
+    for item, s in sums.items():
+        assert math.isclose(s, 1.0, rel_tol=1e-12), (item, s)
+
+
+def test_last_only_item_never_a_key(spark):
+    # product 18 appears only at basket end -> never a current item (rule 1)
+    items = {r["item"] for r in basket.cooccurrence_pairs(_baskets(spark)).collect()}
+    assert "18" not in items
+    assert items == {"12", "29", "34", "56", "79", "92"}
