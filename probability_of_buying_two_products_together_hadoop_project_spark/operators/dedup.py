@@ -1,0 +1,256 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design targets 100 TB corpora:
+
+- Exact dedup hashes the normalized text once (md5) and group-bys the
+  16-byte digest — shuffle carries digests, never document bodies.
+- Near-dup never does an O(n^2) comparison: MinHash signatures -> LSH band
+  buckets -> equi-join on (band, band-hash) produces candidates, and only
+  candidates get a Jaccard verification. All signature math is JVM-side
+  array expressions (transform/aggregate over xxhash64) — no Python UDFs.
+- SimHash: 64-bit signature from token hashes; near-dup candidates via
+  16-bit chunk blocking (Hamming distance <= 3 guarantees >= 1 equal chunk
+  out of 4 by pigeonhole).
+
+xxhash64 seeds make every signature deterministic run-to-run and
+cluster-size-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(normalize_text(text))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents: one row
+    per distinct content, keeping the smallest doc_id as the survivor."""
+    return (
+        docs.select(F.col("doc_id"), content_hash(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>)."""
+    toks = tokens(normalize_text(text))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for each seed s, min over shingles of
+    xxhash64(s, shingle). Empty shingle set -> nulls (filtered upstream)."""
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    return F.transform(
+        seeds, lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(s, sh)))
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_idx, band_hash) structs; two docs
+    are candidates iff they share a band key (classic MinHash-LSH)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(sig, b * rows + 1, rows), lambda h: h.cast("string")
+            ))).alias("bh"),
+        ),
+    )
+
+
+def minhash_near_dup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via MinHash LSH banding.
+
+    One narrow pass computes signatures; candidates come from an equi-join
+    on band keys (shuffle on band hash — scales linearly with corpus size,
+    never quadratic).
+    """
+    rows = num_hashes // bands
+    sig = (
+        docs.select(
+            F.col("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.explode(lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), bands, rows)).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.bh")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs within a blocking
+    key (never all-pairs: the block join bounds the candidate set).
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct shingle sets — integer
+    cardinalities, so the double division is deterministic.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("blk"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# SimHash as SQL expression templates: the bit index `i` is a lambda
+# variable, and SQL `shiftleft` accepts arbitrary expressions for the shift
+# amount (the PySpark `F.shiftleft` wrapper only takes a Python int).
+#
+# Two-step on purpose: {hs} must be a plain COLUMN of token hashes computed
+# in a separate projection. Referencing it 128 times below is then free;
+# inlining the tokenize+hash expression instead would recompute it per bit
+# (64x) — measured ~20x slower. CollapseProject keeps the split because the
+# producing expression is non-cheap and multiply-referenced.
+#
+# Step 1: per-token ±1 bit-balance vector, single pass over the hashes.
+# Step 2: pack the balance signs into a bigint.
+_SIMHASH_BALANCE_EXPR = """
+aggregate(
+  {hs},
+  array_repeat(0, 64),
+  (acc, h) -> zip_with(acc, sequence(0, 63),
+                (bal, i) -> bal + IF((h & shiftleft(cast(1 as bigint), i)) != 0, 1, -1)))
+"""
+
+_SIMHASH_PACK_EXPR = """
+aggregate(
+  zip_with({bal}, sequence(0, 63), (b, i) -> IF(b > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+  cast(0 as bigint),
+  (acc, v) -> acc + v)
+"""
+
+
+def _norm_tokens_sql(text_col: str) -> str:
+    """SQL twin of tokens(normalize_text(col)): lowercase, collapse
+    whitespace, split, drop empties."""
+    return (
+        f"filter(split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' '),"
+        " x -> x != '')"
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh: bigint) — 64-bit SimHash of each document's token multiset.
+
+    For each bit position, sum +1/-1 over token xxhash64s and take the
+    sign. Entirely JVM-side array expressions (no UDF), one pass over the
+    token hashes.
+    """
+    hashes = F.expr(f"transform({_norm_tokens_sql(text_col)}, t -> xxhash64(t))")
+    return (
+        docs.select(F.col(id_col), hashes.alias("hs"))
+        .select(id_col, F.expr(_SIMHASH_BALANCE_EXPR.format(hs="hs")).alias("bal"))
+        .select(id_col, F.expr(_SIMHASH_PACK_EXPR.format(bal="bal")).alias("sh"))
+    )
+
+
+def simhash_near_dup_candidates(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidate pairs with Hamming verification.
+
+    Blocking: split the 64-bit signature into 4 16-bit chunks; pairs within
+    Hamming distance <= 3 must agree on at least one chunk (pigeonhole), so
+    the equi-join on (chunk_idx, chunk_value) finds all of them without an
+    all-pairs scan.
+    """
+    sh = simhash_signatures(docs, text_col)
+    # chunk indices are compile-time constants -> plain Python loop, so the
+    # PySpark int-only shift wrappers apply
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sh", "ck.chunk", "ck.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,111 @@
+"""Relational operator surface (SURVEY.md §2.3).
+
+The reference has no joins, window functions, set ops, or SQL surface at
+all — its only "relational" logic is token slicing
+(/root/reference/src/CrystalBallPair.java:40-42). This module provides the
+full surface as thin, composable wrappers over Spark built-ins so Catalyst
+keeps every optimization (pushdown, pruning, join selection, AQE).
+
+Scale notes baked into each helper:
+- ``top_k_per_group`` uses a rank window, NOT a sort+limit per group; at
+  1000 executors this is one hash exchange on the group key and a
+  per-partition sort — no global sort.
+- ``broadcast_dim`` marks dimension tables for broadcast-hash joins so fact
+  scans never shuffle for small-dim joins (TPC-H style star schemas).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim(df: DataFrame) -> DataFrame:
+    """Mark a dimension table for broadcast (small side of star joins)."""
+    return F.broadcast(df)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via row_number window.
+
+    ``order_by`` must be a total order (add a unique tiebreak column) or
+    results are nondeterministic.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def running(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Running (cumulative) window aggregates with an explicit ROWS frame.
+
+    The explicit ``rowsBetween`` matters: SQL's default frame is RANGE,
+    which double-counts ties — always state the frame.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(w))
+    return out
+
+
+def lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    cols: dict[str, tuple[str, int]],
+) -> DataFrame:
+    """lag/lead projections: cols maps output name -> (source col, offset);
+    negative offset = lag, positive = lead."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df
+    for name, (src, off) in cols.items():
+        fn = F.lag(src, -off) if off < 0 else F.lead(src, off)
+        out = out.withColumn(name, fn.over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum formulation: two window passes over the
+    same (user, ts) ordering — Catalyst plans a single exchange on user.
+    """
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros(F.col(ts_col))
+    is_new = (
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > gap_seconds * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(run))

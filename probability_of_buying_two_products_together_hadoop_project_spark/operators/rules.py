@@ -1,0 +1,83 @@
+"""Association-rule generalization of the reference's co-occurrence query.
+
+The reference computes P(n|p) under its window semantics — exactly the
+confidence of singleton rules. MLlib's FPGrowth generalizes this to
+arbitrary itemsets; we expose both:
+
+- ``fp_growth_model``: full FPGrowth (freqItemsets + associationRules).
+- ``pair_support_confidence``: the SQL-expressible core — supports of
+  single items and unordered co-present pairs, plus confidence — which a
+  DuckDB oracle can verify exactly (integer counts only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_item_sets(baskets: DataFrame, items_col: str = "items") -> DataFrame:
+    """Distinct items per basket (presence, not multiplicity — the
+    FPGrowth/association-rules data model)."""
+    return baskets.select(
+        F.array_sort(F.array_distinct(F.col(items_col))).alias("items")
+    ).filter(F.size("items") > 0)
+
+
+def pair_support_confidence(baskets: DataFrame, min_support_count: int = 1) -> DataFrame:
+    """Supports + confidence for 1 -> 1 rules over co-present pairs.
+
+    All counts are exact integers; confidence is a deterministic double
+    division. Pair generation is a per-basket array expression (all
+    unordered pairs of the distinct item set), then one groupBy.
+    """
+    sets = basket_item_sets(baskets).withColumn("bid", F.monotonically_increasing_id())
+    n_baskets = sets.count()
+    item_cnt = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
+    )
+    pairs_expr = F.expr(
+        """
+        flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    pair_cnt = (
+        sets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_support_count)
+    )
+    ia = item_cnt.select(F.col("item").alias("a"), F.col("item_cnt").alias("a_cnt"))
+    return (
+        pair_cnt.join(F.broadcast(ia), "a")
+        .select(
+            "a",
+            "b",
+            "pair_cnt",
+            "a_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("a_cnt").cast("double")).alias(
+                "confidence"
+            ),
+            (F.col("pair_cnt").cast("double") / F.lit(float(n_baskets))).alias(
+                "support"
+            ),
+        )
+    )
+
+
+def fp_growth_rules(
+    baskets: DataFrame, min_support: float = 0.01, min_confidence: float = 0.1
+):
+    """Fit MLlib FPGrowth on basket item sets; returns (freqItemsets,
+    associationRules) DataFrames."""
+    from pyspark.ml.fpm import FPGrowth
+
+    sets = basket_item_sets(baskets)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(sets)
+    return model.freqItemsets, model.associationRules

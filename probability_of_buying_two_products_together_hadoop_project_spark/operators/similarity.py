@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale plan:
+
+- ``cosine_topk_bruteforce``: exact top-k for a small query set — the
+  query side is broadcast, so the big side streams through one narrow
+  stage (no shuffle of the corpus). This is the correctness baseline.
+- ``srp_lsh_topk``: sign-random-projection (cosine) LSH — deterministic
+  pseudo-random hyperplanes derived from xxhash64, bucket join, then exact
+  re-ranking inside buckets. Candidate generation is linear in corpus
+  size; this is the 100 TB path.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate``) in double
+precision; no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product in double, summed in index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id (excluding self).
+
+    Plan shape: broadcast the tiny query side, narrow map computes sims,
+    one exchange on query_id for the rank window over k·|queries| rows.
+    """
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    sims = (
+        embeddings.alias("e")
+        .join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            # 4 dp so ranking happens on values an ANSI-SQL oracle
+            # reproduces exactly (ties broken by neighbor_id)
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# SRP signature as a SQL expression template: the plane index `p` is a
+# lambda variable and SQL `shiftleft` accepts expression shift amounts
+# (the PySpark wrapper only takes a Python int). Hyperplane entries are
+# deterministic pseudo-randoms in [-1, 1): xxhash64(plane, dim) / 2^63 —
+# every executor regenerates the same planes, no broadcast of random state.
+_SRP_EXPR = """
+aggregate(
+  sequence(0, {last_plane}),
+  cast(0 as bigint),
+  (acc, p) -> acc + IF(
+    aggregate(
+      zip_with({vec}, sequence(0, size({vec}) - 1),
+        (x, i) -> cast(x as double)
+                  * (cast(xxhash64(p, i) as double) / 9.223372036854775808e18)),
+      cast(0.0 as double),
+      (s, v) -> s + v
+    ) > 0,
+    shiftleft(cast(1 as bigint), p),
+    cast(0 as bigint)))
+"""
+
+
+def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
+    """Sign-random-projection bit signature packed into a bigint. Takes a
+    column NAME because it is compiled via a SQL template."""
+    return F.expr(_SRP_EXPR.format(vec=vec_col, last_plane=num_planes - 1))
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP signature -> band buckets -> exact
+    cosine re-rank within candidate buckets only."""
+    bands = num_planes // band_bits
+    mask = (1 << band_bits) - 1
+    sig = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_signature(vec_col, num_planes).alias("sig"),
+    )
+    # band indices are compile-time constants -> plain Python loop
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.bv")
+    # explicit aliases: q derives from banded, so unqualified column refs
+    # would resolve to the SAME attributes and make the join trivially true
+    # (degrading LSH bucketing to brute force)
+    q = banded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("band").alias("q_band"),
+        F.col("bv").alias("q_bv"),
+    )
+    cand = (
+        banded.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("q_band")) & (F.col("bv") == F.col("q_bv"))
+            & (F.col("query_id") != F.col(id_col)),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "qv", F.col(vec_col).alias("nv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1,0 +1,153 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` expressions
+(whole-stage codegen); no Python UDFs. Each operator is designed to be
+SQL-expressible so the DuckDB oracle can replicate it exactly.
+
+Scale posture: every function here is a narrow per-row projection — no
+shuffle at all; at 100 TB these run at parquet-scan speed with column
+pruning (only ``text`` + projected columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword lists for the language-ID heuristic.
+# Deterministic and oracle-replicable; NOT a real language detector.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "fr": ("le", "la", "de", "et", "un", "est"),
+    "es": ("el", "la", "de", "y", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+# BPE-ish token pattern: runs of word chars, or single non-space symbols —
+# approximates subword pre-tokenization (public GPT-2 style splitting,
+# simplified to an RE2/Java-compatible common subset).
+TOKEN_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def char_classes(text: Column) -> dict[str, Column]:
+    """Character-class counts used by quality scoring."""
+    n = F.length(text)
+    alpha = n - F.length(F.regexp_replace(text, r"[A-Za-z]", ""))
+    digit = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    space = n - F.length(F.regexp_replace(text, r"\s", ""))
+    punct = n - alpha - digit - space
+    return {"n_chars2": n, "n_alpha": alpha, "n_digit": digit,
+            "n_space": space, "n_punct": punct}
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in `words` (multiplicity counted)."""
+    toks = tokens(F.lower(text))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    cc = char_classes(t)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(t).alias("n_chars_exact"),
+        cc["n_punct"].alias("n_punct"),
+        cc["n_digit"].alias("n_digit"),
+        (F.length(t).cast("double") / F.greatest(token_count(t), F.lit(1)).cast("double")
+         ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    low punctuation/digit ratio + token diversity. Deterministic double
+    arithmetic from integer counts (oracle-replicable)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    n_tok_safe = F.greatest(n_tok, F.lit(1.0))
+    cc = char_classes(t)
+    n_chars = F.length(t).cast("double")
+    n_chars_safe = F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stopword_hits(t, LANG_MARKERS["en"]).cast("double") / n_tok_safe
+    punct_ratio = cc["n_punct"].cast("double") / n_chars_safe
+    digit_ratio = cc["n_digit"].cast("double") / n_chars_safe
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tok_safe
+    len_band = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0))
+        .when(n_tok >= 5, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    score = (
+        F.lit(0.3) * len_band
+        + F.lit(0.2) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * diversity
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: argmax of marker-word hit
+    ratios; 'und' (undetermined) when no list scores >= 2 hits.
+
+    Deterministic tie-break: higher hits wins, then lexicographic language
+    code. Oracle-replicable as a CASE expression.
+    """
+    t = F.lower(F.col(text_col))
+    hit_cols = [
+        stopword_hits(t, ws).alias(f"hits_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed so earlier (lexicographically smaller) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best >= 2), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", *[F.col(f"hits_{lang}") for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of normalized text (lowercase, collapsed
+    whitespace) plus a cheap 8-hex prefix bucket for blocking."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        h.alias("fp"),
+        F.substring(h, 1, 8).alias("fp_bucket"),
+    )

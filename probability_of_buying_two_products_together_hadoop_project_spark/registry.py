@@ -1,0 +1,990 @@
+"""Named query registry: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair consumed by ``__spark_entry__.py``.
+
+Contract (driver t2 gate): the Spark DataFrame and the DuckDB result of
+``oracle`` must match on row count, schema, and order-insensitive value
+hash at sf0.01. Rules applied throughout:
+
+- Every computed column is aliased identically on both sides.
+- Aggregated doubles go through exact decimal sums (functions.scalar.dsum)
+  so the result is order-independent — see that module's docstring.
+- Integer-ish outputs are cast to BIGINT on both sides (Spark's size/year
+  return int, DuckDB's len/year return bigint).
+- Window ranks always carry a unique tiebreak column.
+- Queries whose engine-side hashing has no DuckDB equivalent (xxhash64
+  MinHash/SimHash, FPGrowth, SRP-LSH) have oracle=None -> the driver
+  records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import davg, dsum
+from .operators import basket, dedup, multimodal, relational, rules, similarity, text
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
+        # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-
+        # settable legacy conf) and convert to a micros timestamp; the
+        # testdata has exactly microsecond resolution so this is lossless
+        # and matches DuckDB's nanos->micros TIMESTAMP coercion.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Basket / co-occurrence (the reference's own query surface)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: lineitem -> ordered baskets -> windowed pairs,
+# replicating /root/reference/src/CrystalBallPair.java:42-63 semantics.
+_COOC_CTE = """
+WITH pos AS (
+  SELECT l_orderkey AS basket_id,
+         CAST(l_partkey AS VARCHAR) AS item,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pos
+  FROM lineitem
+),
+ext AS (
+  SELECT basket_id, item, pos,
+         count(*) OVER (PARTITION BY basket_id) AS n_items,
+         min(pos) OVER (
+           PARTITION BY basket_id, item ORDER BY pos
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_same_pos
+  FROM pos
+),
+pairs AS (
+  SELECT c.item, n.item AS neighbor
+  FROM ext c
+  JOIN pos n ON n.basket_id = c.basket_id
+            AND n.pos > c.pos
+            AND n.pos < COALESCE(c.next_same_pos, 2147483647)
+  WHERE c.pos < c.n_items
+),
+counts AS (
+  SELECT item, neighbor, count(*) AS pair_cnt FROM pairs GROUP BY item, neighbor
+),
+cooc AS (
+  SELECT item, neighbor, pair_cnt,
+         CAST(pair_cnt AS DOUBLE)
+           / CAST(sum(pair_cnt) OVER (PARTITION BY item) AS DOUBLE) AS prob
+  FROM counts
+)
+"""
+
+
+@register(
+    "cooccurrence_pairs",
+    _COOC_CTE + "SELECT item, neighbor, pair_cnt, prob FROM cooc",
+    "Flagship Crystal Ball query on lineitem-derived baskets (ref O3+O9+O10)",
+)
+def q_cooccurrence_pairs(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return basket.cooccurrence_pairs(baskets)
+
+
+@register(
+    "cooccurrence_topk",
+    _COOC_CTE
+    + """
+    SELECT item, neighbor, prob, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT item, neighbor, prob,
+             row_number() OVER (PARTITION BY item ORDER BY prob DESC, neighbor) AS rk
+      FROM cooc
+    ) WHERE rk <= 3
+    """,
+    "Top-3 most-likely next products per item (rank window over flagship)",
+)
+def q_cooccurrence_topk(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    pairs = basket.cooccurrence_pairs(baskets).select("item", "neighbor", "prob")
+    out = relational.top_k_per_group(
+        pairs, ["item"], [F.col("prob").desc(), F.col("neighbor")], 3
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@register(
+    "pair_rules",
+    """
+    WITH sets AS (
+      SELECT l_orderkey, CAST(l_partkey AS VARCHAR) AS item
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    ic AS (SELECT item, count(*) AS a_cnt FROM sets GROUP BY item),
+    pc AS (
+      SELECT a.item AS a, b.item AS b, count(*) AS pair_cnt
+      FROM sets a JOIN sets b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT pc.a, pc.b, pair_cnt, a_cnt,
+           CAST(pair_cnt AS DOUBLE) / CAST(a_cnt AS DOUBLE) AS confidence,
+           CAST(pair_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS support
+    FROM pc JOIN ic ON ic.item = pc.a CROSS JOIN nb
+    WHERE pair_cnt >= 2
+    """,
+    "Association-rule support/confidence for co-present pairs (SURVEY §7.4)",
+)
+def q_pair_rules(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return rules.pair_support_confidence(baskets, min_support_count=2)
+
+
+@register(
+    "fpgrowth_itemsets",
+    None,  # FPGrowth's FP-tree mining has no SQL equivalent; rows-only check
+    "MLlib FPGrowth frequent itemsets over basket item sets",
+)
+def q_fpgrowth_itemsets(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    # min_support low enough to yield itemsets at every test SF (item
+    # universe is large relative to basket count in the synthetic data)
+    itemsets, _ = rules.fp_growth_rules(baskets, min_support=0.002, min_confidence=0.05)
+    return itemsets.select(
+        F.concat_ws(",", F.array_sort("items")).alias("itemset"), F.col("freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3): scans, joins, aggs, windows, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan + filter + hash agg with exact decimal sums",
+)
+def q_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            # scale 6: disc_price/charge have true 6-dp decimal values
+            # (2-dp price x 2-dp discount x 2-dp tax), so the double->
+            # decimal(18,6) rounding is exact and engine-independent;
+            # at 4 dp it lands on ties that HALF_UP vs HALF_EVEN break
+            # differently.
+            dsum(disc_price, scale=6).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way join + agg + global top-k",
+)
+def q_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: star join with broadcast dims + agg",
+)
+def q_q5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    """
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    "Left outer join preserving customers with zero orders",
+)
+def q_join_left(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    "Left-semi join (EXISTS)",
+)
+def q_join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "Left-anti join (NOT EXISTS)",
+)
+def q_join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP hierarchy aggregation",
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE aggregation over two dimensions",
+)
+def q_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "agg_stats_returnflag",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(DISTINCT l_partkey) AS n_parts,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Aggregate function battery: count/count-distinct/min/max/avg",
+)
+def q_agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "window_running_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spent
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Running window aggregates with explicit ROWS frame",
+)
+def q_window_running(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.running(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        {
+            "running_spent": F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+        },
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.col("running_spent").cast("double").alias("running_spent"),
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "lag/lead navigation windows over an event stream",
+)
+def q_window_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    "Per-group top-k via rank window (no per-group sort+limit)",
+)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@register(
+    "set_ops_segments",
+    """
+    SELECT 'nations_building_and_auto' AS op, count(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    UNION ALL
+    SELECT 'nations_building_not_auto' AS op, count(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    UNION ALL
+    SELECT 'rich_or_bigspender' AS op, count(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      UNION
+      SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+    """,
+    "Set operations: INTERSECT / EXCEPT / UNION (distinct semantics)",
+)
+def q_set_ops(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def one(op, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("nations_building_and_auto", building.intersect(auto))
+        .unionAll(one("nations_building_not_auto", building.subtract(auto)))
+        .unionAll(one("rich_or_bigspender", rich.union(big).distinct()))
+    )
+
+
+@register(
+    "scalar_string_math_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_type, 1, 3) AS type_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           round(p_retailprice, 1) AS price_round,
+           abs(p_size - 25) AS size_dev,
+           p_size % 7 AS size_mod,
+           CAST(sqrt(CAST(p_size AS DOUBLE)) AS DOUBLE) AS size_sqrt
+    FROM part
+    """,
+    "Scalar string/math function battery (all JVM-side built-ins)",
+)
+def q_scalar_string_math(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+    FROM orders
+    """,
+    "Date/time scalar functions",
+)
+def q_scalar_date(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+    """,
+    "JSON field extraction from a string column",
+)
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", "event_type", k.alias("k")).filter(
+        (F.col("k") % 10) == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time bucketing + sessionization (batch twins of streaming ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hour",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "Tumbling 1-hour window aggregation (batch twin of streaming.tumbling_counts)",
+)
+def q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+    "Gap-based sessionization (lag + cumulative sum), 30-minute gap",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = relational.sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: dedup, text analysis, fingerprinting, similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup on normalized content hash; survivor = min doc_id",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(text) AS DOUBLE)
+             / CAST(greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+    "Per-document token/char statistics (narrow projection, no shuffle)",
+)
+def q_text_stats(spark, sf_dir):
+    out = text.text_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_chars_exact").cast("long").alias("n_chars_exact"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_digit").cast("long").alias("n_digit"),
+        "avg_token_len",
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE) AS stop_hits,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           0.3 * (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                       WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+         + 0.2 * least(stop_hits / greatest(n_tok, 1.0) * 4, 1.0)
+         + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0))
+         + 0.1 * (1.0 - least(n_digit / greatest(n_chars, 1.0) * 10, 1.0))
+         + 0.2 * (n_uniq / greatest(n_tok, 1.0)) AS quality
+    FROM t
+    """,
+    "Heuristic quality scoring: length band + stopword/punct/digit ratios + diversity",
+)
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS hits_de,
+        CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS hits_en,
+        CAST(len(list_filter(tk, x -> list_contains(['el','la','de','y','un','es'], x))) AS BIGINT) AS hits_es,
+        CAST(len(list_filter(tk, x -> list_contains(['le','la','de','et','un','est'], x))) AS BIGINT) AS hits_fr
+      FROM toks
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) < 2 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits
+    """,
+    "Stopword-marker language-ID heuristic with deterministic tie-break",
+)
+def q_lang_id(spark, sf_dir):
+    out = text.lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{code}").cast("long").alias(f"hits_{code}")
+          for code in ("de", "en", "es", "fr")],
+        "pred_lang",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8) AS fp_bucket
+    FROM documents
+    """,
+    "Content fingerprint (md5 of normalized text) + blocking bucket",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, source AS blk,
+             list_distinct(string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+')) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+    """,
+    "Exact token-set Jaccard for blocked candidate pairs (never all-pairs)",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", shingle_n=1, threshold=0.3
+    )
+
+
+@register(
+    "minhash_near_dup",
+    None,  # xxhash64 signatures have no DuckDB twin; rows-only check
+    "MinHash-LSH near-duplicate candidate pairs (banded signature join)",
+)
+def q_minhash_near_dup(spark, sf_dir):
+    return dedup.minhash_near_dup_candidates(
+        _t(spark, sf_dir, "documents"), shingle_n=3, num_hashes=32, bands=8
+    )
+
+
+@register(
+    "simhash_near_dup",
+    None,  # xxhash64-based; rows-only check
+    "SimHash near-duplicate pairs with 16-bit-chunk blocking + Hamming verify",
+)
+def q_simhash_near_dup(spark, sf_dir):
+    return dedup.simhash_near_dup_candidates(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    "Binary media column plumbing: payload + typed metadata projection",
+)
+def q_multimodal_meta(spark, sf_dir):
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", F.col("meta.mime").alias("mime"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT) AS n_frames,
+           CAST(CASE WHEN octet_length(encode(text)) < 64
+                     THEN octet_length(encode(text))
+                     ELSE 64 * (octet_length(encode(text)) // 64) END AS BIGINT) AS sampled_bytes
+    FROM documents
+    """,
+    "Frame-sampling shape over binary payloads (64-byte frames)",
+)
+def q_multimodal_frames(spark, sf_dir):
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(media, every_n_bytes=64)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # Pandas-UDF fake decoder; rows-only check (stubbed decode path)
+    "Arrow-batched mapInPandas feature extraction over binary payloads",
+)
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+    )
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.qv, e.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM sims
+    ) WHERE rk <= 10
+    """,
+    "Brute-force cosine top-k ANN baseline (broadcast query side)",
+)
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@register(
+    "embedding_close_pairs_by_label",
+    """
+    SELECT a.label, count(*) AS n_close
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          4) >= 0.7
+    GROUP BY a.label
+    """,
+    "Embedding near-dup count per label block (cosine >= 0.7)",
+)
+def q_embedding_close_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(
+        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim >= 0.7)
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+
+
+@register(
+    "embedding_srp_lsh_topk",
+    None,  # SRP planes derived from xxhash64; rows-only check
+    "Approximate cosine top-k via sign-random-projection LSH buckets",
+)
+def q_embedding_srp_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.srp_lsh_topk(emb, [0, 1, 2, 3, 4], k=10).withColumn(
+        "rk", F.col("rk").cast("long")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
