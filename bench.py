@@ -47,7 +47,7 @@ HEADLINE = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None)
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -59,6 +59,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
+    # warm the JVM (codegen, ICU case tables, parquet reader) so the first
+    # measured query isn't charged for one-time init
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = entry_mod.queries()
     names = args.only or [n for n in HEADLINE if n in qs]
 

@@ -31,8 +31,11 @@ def pair_support_confidence(baskets: DataFrame, min_support_count: int = 1) -> D
     division. Pair generation is a per-basket array expression (all
     unordered pairs of the distinct item set), then one groupBy.
     """
-    sets = basket_item_sets(baskets).withColumn("bid", F.monotonically_increasing_id())
-    n_baskets = sets.count()
+    sets = basket_item_sets(baskets)
+    # total basket count as a 1-row broadcast side, NOT a driver-side
+    # .count(): keeps the whole computation one lazy plan (no extra job,
+    # no collect in library code)
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
     item_cnt = (
         sets.select(F.explode("items").alias("item"))
         .groupBy("item")
@@ -54,6 +57,7 @@ def pair_support_confidence(baskets: DataFrame, min_support_count: int = 1) -> D
     ia = item_cnt.select(F.col("item").alias("a"), F.col("item_cnt").alias("a_cnt"))
     return (
         pair_cnt.join(F.broadcast(ia), "a")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "a",
             "b",
@@ -62,9 +66,9 @@ def pair_support_confidence(baskets: DataFrame, min_support_count: int = 1) -> D
             (F.col("pair_cnt").cast("double") / F.col("a_cnt").cast("double")).alias(
                 "confidence"
             ),
-            (F.col("pair_cnt").cast("double") / F.lit(float(n_baskets))).alias(
-                "support"
-            ),
+            (
+                F.col("pair_cnt").cast("double") / F.col("n_baskets").cast("double")
+            ).alias("support"),
         )
     )
 

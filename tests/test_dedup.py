@@ -1,0 +1,82 @@
+"""Dedup operator tests on planted synthetic corpora: exact groups found,
+near-dups surfaced by MinHash-LSH and SimHash, Jaccard values exact."""
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit -> near duplicate
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE, "a"),
+        (1, "  THE  quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside ", "a"),
+        (2, NEAR, "a"),
+        (3, FAR, "a"),
+        (4, FAR, "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_dedup_groups_normalized_copies(spark):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(_docs(spark)).collect()}
+    # doc 1 is doc 0 after case/whitespace normalization
+    assert out[0] == 2
+    assert out[2] == 1
+    assert out[3] == 2  # docs 3 and 4 identical text
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_dup_candidates(
+            _docs(spark), num_hashes=32, bands=16
+        ).collect()
+    }
+    assert (0, 1) in cand  # exact dup always a candidate
+    assert (0, 2) in cand  # one-token edit shares most shingles
+    assert (3, 4) in cand
+    assert (0, 3) not in cand and (1, 3) not in cand  # unrelated content
+
+
+def test_simhash_near_dup(spark):
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_candidates(_docs(spark), max_hamming=6).collect()
+    }
+    assert cand[(0, 1)] == 0  # normalized-identical -> identical signature
+    assert (0, 2) in cand and cand[(0, 2)] <= 6
+    assert (0, 3) not in cand
+
+
+def test_jaccard_exact_values(spark):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            _docs(spark), block_col="source", shingle_n=1, threshold=0.0
+        ).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    # distinct-token sets differ by one word each way: |A∩B| = n-1, |A∪B| = n+1
+    a = set(BASE.split())
+    b = set(NEAR.split())
+    assert abs(out[(0, 2)] - len(a & b) / len(a | b)) < 1e-12
+    # blocked: (3,4) are in different sources -> no pair emitted
+    assert (3, 4) not in out
+
+
+def test_simhash_signature_deterministic(spark):
+    sigs1 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
+    sigs2 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
+    assert sigs1 == sigs2
+    assert sigs1[3] == sigs1[4]

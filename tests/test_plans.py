@@ -1,0 +1,53 @@
+"""Physical-plan shape guards (the 100 TB posture checks): pushdown
+reaches the parquet scan, small dims broadcast, shuffle counts stay at
+the designed number. Catches plan regressions that correctness tests
+can't see."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    li = spark.read.parquet(os.path.join(sf_smoke, "lineitem.parquet"))
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = explain.formatted_plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: scan schema is just the two referenced columns
+    assert explain.pushed_filters(df)
+
+
+def test_projection_prunes_scan_schema(spark, sf_smoke):
+    li = spark.read.parquet(os.path.join(sf_smoke, "lineitem.parquet"))
+    plan = explain.formatted_plan(li.select("l_orderkey"))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "l_orderkey" in scan_lines[0]
+    assert "l_comment" not in scan_lines[0]
+
+
+def test_q5_broadcasts_dims(spark, sf_smoke):
+    import __spark_entry__ as e
+
+    df = e.queries()["q5_region_revenue"](spark, sf_smoke)
+    assert explain.has_broadcast_join(df)
+
+
+def test_cooccurrence_single_pair_exchange(spark, sf_smoke):
+    """The flagship plan: one exchange for the basket groupBy, one for the
+    pair aggregation, one for the per-item window — and nothing else."""
+    li = spark.read.parquet(os.path.join(sf_smoke, "lineitem.parquet"))
+    df = basket.cooccurrence_pairs(basket.baskets_from_lineitem(li))
+    n = explain.count_exchanges(df)
+    assert n <= 3, f"plan grew extra shuffles: {n}"
+
+
+def test_topk_no_global_sort(spark, sf_smoke):
+    import __spark_entry__ as e
+
+    df = e.queries()["topk_orders_per_customer"](spark, sf_smoke)
+    plan = explain.formatted_plan(df)
+    # rank-window top-k: partition-local sort only, no global range exchange
+    assert "rangepartitioning" not in plan

@@ -1,0 +1,73 @@
+"""Similarity-search tests: brute-force cosine vs numpy ground truth;
+SRP-LSH returns well-formed, deterministic approximate results."""
+
+import math
+
+import numpy as np
+from pyspark.sql.functions import col as F_col
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import similarity
+
+
+def _emb(spark, n=40, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]),
+        vecs.astype("float64"),
+    )
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    out = similarity.cosine_topk_bruteforce(df, [0, 1], k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rk"], r["neighbor_id"], r["cos_sim"]))
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in (0, 1):
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        order = [
+            (round(float(sims[i]), 4), i) for i in range(len(vecs)) if i != q
+        ]
+        # replicate the engine's ordering: rounded sim desc, neighbor asc
+        order.sort(key=lambda t: (-t[0], t[1]))
+        want = [(rk + 1, i, s) for rk, (s, i) in enumerate(order[:5])]
+        got_q = sorted(got[q])
+        assert [(rk, i) for rk, i, _ in got_q] == [(rk, i) for rk, i, _ in want]
+        for (_, _, s_got), (_, _, s_want) in zip(got_q, want):
+            assert math.isclose(s_got, s_want, abs_tol=1e-9)
+
+
+def test_cosine_column_exact(spark):
+    df, vecs = _emb(spark, n=4)
+    a, b = df.alias("a"), df.alias("b")
+    rows = (
+        a.join(b, F_col("a.vec_id") < F_col("b.vec_id"))
+        .select(
+            F_col("a.vec_id").alias("i"),
+            F_col("b.vec_id").alias("j"),
+            similarity.cosine(F_col("a.embedding"), F_col("b.embedding")).alias("c"),
+        )
+        .collect()
+    )
+    norms = np.linalg.norm(vecs, axis=1)
+    for r in rows:
+        want = float(vecs[r["i"]] @ vecs[r["j"]] / (norms[r["i"]] * norms[r["j"]]))
+        assert math.isclose(r["c"], want, rel_tol=1e-12)
+
+
+def test_srp_lsh_wellformed_and_deterministic(spark):
+    df, _ = _emb(spark, n=60)
+    out1 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()
+    out2 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 5
+        assert all(r["neighbor_id"] != q for r in rows)
+        rks = sorted(r["rk"] for r in rows)
+        assert rks == list(range(1, len(rows) + 1))

@@ -1,0 +1,82 @@
+"""Structured Streaming tests: file-source streams drained with
+availableNow must match their batch twins (Spark's batch/stream parity)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.streaming import streams
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Write a small deterministic events table as parquet (micros
+    timestamps, so the stream reader needs no legacy conf)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                # two users, events every 10 min; user 1 has a 2h gap
+                (i // 2) * 600 + (7200 if (i % 2 == 1 and i > 100) else 0),
+                i % 2,
+                ["view", "click", "buy"][i % 3],
+                float(i),
+                '{"k": %d}' % i,
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, off bigint, user_id bigint, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        (F.timestamp_seconds(F.lit(1704067200) + F.col("off"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_to_memory(streams.tumbling_counts(stream), "t_tumble")
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("t_tumble").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r["w"]["start"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == want
+
+
+def test_sliding_stream_counts(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_to_memory(
+        streams.sliding_counts(stream, window="1 hour", slide="30 minutes"), "t_slide"
+    )
+    rows = spark.table("t_slide").collect()
+    assert rows
+    # every event lands in exactly 2 sliding buckets -> total = 2x events
+    assert sum(r["n"] for r in rows) == 2 * spark.read.parquet(events_dir).count()
+
+
+def test_session_window_stream(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_to_memory(
+        streams.session_counts(stream, gap="30 minutes"), "t_sess"
+    )
+    rows = spark.table("t_sess").collect()
+    assert rows
+    # all events accounted for exactly once
+    assert sum(r["n_events"] for r in rows) == spark.read.parquet(events_dir).count()
+    # user 1's 2h gap splits its events into >= 2 sessions
+    assert len([r for r in rows if r["user_id"] == 1]) >= 2

@@ -1,0 +1,67 @@
+"""Text-analysis operator tests: token stats, language ID, quality
+scoring, fingerprinting — small deterministic fixtures."""
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats_counts(spark):
+    docs = _docs(spark, [(1, "Hello, world! 42 times"), (2, ""), (3, "a a a")])
+    out = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["n_punct"] == 2  # comma + exclamation
+    assert out[1]["n_digit"] == 2
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["n_tokens"] == 3
+    assert out[3]["n_distinct_tokens"] == 1
+
+
+def test_lang_id_markers(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat and the dog sat in a house of cards"),
+            (2, "le chat est un animal et la maison est grande"),
+            (3, "el perro es un animal y la casa es grande de verdad"),
+            (4, "der hund und die katze das ist gut"),
+            (5, "xyzzy plugh"),
+        ],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "es"
+    assert out[4] == "de"
+    assert out[5] == "und"
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = " ".join(
+        "the quick brown fox jumps over a lazy dog and runs to the old barn".split()
+        * 3
+    )
+    junk = "!!! ### $$$ %%% 123 456 789 000 !!! ### $$$ %%%"
+    out = {
+        r["doc_id"]: r["quality"]
+        for r in text.quality_score(_docs(spark, [(1, good), (2, junk)])).collect()
+    }
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    docs = _docs(spark, [(1, "Some  Text Here"), (2, "some text   here"), (3, "other")])
+    out = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_bpe_ish_token_count(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [(1, "don't stop-me now!!")])
+    out = docs.select(text.bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    # don ' t stop - me now ! !  -> 9
+    assert out[0]["n"] == 9
