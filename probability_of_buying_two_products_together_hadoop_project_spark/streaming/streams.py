@@ -80,6 +80,57 @@ def session_counts(
     )
 
 
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user counts of (prev_event_type -> event_type) transitions,
+    carrying the last seen event type across micro-batches in state.
+
+    This is the streaming analog of the Crystal Ball "what follows what"
+    question applied to event streams — the kind of operator Structured
+    Streaming's built-in aggregations can't express (it needs ordered,
+    per-key carried state). Rows within a batch are sorted by (ts,
+    event_id) inside the state function because Spark does not guarantee
+    intra-group order.
+
+    Emits one row per (user_id, prev_type, curr_type) per batch with the
+    transition count observed in that batch (append semantics; consumers
+    sum across batches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, prev_type string, curr_type string, n bigint"
+    )
+    state_schema = "last_type string"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_type = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last_type is not None:
+                    k2 = (last_type, t)
+                    counts[k2] = counts.get(k2, 0) + 1
+                last_type = t
+        state.update((last_type,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(counts),
+                    "prev_type": [a for a, _ in counts],
+                    "curr_type": [b for _, b in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (

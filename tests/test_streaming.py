@@ -69,6 +69,33 @@ def test_sliding_stream_counts(spark, events_dir):
     assert sum(r["n"] for r in rows) == 2 * spark.read.parquet(events_dir).count()
 
 
+def test_stateful_transition_counts_match_batch(spark, events_dir):
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_append_to_memory(
+        streams.transition_counts_stateful(stream), "t_trans"
+    )
+    got = {}
+    for r in spark.table("t_trans").collect():
+        k = (r["user_id"], r["prev_type"], r["curr_type"])
+        got[k] = got.get(k, 0) + r["n"]
+    # batch twin: lag window over (user, ts, event_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", F.col("event_type").alias("curr_type"))
+        .count()
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["prev_type"], r["curr_type"]): r["count"] for r in batch
+    }
+    assert got == want
+
+
 def test_session_window_stream(spark, events_dir):
     stream = streams.read_events_stream(spark, events_dir)
     streams.run_to_memory(
