@@ -137,6 +137,35 @@ def q_cooccurrence_topk(spark, sf_dir):
 
 
 @register(
+    "cooccurrence_stripes",
+    _COOC_CTE
+    + """
+    SELECT item,
+           string_agg(neighbor || ':' || format('{:.6f}', prob), ','
+                      ORDER BY neighbor || ':' || format('{:.6f}', prob)) AS stripe,
+           count(*) AS n_neighbors
+    FROM cooc GROUP BY item
+    """,
+    "Stripes output shape (ref O6): per-item neighbor->prob map, encoded "
+    "as a neighbor-sorted string so the map is oracle-checkable",
+)
+def q_cooccurrence_stripes(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    pairs = basket.cooccurrence_pairs(baskets)
+    return pairs.groupBy("item").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", "neighbor", F.format_number(F.col("prob"), 6))
+                )
+            ),
+            ",",
+        ).alias("stripe"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+    )
+
+
+@register(
     "pair_rules",
     """
     WITH sets AS (

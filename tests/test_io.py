@@ -1,0 +1,102 @@
+"""Source/sink round-trip tests (reference O1/O13 generalized):
+parquet, CSV, TSV, JSON, partitioned layout, and bucketed tables."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.sources import io
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+
+
+def _nation(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke, "nation.parquet"))
+
+
+def test_parquet_roundtrip(spark, sf_smoke, tmp_path):
+    df = _nation(spark, sf_smoke)
+    path = str(tmp_path / "nation_pq")
+    io.write_parquet(df, path)
+    back = io.read_parquet(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, sf_smoke, tmp_path):
+    df = _nation(spark, sf_smoke)
+    path = str(tmp_path / "nation_part")
+    io.write_parquet(df, path, partition_by=["n_regionkey"])
+    back = io.read_parquet(spark, path).filter(F.col("n_regionkey") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    want = df.filter(F.col("n_regionkey") == 1)
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in want.collect()}
+    # directory-level partition pruning: only the matching partition is read
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan
+
+
+def test_csv_roundtrip_with_schema(spark, sf_smoke, tmp_path):
+    df = _nation(spark, sf_smoke).select("n_nationkey", "n_name", "n_regionkey")
+    path = str(tmp_path / "nation_csv")
+    df.write.option("header", True).csv(path)
+    back = io.read_csv(
+        spark, path, schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, sf_smoke, tmp_path):
+    df = _nation(spark, sf_smoke).select("n_nationkey", "n_name")
+    path = str(tmp_path / "nation_json")
+    df.write.json(path)
+    back = io.read_json(spark, path, schema="n_nationkey bigint, n_name string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_tsv_golden_shape_sink(spark, tmp_path):
+    lines = ["Mary 34 56 29", "Kelly 92 29 12"]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    pairs = basket.cooccurrence_pairs(basket.baskets_from_text(df)).select(
+        F.concat(F.lit("["), "item", F.lit(", "), "neighbor", F.lit("]")).alias("k"),
+        F.col("prob").cast("string").alias("v"),
+    )
+    path = str(tmp_path / "tsv_out")
+    io.write_tsv(pairs, path)
+    got = spark.read.option("sep", "\t").csv(path).collect()
+    assert len(got) == pairs.count()
+    assert all(r["_c0"].startswith("[") and r["_c1"] for r in got)
+
+
+def test_bucketed_table_join_skips_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketed-by-key tables joined on the bucket key: no Exchange on
+    either side of the SortMergeJoin (the 100 TB co-located-join path)."""
+    orders = spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_smoke, "customer.parquet"))
+    io.write_bucketed_table(
+        orders, "orders_b", ["o_custkey"], 8, path=str(tmp_path / "orders_b")
+    )
+    io.write_bucketed_table(
+        cust, "customer_b", ["c_custkey"], 8, path=str(tmp_path / "cust_b")
+    )
+    joined = (
+        spark.table("orders_b")
+        .join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        n_joined = joined.agg(F.sum("n")).collect()[0][0]
+        assert n_joined == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
