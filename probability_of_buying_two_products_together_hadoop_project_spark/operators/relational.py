@@ -84,6 +84,54 @@ def lag_lead(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row of
+    the same key with ``right_ts <= left_ts`` (nulls if none).
+
+    Spark has no native ASOF JOIN; a naive range join explodes to
+    O(|left| x |right|) per key. This implementation is the scalable
+    union-tag formulation: tag both sides, union, and carry the latest
+    right values forward with a ``last_value(ignoreNulls)`` running
+    window — ONE exchange on the key, a per-partition sort, zero row
+    blow-up, works at any key cardinality or time skew.
+
+    ``right_cols`` maps right column -> output name.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(o) for c, o in right_cols.items()],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for o in right_cols.values():
+        lt = lt.withColumn(o, F.lit(None).cast(dict(rt.dtypes)[o]))
+    cols = [on, "_ts", "_side", *right_cols.values()]
+    extra = [c for c in lt.columns if c not in cols]
+    u = lt.select(*cols, *extra).unionByName(
+        rt.select(*cols, *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c) for c in extra])
+    )
+    # right rows sort before left rows at the same timestamp (_side 0 < 1),
+    # so an exactly-equal right timestamp IS visible to the left row
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for o in right_cols.values():
+        u = u.withColumn(o, F.last(o, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

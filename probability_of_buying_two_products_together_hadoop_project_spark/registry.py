@@ -390,6 +390,111 @@ def q_join_anti(spark, sf_dir):
 
 
 @register(
+    "join_full_outer_segments",
+    """
+    WITH b AS (SELECT c_nationkey, count(*) AS n_building FROM customer
+               WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+         m AS (SELECT c_nationkey, count(*) AS n_machinery FROM customer
+               WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey)
+    SELECT COALESCE(b.c_nationkey, m.c_nationkey) AS nationkey,
+           COALESCE(n_building, 0) AS n_building,
+           COALESCE(n_machinery, 0) AS n_machinery
+    FROM b FULL OUTER JOIN m ON b.c_nationkey = m.c_nationkey
+    """,
+    "Full outer join preserving unmatched keys on both sides",
+)
+def q_join_full_outer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    b = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_building"))
+    )
+    m = (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("m_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_machinery"))
+    )
+    return b.join(m, b.c_nationkey == m.m_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "m_nationkey").alias("nationkey"),
+        F.coalesce("n_building", F.lit(0)).alias("n_building"),
+        F.coalesce("n_machinery", F.lit(0)).alias("n_machinery"),
+    )
+
+
+@register(
+    "window_rank_variants",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
+           first_value(o_orderkey) OVER w AS top_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)
+    """,
+    "rank / dense_rank / ntile / first_value window battery",
+)
+def q_window_ranks(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    """
+    WITH m AS (
+      SELECT c_nationkey,
+             map_from_entries(list_sort(list(ROW(c_mktsegment, cnt)))) AS seg_map
+      FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+            FROM customer GROUP BY c_nationkey, c_mktsegment)
+      GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           array_to_string(map_keys(seg_map), ',') AS segs,
+           CAST(list_sum(map_values(seg_map)) AS BIGINT) AS total,
+           CAST(len(map_keys(seg_map)) AS BIGINT) AS n_segs,
+           COALESCE(CAST(map_extract(seg_map, 'BUILDING')[1] AS BIGINT), 0) AS n_building
+    FROM m
+    """,
+    "Map function battery: map_from_entries/keys/values/element_at over "
+    "a grouped segment->count map",
+)
+def q_scalar_map(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_seg.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("c_mktsegment", "cnt")))
+        ).alias("seg_map")
+    )
+    return m.select(
+        "c_nationkey",
+        F.array_join(F.map_keys("seg_map"), ",").alias("segs"),
+        F.aggregate(
+            F.map_values("seg_map"), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("total"),
+        F.size(F.map_keys("seg_map")).cast("long").alias("n_segs"),
+        F.coalesce(F.element_at(F.col("seg_map"), F.lit("BUILDING")), F.lit(0))
+        .cast("long")
+        .alias("n_building"),
+    )
+
+
+@register(
     "agg_rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
@@ -870,6 +975,106 @@ def q_events_sliding(spark, sf_dir):
     )
 
 
+@register(
+    "asof_join_event_order",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS last_orderprice
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "As-of join: latest order at or before each event (union-tag + "
+    "last_value window; Spark lacks native ASOF JOIN)",
+)
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.asof_join(
+        ev,
+        orders.select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols={"o_orderkey": "last_orderkey", "o_totalprice": "last_orderprice"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_orderkey",
+        F.col("last_orderprice").cast("double").alias("last_orderprice"),
+    )
+
+
+@register(
+    "events_transition_counts",
+    """
+    WITH x AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id, prev_type, event_type AS curr_type, count(*) AS n
+    FROM x WHERE prev_type IS NOT NULL
+    GROUP BY user_id, prev_type, event_type
+    """,
+    "Per-user event-type transition counts (batch twin of "
+    "streaming.transition_counts_stateful)",
+)
+def q_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("user_id", "prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)",
+)
+def q_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_quantity", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+    "Token counting: whitespace + BPE-ish regex pre-tokenization",
+)
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time bucketing + sessionization (batch twins of streaming ops)
 # ---------------------------------------------------------------------------
@@ -1202,10 +1407,11 @@ def q_embedding_topk(spark, sf_dir):
               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-          4) >= 0.7
+          4) >= 0.15
     GROUP BY a.label
     """,
-    "Embedding near-dup count per label block (cosine >= 0.7)",
+    "Embedding cosine near-dup count per label block (threshold tuned to "
+    "the synthetic vectors' similarity range so the check is non-vacuous)",
 )
 def q_embedding_close_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1215,7 +1421,7 @@ def q_embedding_close_pairs(spark, sf_dir):
     )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim >= 0.7)
+        .filter(sim >= 0.15)
         .groupBy(F.col("a.label").alias("label"))
         .agg(F.count(F.lit(1)).alias("n_close"))
     )

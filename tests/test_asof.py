@@ -1,0 +1,38 @@
+"""As-of join tests: hand-built fixture covering before-first, exact-tie,
+between-rows, and missing-key cases."""
+
+import datetime as dt
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # before any right row -> null
+            (2, "u1", _ts("2024-01-02 00:00:00")),  # exact tie -> matches
+            (3, "u1", _ts("2024-01-03 12:00:00")),  # between rows -> earlier one
+            (4, "u1", _ts("2024-01-05 00:00:00")),  # after last -> latest
+            (5, "u2", _ts("2024-01-04 00:00:00")),  # key with no right rows
+        ],
+        "event_id bigint, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-02 00:00:00"), 100),
+            ("u1", _ts("2024-01-03 00:00:00"), 200),
+            ("u1", _ts("2024-01-04 00:00:00"), 300),
+        ],
+        "user string, rts timestamp, val bigint",
+    )
+    out = relational.asof_join(
+        left, right, on="user", left_ts="ts", right_ts="rts",
+        right_cols={"val": "last_val"},
+    )
+    got = {r["event_id"]: r["last_val"] for r in out.collect()}
+    assert got == {1: None, 2: 100, 3: 200, 4: 300, 5: None}
+    assert out.count() == left.count()  # no row blow-up, left-join semantics
