@@ -80,6 +80,23 @@ def session_counts(
     )
 
 
+def cooccurrence_stream(baskets: DataFrame) -> DataFrame:
+    """Streaming Crystal Ball: incremental windowed-pair counts over a
+    stream of baskets (customer, items array).
+
+    The pair generation is the SAME array expression as the batch operator
+    (operators/basket.py) — one logical plan, two execution modes; the
+    running groupBy count is classic streaming state. Downstream consumers
+    normalize to probabilities per item (complete/update output modes).
+    """
+    from ..operators.basket import pairs_expr
+
+    pairs = baskets.select(F.explode(pairs_expr("items")).alias("pr")).select(
+        F.col("pr.item").alias("item"), F.col("pr.neighbor").alias("neighbor")
+    )
+    return pairs.groupBy("item", "neighbor").agg(F.count(F.lit(1)).alias("pair_cnt"))
+
+
 def transition_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user counts of (prev_event_type -> event_type) transitions,

@@ -69,6 +69,44 @@ def test_sliding_stream_counts(spark, events_dir):
     assert sum(r["n"] for r in rows) == 2 * spark.read.parquet(events_dir).count()
 
 
+def test_streaming_cooccurrence_matches_batch(spark, tmp_path):
+    """The flagship query as a stream: drain a basket stream with
+    availableNow; counts must equal the batch operator's."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+
+    lines = [
+        "Mary 34 56 29 12 34 56 92 29 34 12",
+        "Kelly 92 29 12 34 79 29 56 12 34 18",
+        "Bob 1 2 1 2 1",
+        "Ann 7 8 9",
+    ]
+    src = str(tmp_path / "baskets")
+    batch_df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    basket.baskets_from_text(batch_df).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("customer string, items array<string>").parquet(src)
+    q = (
+        streams.cooccurrence_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_cooc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["item"], r["neighbor"]): r["pair_cnt"]
+        for r in spark.table("t_cooc").collect()
+    }
+    want = {
+        (r["item"], r["neighbor"]): r["pair_cnt"]
+        for r in basket.cooccurrence_counts(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_stateful_transition_counts_match_batch(spark, events_dir):
     stream = streams.read_events_stream(spark, events_dir)
     streams.run_append_to_memory(
