@@ -130,14 +130,33 @@ def cooccurrence_counts(baskets: DataFrame) -> DataFrame:
     )
 
 
-def cooccurrence_pairs(baskets: DataFrame) -> DataFrame:
+def cooccurrence_pairs(baskets: DataFrame, join_marginals: bool = False) -> DataFrame:
     """Flagship result: (item, neighbor, pair_cnt, prob) — reference O10.
 
-    The window sum over `item` replaces the wildcard-marginal order-inversion
-    trick; it runs over the aggregated (distinct-pair) rows, which are tiny
-    relative to the input.
+    Two normalization strategies, same results:
+
+    - ``join_marginals=False`` (default): window sum over `item`. One
+      extra exchange of the already-aggregated pair rows; best when
+      per-item neighbor cardinality is modest (the common case).
+    - ``join_marginals=True``: aggregate marginals separately and join
+      them back. The partial aggregation makes the marginal side tiny,
+      and the join is AQE-skew-splittable — choose this when single hot
+      items have millions of distinct neighbors, where the window's
+      per-item sort partition would become a straggler task.
     """
     counts = cooccurrence_counts(baskets)
+    if join_marginals:
+        marginals = counts.groupBy(F.col("item").alias("m_item")).agg(
+            F.sum("pair_cnt").alias("marginal")
+        )
+        return (
+            counts.join(marginals, counts.item == marginals.m_item)
+            .withColumn(
+                "prob",
+                F.col("pair_cnt").cast("double") / F.col("marginal").cast("double"),
+            )
+            .select("item", "neighbor", "pair_cnt", "prob")
+        )
     marginal = F.sum("pair_cnt").over(Window.partitionBy("item"))
     return counts.withColumn(
         "prob", F.col("pair_cnt").cast("double") / marginal.cast("double")
