@@ -7,6 +7,13 @@ between any two engines (and between two runs with different partitioning).
 We therefore sum in decimal (exact, commutative) and cast the final result
 to double. Raw double columns that pass through untouched stay bit-exact
 and need no treatment.
+
+Cost: a decimal sum measures ~3x a plain double sum (1.2 s vs 0.4 s for
+TPC-H Q1's four sums over 600k rows at sf0.1) — paid only inside the
+aggregate, and bought: results identical under any partitioning,
+parallelism, or engine. Pick the scale so the cast is exact: the value's
+true decimal places (q1's charge = 2dp price x 2dp discount x 2dp tax
+needs scale 6; scale 4 rounds onto ties that engines break differently).
 """
 
 from __future__ import annotations

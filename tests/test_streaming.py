@@ -134,6 +134,112 @@ def test_stateful_transition_counts_match_batch(spark, events_dir):
     assert got == want
 
 
+def test_stateful_state_carries_across_microbatches(spark, tmp_path):
+    """Split events into two files consumed as separate micro-batches
+    (maxFilesPerTrigger=1); the transition at the batch boundary is only
+    counted if state (the last event type) carries across batches."""
+    src = str(tmp_path / "two_batches")
+    rows1 = [(0, "2024-01-01 10:00:00", 1, "view"), (1, "2024-01-01 10:01:00", 1, "click")]
+    rows2 = [(2, "2024-01-01 10:02:00", 1, "buy"), (3, "2024-01-01 10:03:00", 1, "view")]
+
+    def write_one(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+            )
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+
+    write_one(rows1, "f0")
+    write_one(rows2, "f1")
+    stream = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    streams.run_append_to_memory(
+        streams.transition_counts_stateful(stream), "t_carry"
+    )
+    got = {}
+    for r in spark.table("t_carry").collect():
+        k = (r["prev_type"], r["curr_type"])
+        got[k] = got.get(k, 0) + r["n"]
+    # click->buy spans the two micro-batches: only present if state carried
+    assert got == {("view", "click"): 1, ("click", "buy"): 1, ("buy", "view"): 1}
+
+
+def test_watermark_append_emits_only_closed_windows(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1h watermark across two
+    micro-batches. Guaranteed semantics under test: every window whose end
+    is at or below the final watermark is emitted exactly once with its
+    aggregated count; windows still above the watermark are withheld.
+    (Dropping of late rows is PERMITTED, not guaranteed — observed Spark
+    4.1 behavior aggregates a straggler whose window is already below the
+    watermark, so this test does not assert drops.)"""
+    src = str(tmp_path / "late")
+
+    def write_one(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+            )
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+
+    # batch 1: two events in the 10:00 window -> watermark advances to 13:00-1h
+    write_one(
+        [(0, "2024-01-01 10:10:00", 1, "view"), (1, "2024-01-01 13:00:00", 1, "view")],
+        "f0",
+    )
+    # batch 2: one on-time event (13:30) and one too-late event (09:20,
+    # 2h40m behind the 12:00 watermark)
+    write_one(
+        [(2, "2024-01-01 13:30:00", 1, "view"), (3, "2024-01-01 09:20:00", 1, "view")],
+        "f1",
+    )
+    stream = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streams.tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    got = {(r["bucket"].hour, r["event_type"]): r["n"] for r in rows}
+    assert len(rows) == len(got)  # each closed window emitted exactly once
+    # final watermark = 13:30 - 1h = 12:30: the 9:00 and 10:00 windows are
+    # closed and emitted; the 13:00 window (end 14:00 > 12:30) is withheld
+    assert got.get((10, "view")) == 1
+    assert (13, "view") not in got
+
+
 def test_session_window_stream(spark, events_dir):
     stream = streams.read_events_stream(spark, events_dir)
     streams.run_to_memory(
