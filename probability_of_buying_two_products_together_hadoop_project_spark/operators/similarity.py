@@ -105,6 +105,93 @@ def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     return F.expr(_SRP_EXPR.format(vec=vec_col, last_plane=num_planes - 1))
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) coarse quantizer: k-means centroids + per-vector
+    list assignment — the classic ANN scale path alongside LSH.
+
+    Returns (assigned: DataFrame[id, vec, list_id], centroids:
+    list[(list_id, center)]). The index is a plain DataFrame, so at 100 TB
+    it would be written `partitionBy("list_id")` and probing prunes whole
+    partitions at the parquet-scan level.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .select(id_col, vec_col, F.col("prediction").alias("list_id"))
+    )
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF probing: for each query, rank the
+    coarse centroids by cosine, scan only the ``n_probe`` nearest lists,
+    and exactly re-rank candidates inside them.
+
+    Plan shape: the (query_id, list_id) probe set is tiny and broadcast;
+    the corpus side is touched once with a semi-join-like filter on
+    list_id — at scale, partition pruning on a list_id-partitioned layout
+    makes this a fractional scan (n_probe / n_lists of the data).
+    """
+    spark = embeddings.sparkSession
+    assigned, centroids = ivf_index(embeddings, n_lists, id_col, vec_col)
+    cent_df = spark.createDataFrame(centroids, ["list_id", "center"])
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "qv",
+            "list_id",
+            cosine(F.col("qv"), F.col("center")).alias("c_sim"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("list_id"))
+    probe_set = (
+        probes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probe_set), "list_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    sims = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -1428,6 +1428,19 @@ def q_embedding_close_pairs(spark, sf_dir):
 
 
 @register(
+    "embedding_ivf_topk",
+    None,  # k-means assignments have no SQL twin; rows-only check.
+    "Approximate cosine top-k via IVF: k-means coarse lists, probe the "
+    "nearest n_probe lists, exact re-rank inside (MLlib KMeans quantizer)",
+)
+def q_embedding_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, [0, 1, 2, 3, 4], k=10, n_lists=16, n_probe=4
+    ).withColumn("rk", F.col("rk").cast("long"))
+
+
+@register(
     "embedding_srp_lsh_topk",
     None,  # SRP planes derived from xxhash64; rows-only check
     "Approximate cosine top-k via sign-random-projection LSH buckets",

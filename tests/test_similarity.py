@@ -58,6 +58,27 @@ def test_cosine_column_exact(spark):
         assert math.isclose(r["c"], want, rel_tol=1e-12)
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    df, vecs = _emb(spark, n=80, dim=8)
+    queries = [0, 1, 2]
+    exact = similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    approx = similarity.ivf_topk(df, queries, k=5, n_lists=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing half the lists must recover a majority of true neighbors
+    total = sum(len(exact_sets[q]) for q in queries)
+    hit = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in queries)
+    assert hit / total >= 0.5, (hit, total)
+    # ranks are dense 1..n per query
+    for q in queries:
+        rks = sorted(r["rk"] for r in approx if r["query_id"] == q)
+        assert rks == list(range(1, len(rks) + 1))
+
+
 def test_srp_lsh_wellformed_and_deterministic(spark):
     df, _ = _emb(spark, n=60)
     out1 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()
