@@ -166,6 +166,17 @@ def q_cooccurrence_stripes(spark, sf_dir):
 
 
 @register(
+    "cooccurrence_pairs_joined",
+    _COOC_CTE + "SELECT item, neighbor, pair_cnt, prob FROM cooc",
+    "Flagship via the skew-robust marginal-join normalization "
+    "(same oracle as the window formulation — results must be identical)",
+)
+def q_cooccurrence_pairs_joined(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return basket.cooccurrence_pairs(baskets, join_marginals=True)
+
+
+@register(
     "pair_rules",
     """
     WITH sets AS (
@@ -491,6 +502,62 @@ def q_scalar_map(spark, sf_dir):
         F.coalesce(F.element_at(F.col("seg_map"), F.lit("BUILDING")), F.lit(0))
         .cast("long")
         .alias("n_building"),
+    )
+
+
+@register(
+    "having_big_customers",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    "Group filter (HAVING) on aggregate results",
+)
+def q_having(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "fuzzy_customer_name_pairs",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "Fuzzy string matching: Levenshtein within nation blocks (never "
+    "all-pairs; the block key bounds the candidate set)",
+)
+def q_fuzzy_names(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, ["nk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "dist")
     )
 
 
