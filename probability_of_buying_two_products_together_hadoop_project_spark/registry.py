@@ -267,7 +267,7 @@ def q_q1(spark, sf_dir):
     """
     SELECT o_orderkey,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           o_orderdate, o_orderpriority
+           epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -293,7 +293,15 @@ def q_q3(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "revenue",
+            # timestamps cross the oracle boundary as epoch micros: pandas
+            # represents Spark results as datetime64[ns] but DuckDB as
+            # datetime64[us], and a dtype-sensitive hash would mismatch
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -605,8 +613,8 @@ def q_cube(spark, sf_dir):
            max(l_quantity) AS max_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
-           min(l_shipdate) AS first_ship,
-           max(l_shipdate) AS last_ship
+           epoch_us(min(l_shipdate)) AS first_ship_us,
+           epoch_us(max(l_shipdate)) AS last_ship_us
     FROM lineitem GROUP BY l_returnflag
     """,
     "Aggregate function battery: count/count-distinct/min/max/avg",
@@ -619,15 +627,15 @@ def q_agg_stats(spark, sf_dir):
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         davg("l_quantity").alias("avg_qty"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
+        F.unix_micros(F.min("l_shipdate").cast("timestamp")).alias("first_ship_us"),
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias("last_ship_us"),
     )
 
 
 @register(
     "window_running_orders",
     """
-    SELECT o_custkey, o_orderkey, o_orderdate,
+    SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
            CAST(row_number() OVER w AS BIGINT) AS rn,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -652,7 +660,7 @@ def q_window_running(spark, sf_dir):
     return out.select(
         "o_custkey",
         "o_orderkey",
-        "o_orderdate",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
         F.row_number().over(w).cast("long").alias("rn"),
         F.col("running_spent").cast("double").alias("running_spent"),
     )
@@ -661,7 +669,7 @@ def q_window_running(spark, sf_dir):
 @register(
     "window_lag_lead_events",
     """
-    SELECT event_id, user_id, ts, event_type,
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
            lag(event_type) OVER w AS prev_type,
            lead(event_type) OVER w AS next_type,
            epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
@@ -676,7 +684,7 @@ def q_window_lag_lead(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        "ts",
+        F.unix_micros("ts").alias("ts_us"),
         "event_type",
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
@@ -793,7 +801,7 @@ def q_scalar_string_math(spark, sf_dir):
            CAST(month(o_orderdate) AS BIGINT) AS m,
            CAST(day(o_orderdate) AS BIGINT) AS d,
            CAST(quarter(o_orderdate) AS BIGINT) AS q,
-           date_trunc('month', o_orderdate) AS month_start,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
     FROM orders
     """,
@@ -807,7 +815,7 @@ def q_scalar_date(spark, sf_dir):
         F.month("o_orderdate").cast("long").alias("m"),
         F.dayofmonth("o_orderdate").cast("long").alias("d"),
         F.quarter("o_orderdate").cast("long").alias("q"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate").cast("timestamp")).alias("month_start_us"),
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
         ).cast("long").alias("days_since"),
@@ -1026,7 +1034,7 @@ def q_scalar_array(spark, sf_dir):
              ]) AS bucket
       FROM events
     )
-    SELECT bucket, event_type, count(*) AS n
+    SELECT epoch_us(bucket) AS bucket_us, event_type, count(*) AS n
     FROM b
     WHERE ts < bucket + INTERVAL 1 HOUR
     GROUP BY bucket, event_type
@@ -1038,14 +1046,14 @@ def q_events_sliding(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+        .select(F.unix_micros(F.col("w.start")).alias("bucket_us"), "event_type", "n")
     )
 
 
 @register(
     "asof_join_event_order",
     """
-    SELECT e.event_id, e.user_id, e.ts,
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
            o.o_orderkey AS last_orderkey,
            CAST(o.o_totalprice AS DOUBLE) AS last_orderprice
     FROM events e
@@ -1071,7 +1079,7 @@ def q_asof_join(spark, sf_dir):
     return out.select(
         "event_id",
         "user_id",
-        "ts",
+        F.unix_micros("ts").alias("ts_us"),
         "last_orderkey",
         F.col("last_orderprice").cast("double").alias("last_orderprice"),
     )
@@ -1150,7 +1158,7 @@ def q_token_counts(spark, sf_dir):
 @register(
     "events_tumbling_hour",
     """
-    SELECT date_trunc('hour', ts) AS bucket, event_type,
+    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
@@ -1162,7 +1170,12 @@ def q_events_tumbling(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
-        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
     )
 
 
@@ -1185,7 +1198,7 @@ def q_events_tumbling(spark, sf_dir):
       FROM x
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           min(ts) AS session_start,
+           epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM s GROUP BY user_id, session_id
     """,
@@ -1196,7 +1209,7 @@ def q_events_sessionize(spark, sf_dir):
     s = relational.sessionize(ev, "user_id", "ts", 1800, "event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
 
