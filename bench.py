@@ -22,6 +22,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -44,6 +45,28 @@ HEADLINE = [
 ]
 
 
+def _shuffle_totals(ui_url: str) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages,
+    from the Spark status REST API. Returns (0, 0) if the UI is off."""
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"{ui_url}/api/v1/applications", timeout=5)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=5,
+            )
+        )
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:  # noqa: BLE001  (UI disabled or API shape change)
+        return (0, 0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None)
@@ -58,7 +81,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # UI on so the status REST API can report per-query shuffle volume
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    ui_url = spark.sparkContext.uiWebUrl or "http://localhost:4040"
     # warm the JVM (codegen, ICU case tables, parquet reader) so the first
     # measured query isn't charged for one-time init
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -66,16 +91,26 @@ def main() -> None:
     names = args.only or [n for n in HEADLINE if n in qs]
 
     timings: dict[str, float] = {}
+    shuffle: dict[str, dict[str, int]] = {}
     for name in names:
         best = None
+        r0, w0 = _shuffle_totals(ui_url)
         for _ in range(max(args.repeat, 1)):
             t0 = time.perf_counter()
             df = qs[name](spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        r1, w1 = _shuffle_totals(ui_url)
         timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        # totals cover all repeats; divide for a per-run figure
+        reps = max(args.repeat, 1)
+        shuffle[name] = {
+            "read_bytes": (r1 - r0) // reps,
+            "write_bytes": (w1 - w0) // reps,
+        }
+        print(f"# {name}: {best:.3f}s shuffleW={shuffle[name]['write_bytes']}",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -83,6 +118,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle_bytes": shuffle,
         "sf": sf,
     }))
     spark.stop()
