@@ -18,16 +18,17 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the physical plan (AQE
-    reuse/local readers excluded by counting unique plan nodes)."""
+    """Number of shuffle Exchange operators in the physical plan.
+
+    Counts the numbered detail headers "(N) Exchange" of the formatted
+    plan — the partitioning arguments live on a separate line, so
+    matching them on the same line (the original implementation) silently
+    counted zero for every plan.
+    """
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
-        and ("hashpartitioning" in line or "rangepartitioning" in line
-             or "SinglePartition" in line)
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
