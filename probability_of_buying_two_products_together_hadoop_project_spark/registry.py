@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .functions.scalar import davg, dsum
 from .operators import basket, dedup, multimodal, relational, rules, similarity, text
+from .sources import io as engine_io
 
 
 @dataclass
@@ -510,6 +511,52 @@ def q_scalar_map(spark, sf_dir):
         F.coalesce(F.element_at(F.col("seg_map"), F.lit("BUILDING")), F.lit(0))
         .cast("long")
         .alias("n_building"),
+    )
+
+
+@register(
+    "csv_source_nation_agg",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    "CSV reader in the oracle loop: write a canonical CSV copy, read it "
+    "back with an explicit schema, aggregate — values must match parquet",
+)
+def q_csv_source(spark, sf_dir):
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="csv_src_") + "/nation"
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    back = engine_io.read_csv(
+        spark, path, schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "json_source_region_agg",
+    """
+    SELECT count(*) AS n_regions, min(r_name) AS first_region FROM region
+    """,
+    "JSON reader in the oracle loop: write JSON lines, read back with an "
+    "explicit schema, aggregate",
+)
+def q_json_source(spark, sf_dir):
+    import tempfile
+
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = tempfile.mkdtemp(prefix="json_src_") + "/region"
+    region.coalesce(1).write.mode("overwrite").json(path)
+    back = engine_io.read_json(spark, path, schema="r_regionkey bigint, r_name string")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_regions"), F.min("r_name").alias("first_region")
     )
 
 

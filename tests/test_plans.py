@@ -65,6 +65,48 @@ def test_cooccurrence_bucketed_layout_drops_basket_exchange(spark, sf_smoke, tmp
         spark.sql("DROP TABLE IF EXISTS li_bucketed_t")
 
 
+def test_aqe_splits_skewed_join(spark):
+    """A hot join key (5/6 of all rows) must trigger AQE's runtime skew
+    split (skew=true in the final adaptive plan) instead of one straggler
+    task — the mechanism that replaces the reference's static hand-tuned
+    range partitioner (/root/reference/src/CrystalBallPair.java:97-104)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # thresholds scaled down so test-sized data exhibits "skew"
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        big = spark.range(300000).select(
+            F.when(F.col("id") < 250000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(300000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_topk_no_global_sort(spark, sf_smoke):
     import __spark_entry__ as e
 
