@@ -234,6 +234,42 @@ def _norm_tokens_sql(text_col: str) -> str:
     )
 
 
+def jaccard_pairs_prefiltered(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact Jaccard restricted to MinHash-band candidate pairs.
+
+    ``jaccard_pairs`` is quadratic within each block; this variant needs
+    no block column at all — candidates are pairs sharing at least one
+    LSH band (linear shuffle in corpus size), and only candidates get the
+    exact shingle-set Jaccard. Recall is the standard LSH S-curve:
+    1 - (1 - s^r)^b with r = num_hashes/bands rows per band, ~1 for pairs
+    well above the threshold; pairs barely at the threshold may be missed
+    (that is the approximation being bought).
+    """
+    cand = minhash_near_dup_candidates(docs, text_col, shingle_n, num_hashes, bands)
+    sh = shingled(docs, text_col, shingle_n).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1421,6 +1421,20 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "jaccard_prefiltered",
+    None,  # xxhash64 LSH prefilter has no DuckDB twin; rows-only check
+    "Exact Jaccard over MinHash-band candidates (no block column needed; "
+    "linear candidate generation, exact verification). 3-gram shingles: "
+    "unigram token sets are degenerate on templated text (everything "
+    "matches everything)",
+)
+def q_jaccard_prefiltered(spark, sf_dir):
+    return dedup.jaccard_pairs_prefiltered(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+
+
+@register(
     "minhash_near_dup",
     None,  # xxhash64 signatures have no DuckDB twin; rows-only check
     "MinHash-LSH near-duplicate candidate pairs (banded signature join)",

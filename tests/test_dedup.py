@@ -75,6 +75,31 @@ def test_jaccard_exact_values(spark):
     assert (3, 4) not in out
 
 
+def test_jaccard_prefiltered_matches_exact_for_near_dups(spark):
+    """The LSH-prefiltered Jaccard must (a) find the clearly-near-dup
+    pairs, (b) report the same exact Jaccard values as the unfiltered
+    operator, (c) never emit pairs below the threshold."""
+    docs = _docs(spark)
+    pre = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_prefiltered(
+            docs, shingle_n=1, threshold=0.3, num_hashes=32, bands=16
+        ).collect()
+    }
+    # blocked-exact twin over one global block for ground truth
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            docs.withColumn("source", F.lit("all")),
+            block_col="source", shingle_n=1, threshold=0.3,
+        ).collect()
+    }
+    assert (0, 1) in pre and (0, 2) in pre and (3, 4) in pre
+    for k, v in pre.items():
+        assert k in exact and v == exact[k]
+        assert v >= 0.3
+
+
 def test_simhash_signature_deterministic(spark):
     sigs1 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
     sigs2 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
