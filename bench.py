@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # cover scan/agg, multi-join, window, sessionize, dedup, LSH, ANN, text.)
 HEADLINE = [
     "cooccurrence_pairs",
+    "cooccurrence_stripes",
     "cooccurrence_topk",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -38,10 +39,13 @@ HEADLINE = [
     "window_running_orders",
     "topk_orders_per_customer",
     "events_sessionize",
+    "asof_join_event_order",
     "dedup_exact",
     "minhash_near_dup",
+    "jaccard_prefiltered",
     "text_stats",
     "embedding_topk",
+    "embedding_srp_lsh_topk",
 ]
 
 
