@@ -82,6 +82,30 @@ def shingled(
     return toked.select(*keep_cols, word_shingles(F.col("_tk"), n).alias("sh"))
 
 
+def hashed_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — hashes of the word n-gram multiset.
+
+    Each token STRING is hashed exactly once; an n-gram's hash is the
+    xxhash64 of its n consecutive token hashes, so no shingle strings are
+    ever materialized. Shared by MinHash signatures and the prefiltered
+    Jaccard verify (hash-set Jaccard equals string-set Jaccard up to
+    negligible 64-bit collision probability).
+    """
+    toked = docs.select(
+        "doc_id", tokens(normalize_text(F.col(text_col))).alias("_tk")
+    )
+    th = toked.select(
+        "doc_id", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("th")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("th") - n),
+        lambda i: F.xxhash64(*[F.get(F.col("th"), i + j) for j in range(n)]),
+    )
+    return th.filter(F.size("th") >= n).select("doc_id", gram.alias("hs"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -105,19 +129,8 @@ def minhash_signatures(
     every shingle string per seed) ran ~30x slower, entirely outside
     codegen.
     """
-    toked = docs.select(
-        "doc_id", tokens(normalize_text(F.col(text_col))).alias("_tk")
-    )
-    th = toked.select(
-        "doc_id", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("th")
-    )
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size("th") - shingle_n),
-        lambda i: F.xxhash64(*[F.get(F.col("th"), i + j) for j in range(shingle_n)]),
-    )
-    ex = (
-        th.filter(F.size("th") >= shingle_n)
-        .select("doc_id", F.explode(gram).alias("h"))
+    ex = hashed_shingles(docs, text_col, shingle_n).select(
+        "doc_id", F.explode("hs").alias("h")
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
@@ -253,7 +266,11 @@ def jaccard_pairs_prefiltered(
     (that is the approximation being bought).
     """
     cand = minhash_near_dup_candidates(docs, text_col, shingle_n, num_hashes, bands)
-    sh = shingled(docs, text_col, shingle_n).filter(F.size("sh") > 0)
+    # exact verify over hashed-gram SETS — same Jaccard as string shingles
+    # without materializing shingle strings on both join sides
+    sh = hashed_shingles(docs, text_col, shingle_n).select(
+        "doc_id", F.array_distinct("hs").alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
