@@ -129,8 +129,24 @@ def minhash_signatures(
     every shingle string per seed) ran ~30x slower, entirely outside
     codegen.
     """
-    ex = hashed_shingles(docs, text_col, shingle_n).select(
-        "doc_id", F.explode("hs").alias("h")
+    # NOTE: the explode must sit directly over the gram expression with
+    # `th` materialized by the previous projection. Routing through
+    # hashed_shingles' array column adds a Project layer that Catalyst
+    # collapses into the Generate, inlining the token-hash array into the
+    # gram lambda — re-evaluated per position (measured 10x slower).
+    toked = docs.select(
+        "doc_id", tokens(normalize_text(F.col(text_col))).alias("_tk")
+    )
+    th = toked.select(
+        "doc_id", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("th")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("th") - shingle_n),
+        lambda i: F.xxhash64(*[F.get(F.col("th"), i + j) for j in range(shingle_n)]),
+    )
+    ex = (
+        th.filter(F.size("th") >= shingle_n)
+        .select("doc_id", F.explode(gram).alias("h"))
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
