@@ -841,6 +841,70 @@ def q_scalar_string_math(spark, sf_dir):
 
 
 @register(
+    "scalar_conditional_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 40 THEN 'medium'
+                ELSE 'large' END AS qty_band,
+           CAST(l_extendedprice / NULLIF(l_quantity, 0) AS DOUBLE) AS unit_price,
+           IF(l_discount > 0.05, 'discounted', 'full') AS price_class,
+           GREATEST(l_tax, l_discount) AS max_rate,
+           LEAST(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+    "Conditional/null-handling battery: coalesce/nullif/case/if/greatest",
+)
+def q_scalar_conditional(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("flag_or_none"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 40, "medium")
+        .otherwise("large")
+        .alias("qty_band"),
+        (F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0)))
+        .cast("double")
+        .alias("unit_price"),
+        F.when(F.col("l_discount") > 0.05, "discounted")
+        .otherwise("full")
+        .alias("price_class"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_regexp_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+) ', 1) AS first_word,
+           regexp_matches(p_type, 'BRUSHED') AS is_brushed,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
+    FROM part
+    """,
+    "Regexp battery: extract group / match test / extract-all / replace",
+)
+def q_scalar_regexp(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("first_word"),
+        F.col("p_type").rlike("BRUSHED").alias("is_brushed"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), 0))
+        .cast("long")
+        .alias("vowel_runs"),
+        F.regexp_replace("p_type", r"[AEIOU]", "_").alias("type_devoweled"),
+    )
+
+
+@register(
     "scalar_date_funcs",
     """
     SELECT o_orderkey,
