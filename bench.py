@@ -116,6 +116,37 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s shuffleW={shuffle[name]['write_bytes']}",
               file=sys.stderr)
 
+    # bucketed-layout flagship: materialize lineitem bucketed by the
+    # basket key and re-run the flagship on it — the layout lever that
+    # removes the dominant exchange entirely (BASELINE.md)
+    if not args.only:
+        import tempfile
+
+        from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+
+        d = tempfile.mkdtemp(prefix="bench_bucketed_")
+        li = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+        (
+            li.write.mode("overwrite")
+            .bucketBy(32, "l_orderkey")
+            .option("path", d + "/li")
+            .saveAsTable("bench_li_bucketed")
+        )
+        try:
+            best = None
+            for _ in range(max(args.repeat, 1)):
+                t0 = time.perf_counter()
+                df = basket.cooccurrence_pairs(
+                    basket.baskets_from_lineitem(spark.table("bench_li_bucketed"))
+                )
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["cooccurrence_pairs_bucketed"] = round(best, 3)
+            print(f"# cooccurrence_pairs_bucketed: {best:.3f}s", file=sys.stderr)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_wall_sec",
