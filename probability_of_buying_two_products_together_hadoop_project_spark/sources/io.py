@@ -78,3 +78,48 @@ def write_bucketed_table(
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Golden-parity text sink (reference O13 output shape)."""
     df.write.mode(mode).option("sep", "\t").csv(path)
+
+
+def write_reference_pairs_layout(pairs: DataFrame, out_dir: str) -> list[str]:
+    """Reproduce the reference's EXACT Pairs output layout: three files
+    partitioned by the static item ranges <30 / <60 / rest
+    (/root/reference/src/CrystalBallPair.java:97-104, 3 reduce tasks
+    :247), rows sorted by (item, neighbor) as strings
+    (:215-224, wildcard rows excluded), each line formatted
+    ``[item, neighbor]\\tprob`` (:132-133,210-212).
+
+    ``prob.cast(string)`` is JVM ``Double.toString`` — the same routine
+    the reference's TextOutputFormat used, so files are byte-equal to the
+    committed goldens. Returns the three file paths (part-r-00000..2).
+
+    This is a parity artifact, not a scale path: real output goes to
+    Parquet. The per-partition ``coalesce(1)`` mirrors the reference's
+    one-file-per-reducer contract.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    line = F.concat(
+        F.lit("["), F.col("item"), F.lit(", "), F.col("neighbor"),
+        F.lit("]\t"), F.col("prob").cast("string"),
+    ).alias("line")
+    item_int = F.col("item").cast("int")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for idx, pred in enumerate(
+        [item_int < 30, (item_int >= 30) & (item_int < 60), item_int >= 60]
+    ):
+        rows = (
+            pairs.filter(pred)
+            .orderBy("item", "neighbor")
+            .select(line)
+            .coalesce(1)
+            .collect()
+        )
+        p = os.path.join(out_dir, f"part-r-{idx:05d}")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(r["line"] + "\n")
+        paths.append(p)
+    return paths

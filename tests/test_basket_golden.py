@@ -88,6 +88,27 @@ def test_probs_sum_to_one(spark):
         assert math.isclose(s, 1.0, rel_tol=1e-12), (item, s)
 
 
+def test_reference_layout_byte_equal(spark, tmp_path):
+    """Full-stack parity: partitioning (O7), sort order (O8), and text
+    format (O13) reproduce the committed golden part files byte-for-byte."""
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import io
+
+    ref_dir = "/root/reference/output/CrystalBallPair"
+    if not os.path.isdir(ref_dir):
+        import pytest
+
+        pytest.skip("reference goldens not available")
+    pairs = basket.cooccurrence_pairs(_baskets(spark))
+    out = io.write_reference_pairs_layout(pairs, str(tmp_path / "golden_layout"))
+    for idx, p in enumerate(out):
+        with open(p, "rb") as f_got, open(
+            os.path.join(ref_dir, f"part-r-{idx:05d}"), "rb"
+        ) as f_want:
+            assert f_got.read() == f_want.read(), f"part-r-{idx:05d} differs"
+
+
 def test_last_only_item_never_a_key(spark):
     # product 18 appears only at basket end -> never a current item (rule 1)
     items = {r["item"] for r in basket.cooccurrence_pairs(_baskets(spark)).collect()}
