@@ -88,6 +88,50 @@ def test_probs_sum_to_one(spark):
         assert math.isclose(s, 1.0, rel_tol=1e-12), (item, s)
 
 
+def _parse_golden_stripes(dirpath):
+    """Parse 'item\\t{(n, prob), ..., }' golden lines into {item: {n: prob}}.
+    Entry order inside a stripe is Java MapWritable hash order — junk per
+    SURVEY §2.2.7 — so stripes compare as maps."""
+    import os
+    import re
+
+    out = {}
+    for fn in sorted(os.listdir(dirpath)):
+        if not fn.startswith("part-r-"):
+            continue
+        for line in open(os.path.join(dirpath, fn)):
+            if not line.strip():
+                continue
+            item, body = line.rstrip("\n").split("\t", 1)
+            out[item] = {
+                n: float(p)
+                for n, p in re.findall(r"\((\w+), ([0-9.Ee+-]+)\)", body)
+            }
+    return out
+
+
+def test_golden_stripe_and_hybrid_files_as_maps(spark):
+    """Consume the committed Stripe AND Hybrid golden outputs directly:
+    both programs must equal our stripes result (they compute the same
+    query — SURVEY §0)."""
+    import os
+
+    import pytest
+
+    base = "/root/reference/output"
+    if not os.path.isdir(base):
+        pytest.skip("reference goldens not available")
+    got = {
+        r["item"]: dict(r["stripe"])
+        for r in basket.cooccurrence_stripes(_baskets(spark)).collect()
+    }
+    for prog in ("CrystalBallStripe", "CrystalBallHybrid"):
+        want = _parse_golden_stripes(os.path.join(base, prog))
+        assert got.keys() == want.keys(), prog
+        for item in want:
+            assert got[item] == want[item], (prog, item)
+
+
 def test_reference_layout_byte_equal(spark, tmp_path):
     """Full-stack parity: partitioning (O7), sort order (O8), and text
     format (O13) reproduce the committed golden part files byte-for-byte."""
