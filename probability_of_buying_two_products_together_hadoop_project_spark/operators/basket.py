@@ -81,6 +81,14 @@ def baskets_from_text(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     One line = one basket; token 0 is the customer
     (/root/reference/src/CrystalBallPair.java:40-42).
+
+    Deliberate divergence from the reference on malformed input: the
+    reference's raw ``split("\\s+")`` on a line with LEADING whitespace
+    yields an empty token[0], silently shifting the customer id into the
+    item list (/root/reference/src/CrystalBallPair.java:40). We trim first,
+    so token 0 is always the customer. The committed golden inputs have no
+    leading whitespace, so parity on the reference's own data is unaffected
+    (byte-equal, tests/test_basket_golden.py).
     """
     toks = F.split(F.trim(F.col(value_col)), r"\s+")
     return df.select(

@@ -104,6 +104,15 @@ def asof_join(
 
     ``right_cols`` maps right column -> output name.
     """
+    # internal working columns and the output names land on the left frame;
+    # a pre-existing column with any of those names would be silently
+    # clobbered and corrupt results — fail loudly instead
+    clash = {"_ts", "_side", *right_cols.values()}.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            "asof_join: left columns collide with internal/output names: "
+            f"{sorted(clash)}; rename them or choose different right_cols outputs"
+        )
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(

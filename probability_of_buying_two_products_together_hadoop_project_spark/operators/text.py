@@ -178,8 +178,12 @@ def winnow_fingerprints(
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     d = docs.select("doc_id", norm.alias("_norm"))
-    # per-char hashes; k-gram hash = xxhash64-fold of k consecutive values
-    ch = F.transform(F.split(F.col("_norm"), ""), lambda c: F.xxhash64(c))
+    # per-char hashes; k-gram hash = xxhash64-fold of k consecutive values.
+    # split('', -1) emits a trailing empty string (Java split semantics);
+    # drop it so documents don't hash a phantom character that would shift
+    # the final k-grams off the canonical winnowing definition.
+    chars = F.filter(F.split(F.col("_norm"), ""), lambda c: c != F.lit(""))
+    ch = F.transform(chars, lambda c: F.xxhash64(c))
     glen = F.greatest(F.size(ch) - k + 1, F.lit(1))
     grams = zip_fold(
         [shifted(ch, j, glen) for j in range(k)],

@@ -42,3 +42,13 @@ def test_guarantee_shared_long_substring(spark):
 def test_short_doc_yields_one_fp(spark):
     fps = _fps(spark, [(1, "ab")])  # shorter than k -> single gram of whole text
     assert len(fps[1]) == 1
+
+
+def test_gram_count_exact_no_phantom_char(spark):
+    # k=2, w=1: every k-gram is selected (each window is one gram), so a
+    # document with L distinct characters yields exactly L - k + 1
+    # fingerprints. Pins the split('')-trailing-empty-string fix: with the
+    # phantom char the count would be L - k + 2.
+    docs = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    out = text.winnow_fingerprints(docs, k=2, w=1)
+    assert out.count() == 5
