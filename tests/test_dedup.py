@@ -100,6 +100,64 @@ def test_jaccard_prefiltered_matches_exact_for_near_dups(spark):
         assert v >= 0.3
 
 
+def _rand_names(n, seed=7):
+    """Diverse random names with a planted ~10% near-duplicate rate."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        s = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(10))
+        rows.append((2 * i, s))
+        if i % 10 == 0:  # plant a 1-substitution near-dup
+            t = list(s)
+            t[rng.randrange(10)] = rng.choice("abcdefghij")
+            rows.append((2 * i + 1, "".join(t)))
+    return rows
+
+
+def test_edit_distance_pairs_match_bruteforce(spark):
+    """Symmetric-delete blocking is recall-lossless: pairs must equal the
+    quadratic cross-join ground truth exactly, including insert/delete
+    edits (length-changing)."""
+    rows = _rand_names(25, seed=3)
+    # add length-changing edits of row 0's string
+    base = rows[0][1]
+    rows += [
+        (1001, base[1:]),            # delete first char
+        (1002, base + "z"),          # append
+        (1003, base[:4] + base[5:]), # delete middle char
+        (1004, base[:5] + "qq" + base[5:]),  # double insert
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    a = df.select(F.col("id").alias("ia"), F.col("name").alias("na"))
+    b = df.select(F.col("id").alias("ib"), F.col("name").alias("nb"))
+    want = {
+        (r["ia"], r["ib"]): r["d"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want and len(got) >= 5
+
+
+def test_edit_distance_candidates_subquadratic(spark):
+    """Candidate count must scale ~linearly on a 10x corpus (a quadratic
+    block would grow ~100x)."""
+    small = spark.createDataFrame(_rand_names(150), ["id", "name"])
+    big = spark.createDataFrame(_rand_names(1500), ["id", "name"])
+    c_small = dedup.edit_distance_candidates(small, "id", "name").count()
+    c_big = dedup.edit_distance_candidates(big, "id", "name").count()
+    assert c_small >= 10  # planted near-dups are found at all
+    assert c_big <= 25 * max(c_small, 1)
+
+
 def test_simhash_signature_deterministic(spark):
     sigs1 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
     sigs2 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
