@@ -175,15 +175,34 @@ def cooccurrence_pairs(baskets: DataFrame, join_marginals: bool = False) -> Data
     )
 
 
-def cooccurrence_stripes(baskets: DataFrame) -> DataFrame:
+def cooccurrence_stripes(
+    baskets: DataFrame, max_neighbors: int | None = None
+) -> DataFrame:
     """Stripes output shape (item, stripe: map<neighbor, prob>) — reference O6.
 
     The reference's stripes/hybrid are *physical* shuffle optimizations
     (SURVEY.md §4) subsumed by Tungsten partial aggregation; only the output
     shape survives. Map entries are sorted by neighbor for determinism
     (golden-file entry order is Java hash order — junk, per SURVEY §2.2.7).
+
+    ``max_neighbors`` caps each stripe to the top-N neighbors by
+    (prob desc, neighbor asc). At 100x scale a hot item with millions of
+    distinct neighbors would otherwise materialize one giant map row (the
+    reference's stripes have the same hazard); the cap bounds row size
+    while probabilities stay those of the FULL distribution (computed
+    before truncation). With N >= every item's neighbor count the output
+    is identical to the uncapped stripes (tested).
     """
     pairs = cooccurrence_pairs(baskets)
+    if max_neighbors is not None:
+        w = Window.partitionBy("item").orderBy(
+            F.col("prob").desc(), F.col("neighbor")
+        )
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_neighbors)
+            .drop("_rk")
+        )
     return pairs.groupBy("item").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("neighbor", "prob")))

@@ -111,9 +111,16 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_size: int = 100_000,
 ):
     """IVF (inverted-file) coarse quantizer: k-means centroids + per-vector
     list assignment — the classic ANN scale path alongside LSH.
+
+    The centroids are fit on a bounded random sample (at most
+    ``fit_sample_size`` rows in expectation): k-means quality depends on
+    the density landscape, not on seeing every point, so at 100 TB the
+    multi-pass fit touches a fixed-size sample while the single-pass
+    assignment still covers the full corpus.
 
     Returns (assigned: DataFrame[id, vec, list_id], centroids:
     list[(list_id, center)]). The index is a plain DataFrame, so at 100 TB
@@ -130,7 +137,13 @@ def ivf_index(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(vecs)
+    n = embeddings.count()  # one cheap action; the iterative fit dwarfs it
+    fit_input = (
+        vecs.sample(fraction=fit_sample_size / n, seed=seed)
+        if n > fit_sample_size
+        else vecs
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(fit_input)
     assigned = (
         model.transform(vecs)
         .select(id_col, vec_col, F.col("prediction").alias("list_id"))
@@ -147,6 +160,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_size: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing: for each query, rank the
     coarse centroids by cosine, scan only the ``n_probe`` nearest lists,
@@ -158,7 +172,9 @@ def ivf_topk(
     makes this a fractional scan (n_probe / n_lists of the data).
     """
     spark = embeddings.sparkSession
-    assigned, centroids = ivf_index(embeddings, n_lists, id_col, vec_col)
+    assigned, centroids = ivf_index(
+        embeddings, n_lists, id_col, vec_col, fit_sample_size=fit_sample_size
+    )
     cent_df = spark.createDataFrame(centroids, ["list_id", "center"])
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")

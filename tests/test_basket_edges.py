@@ -61,6 +61,38 @@ def test_whitespace_separators(spark):
     assert tabbed == plain and plain == {("1", "2"): 1, ("1", "3"): 1, ("2", "3"): 1}
 
 
+def test_stripes_cap_equals_full_when_n_large(spark, sf_smoke):
+    """max_neighbors >= every per-item cardinality must reproduce the
+    uncapped stripes exactly; a small cap truncates to the top-N by prob
+    while keeping the FULL-distribution probabilities."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_smoke, "lineitem.parquet"))
+    b = basket.baskets_from_lineitem(li)
+    full = {r["item"]: r["stripe"] for r in basket.cooccurrence_stripes(b).collect()}
+    max_card = max(len(s) for s in full.values())
+    capped_hi = {
+        r["item"]: r["stripe"]
+        for r in basket.cooccurrence_stripes(b, max_neighbors=max_card).collect()
+    }
+    assert capped_hi == full
+    capped_2 = {
+        r["item"]: r["stripe"]
+        for r in basket.cooccurrence_stripes(b, max_neighbors=2).collect()
+    }
+    assert set(capped_2) == set(full)
+    for item, stripe in capped_2.items():
+        assert len(stripe) <= 2
+        # capped entries are a subset of the full stripe with identical probs
+        for n, p in stripe.items():
+            assert full[item][n] == p
+        # and they are the top-by-prob entries (ties broken by neighbor asc)
+        want = sorted(full[item].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        assert sorted(stripe.items()) == sorted(want)
+
+
 def test_lineitem_bridge_preserves_linenumber_order(spark, sf_smoke):
     import os
 

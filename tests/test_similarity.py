@@ -79,6 +79,29 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         assert rks == list(range(1, len(rks) + 1))
 
 
+def test_ivf_sampled_fit_bounded_and_recall_holds(spark):
+    """Forcing the sampled-fit path (fit_sample_size << corpus) must keep
+    IVF recall at the same bar as the full fit: centroids only need the
+    density landscape, not every point."""
+    df, _ = _emb(spark, n=80, dim=8)
+    queries = [0, 1, 2]
+    assigned, centroids = similarity.ivf_index(df, n_lists=8, fit_sample_size=40)
+    assert len(centroids) == 8
+    assert assigned.count() == 80  # assignment covers the FULL corpus
+    exact = similarity.cosine_topk_bruteforce(df, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        df, queries, k=5, n_lists=8, n_probe=4, fit_sample_size=40
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(exact_sets[q]) for q in queries)
+    hit = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in queries)
+    assert hit / total >= 0.5, (hit, total)
+
+
 def test_srp_lsh_wellformed_and_deterministic(spark):
     df, _ = _emb(spark, n=60)
     out1 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()
