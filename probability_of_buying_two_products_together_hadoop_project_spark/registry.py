@@ -1317,6 +1317,93 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS through the SQL surface — Catalyst "
+    "decorrelates it to a left-semi hash join (adapted predicate: the "
+    "testdata lineitem has no commit/receipt dates)",
+)
+def q_q4_exists(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l1.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(l2.l_quantity))
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    "TPC-H Q17 shape: correlated scalar AVG subquery — Catalyst "
+    "decorrelates to a per-part aggregate joined back to the fact scan; "
+    "decimal-exact moment sums keep the threshold comparison "
+    "engine-independent",
+)
+def q_q17_corr_avg(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l1.l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(l2.l_quantity))
+            FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+@register(
+    "correlated_max_order",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "Correlated scalar MAX subquery (each customer's priciest orders, "
+    "ties kept) — decorrelated to a grouped max joined back on the "
+    "correlation key",
+)
+def q_correlated_max(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time bucketing + sessionization (batch twins of streaming ops)
 # ---------------------------------------------------------------------------
@@ -1722,6 +1809,9 @@ def q_embedding_srp_lsh(spark, sf_dir):
 # every not-yet-driver-checked query lands inside the 50-entry window.
 # Rotate freely in later rounds once the tail members need re-evidence.
 _ROTATION_TAIL = [
+    "agg_rollup_lineitem",
+    "agg_cube_orders",
+    "agg_grouping_sets",
     "window_rank_variants",
     "scalar_map_funcs",
     "having_big_customers",
