@@ -1,0 +1,94 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) for the
+reference's basket text format.
+
+The reference's input is one basket per line, whitespace-delimited, token
+0 the customer (/root/reference/input/input; parsing contract
+/root/reference/src/CrystalBallPair.java:40-42). `spark.read.text` +
+`baskets_from_text` already covers this; the DataSource variant
+demonstrates the modern pluggable-source surface — schema declaration,
+option handling, per-file input partitions — so a user can write
+
+    spark.dataSource.register(BasketTextDataSource)
+    spark.read.format("basket_text").load(path)
+
+and get parsed `(customer, items)` rows directly.
+
+Scale notes: `partitions()` emits one InputPartition per file, so a
+directory of part files parallelizes across executors exactly like the
+reference's per-split mappers. Python DataSources run in Arrow-batched
+Python workers — fine for a compatibility text format, but Parquet stays
+the native path (JVM scans, pushdown, pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def parse_basket_line(line: str) -> tuple[str, list[str]] | None:
+    """(customer, items) per the reference contract; None for empty lines.
+
+    Same deliberate trim-first divergence as
+    ``operators.basket.baskets_from_text`` (leading whitespace must not
+    shift the customer into the item list).
+    """
+    toks = line.strip().split()
+    if not toks:
+        return None
+    return toks[0], toks[1:]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BasketTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("basket_text requires a path option")
+        self.path = path
+
+    def partitions(self):
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                parsed = parse_basket_line(line)
+                if parsed is not None:
+                    yield parsed
+
+
+class BasketTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "basket_text"
+
+    def schema(self) -> str:
+        return "customer string, items array<string>"
+
+    def reader(self, schema) -> BasketTextReader:
+        return BasketTextReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the basket_text format on a session."""
+    spark.dataSource.register(BasketTextDataSource)
+
+
+def read_baskets(spark, path: str):
+    """Read reference-format basket text through the custom DataSource."""
+    register(spark)
+    return spark.read.format("basket_text").option("path", path).load()

@@ -100,3 +100,39 @@ def test_bucketed_table_join_skips_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_basket_text_datasource_matches_text_parser(spark, tmp_path):
+    """The Spark 4 Python DataSource must parse identically to the
+    read.text + baskets_from_text path, including malformed lines, and
+    parallelize one partition per file."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    d = tmp_path / "baskets"
+    d.mkdir()
+    (d / "part-0").write_text("Mary 34 56 29\n\n  Kelly\t92 29 12\n")
+    (d / "part-1").write_text("Bob 1 2 1 2 1\n")
+
+    via_ds = basket_datasource.read_baskets(spark, str(d))
+    assert via_ds.rdd.getNumPartitions() == 2
+    # the read.text path keeps blank lines as ("", []); the DataSource
+    # drops them at parse time — align for the comparison
+    via_text = basket.baskets_from_text(spark.read.text(str(d))).filter(
+        F.col("customer") != ""
+    )
+    a = {(r["customer"], tuple(r["items"])) for r in via_ds.collect()}
+    b = {(r["customer"], tuple(r["items"])) for r in via_text.collect()}
+    assert a == b == {
+        ("Mary", ("34", "56", "29")),
+        ("Kelly", ("92", "29", "12")),
+        ("Bob", ("1", "2", "1", "2", "1")),
+    }
+    # end-to-end: the flagship runs unchanged on the DataSource output
+    got = {
+        (r["item"], r["neighbor"]): r["pair_cnt"]
+        for r in basket.cooccurrence_counts(via_ds).collect()
+    }
+    assert got[("1", "2")] == 2 and got[("2", "1")] == 2
