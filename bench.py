@@ -40,6 +40,8 @@ HEADLINE = [
     "topk_orders_per_customer",
     "events_sessionize",
     "asof_join_event_order",
+    "fuzzy_customer_name_pairs",
+    "q17_small_quantity_revenue",
     "dedup_exact",
     "minhash_near_dup",
     "jaccard_prefiltered",

@@ -272,26 +272,43 @@ def edit_distance_candidates(
     if max_dist == 2:
         parts.append(F.flatten(F.transform(F.col("_d1"), _delete_one)))
     variants = F.array_distinct(F.concat(*parts))
-    v = d1.select("_id", "_s", *block_cols, F.explode(variants).alias("_v"))
-    a = v.select(
-        F.col("_id").alias("id_a"),
-        F.col("_s").alias("s_a"),
-        "_v",
-        *block_cols,
+    # Bucket-aggregate formulation, NOT a self-join: a self-join would
+    # re-execute the variant-generation subtree on both sides (no exchange
+    # reuse across differently-projected inputs; measured 2x slower).
+    # Each exploded row carries only (id, 64-bit variant-key) — the
+    # variant string and any block columns are folded into one xxhash64 —
+    # so ONE 16-byte-per-row shuffle groups ids per variant and an array
+    # expression expands the (ordered) in-bucket pairs. Hash collisions
+    # can only ADD candidates, and the caller's exact levenshtein
+    # verification removes them. Buckets are tiny on diverse strings; a
+    # hot bucket means many near-identical strings, where the pair count
+    # is genuine output, not blocking overhead.
+    vh = F.xxhash64(F.col("_v"), *[F.col(c) for c in block_cols])
+    v = d1.select("_id", *block_cols, F.explode(variants).alias("_v")).select(
+        F.col("_id"), vh.alias("_vh")
     )
-    b = v.select(
-        F.col("_id").alias("id_b"),
-        F.col("_s").alias("s_b"),
-        F.col("_v").alias("_vb"),
-        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+    buckets = (
+        v.groupBy("_vh")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    cond = (F.col("_v") == F.col("_vb")) & (F.col("id_a") < F.col("id_b"))
-    for c in block_cols:
-        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
-    return (
-        a.join(b, cond)
-        .select("id_a", "id_b", "s_a", "s_b", *block_cols)
+    in_bucket_pairs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))
+        """
+    )
+    pairs = (
+        buckets.select(F.explode(in_bucket_pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    na = base.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("s_a"), *block_cols
+    )
+    nb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"))
+    return pairs.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", "s_a", "s_b", *block_cols
     )
 
 
