@@ -200,6 +200,40 @@ def winnow_fingerprints(
     )
 
 
+def top_distinctive_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k distinctive terms: TF-IDF's ranking decision
+    made on integer statistics only — order by (term frequency desc,
+    document frequency asc, term asc) — so results are bit-deterministic
+    across engines (no float log/idf in the ordering).
+
+    Scale posture: two hash aggregations (doc-term TF, term DF) and one
+    rank window over TF rows; every shuffle key's cardinality grows with
+    the corpus, and the DF side joins back on term (shuffle join — term
+    cardinality is corpus-scale, deliberately not broadcast).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            tokens(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of normalized text (lowercase, collapsed
     whitespace) plus a cheap 8-hex prefix bucket for blocking."""

@@ -1592,6 +1592,33 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 @register(
+    "doc_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term != '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rk
+      FROM tf JOIN dfreq USING (term)
+    ) WHERE rk <= 3
+    """,
+    "Per-document top-3 distinctive terms: TF-IDF's ranking on integer "
+    "(tf desc, df asc, term) keys only — engine-independent, no float idf",
+)
+def q_doc_top_terms(spark, sf_dir):
+    return text.top_distinctive_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
     "doc_winnow_fingerprint",
     None,  # xxhash64 rolling hashes have no DuckDB twin; rows-only check
     "Winnowing k-gram rolling-hash fingerprints (Schleimer et al. 2003)",
@@ -1809,6 +1836,7 @@ def q_embedding_srp_lsh(spark, sf_dir):
 # every not-yet-driver-checked query lands inside the 50-entry window.
 # Rotate freely in later rounds once the tail members need re-evidence.
 _ROTATION_TAIL = [
+    "json_extract_events",
     "agg_rollup_lineitem",
     "agg_cube_orders",
     "agg_grouping_sets",

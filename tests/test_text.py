@@ -65,3 +65,31 @@ def test_bpe_ish_token_count(spark):
     out = docs.select(text.bpe_ish_token_count(F.col("text")).alias("n")).collect()
     # don ' t stop - me now ! !  -> 9
     assert out[0]["n"] == 9
+
+
+def test_top_distinctive_terms_ranking(spark):
+    """tf dominates; df breaks tf ties (rarer corpus-wide wins); term
+    breaks (tf, df) ties lexicographically."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana cherry cherry date"),
+            (3, "apple banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.top_distinctive_terms(docs, k=2)
+    got = {
+        (r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"])
+        for r in out.collect()
+    }
+    # doc 1: apple tf=2 first; banana/cherry tf=1 tie -> cherry df=2 beats
+    # banana df=3
+    assert got[(1, 1)] == ("apple", 2, 2)
+    assert got[(1, 2)] == ("cherry", 1, 2)
+    # doc 2: banana/cherry both tf=2 -> cherry (df=2) before banana (df=3)
+    assert got[(2, 1)] == ("cherry", 2, 2)
+    assert got[(2, 2)] == ("banana", 2, 3)
+    # doc 3: apple/banana tf=1, df 2 vs 3 -> apple first
+    assert got[(3, 1)] == ("apple", 1, 2)
+    assert got[(3, 2)] == ("banana", 1, 3)
