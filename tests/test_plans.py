@@ -114,3 +114,43 @@ def test_topk_no_global_sort(spark, sf_smoke):
     plan = explain.formatted_plan(df)
     # rank-window top-k: partition-local sort only, no global range exchange
     assert "rangepartitioning" not in plan
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_smoke):
+    """The SQL-surface subquery shapes must plan as joins, never as
+    per-row subquery execution: EXISTS -> left semi join; correlated
+    scalar aggregates -> grouped aggregate joined back."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    q4 = explain.formatted_plan(qs["q4_order_priority_exists"](spark, sf_smoke))
+    assert "LeftSemi" in q4
+    q17 = explain.formatted_plan(qs["q17_small_quantity_revenue"](spark, sf_smoke))
+    cmax = explain.formatted_plan(qs["correlated_max_order"](spark, sf_smoke))
+    for plan in (q4, q17, cmax):
+        # decorrelated: the subquery became part of the join tree
+        assert "Subquery" not in plan, "per-row subquery survived decorrelation"
+    assert "HashAggregate" in q17 and ("BroadcastHashJoin" in q17 or "SortMergeJoin" in q17)
+    assert "HashAggregate" in cmax and ("BroadcastHashJoin" in cmax or "SortMergeJoin" in cmax)
+
+
+def test_symdelete_candidates_single_variant_exchange(spark, sf_smoke):
+    """Candidate generation is ONE shuffle of 16-byte variant keys plus
+    the pair dedup and name join-backs — no quadratic join, no re-executed
+    variant subtree (the bucket-aggregate formulation)."""
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import dedup
+
+    cust = spark.read.parquet(os.path.join(sf_smoke, "customer.parquet"))
+    cand = dedup.edit_distance_candidates(
+        cust, "c_custkey", "c_name", block_cols=("c_nationkey",)
+    )
+    plan = explain.formatted_plan(cand)
+    # exactly two Generates — the variant explode and the in-bucket pair
+    # expansion, each evaluated ONCE: a self-join formulation would carry
+    # the variant explode on both sides (3+ Generates)
+    import re
+
+    explodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert explodes == 2, f"expected 2 Generate nodes, got {explodes}"
