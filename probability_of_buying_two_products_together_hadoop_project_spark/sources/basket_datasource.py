@@ -23,8 +23,15 @@ the native path (JVM scans, pushdown, pruning).
 from __future__ import annotations
 
 import os
+import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def parse_basket_line(line: str) -> tuple[str, list[str]] | None:
@@ -71,6 +78,46 @@ class BasketTextReader(DataSourceReader):
                     yield parsed
 
 
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BasketTextWriter(DataSourceWriter):
+    """Sink side: one ``part-<uuid>`` file per task, lines
+    ``customer item1 item2 ...`` (the reference input format). Tasks write
+    to ``.inprogress`` names; ``commit`` renames them on the driver, so a
+    failed/aborted run leaves no visible part files (the same
+    rename-on-commit contract as Hadoop output committers, scoped to a
+    shared filesystem)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("basket_text requires a path option")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFile:
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{uuid.uuid4().hex}")
+        tmp = final + ".inprogress"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                items = " ".join(row.items) if row.items else ""
+                fh.write(f"{row.customer} {items}".rstrip() + "\n")
+        return _WroteFile(tmp)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.path, m.path.removesuffix(".inprogress"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class BasketTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -81,6 +128,9 @@ class BasketTextDataSource(DataSource):
 
     def reader(self, schema) -> BasketTextReader:
         return BasketTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> BasketTextWriter:
+        return BasketTextWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -136,3 +136,23 @@ def test_basket_text_datasource_matches_text_parser(spark, tmp_path):
         for r in basket.cooccurrence_counts(via_ds).collect()
     }
     assert got[("1", "2")] == 2 and got[("2", "1")] == 2
+
+
+def test_basket_text_datasource_write_roundtrip(spark, tmp_path):
+    """write via the DataSource sink, read back via its reader: identical
+    baskets (order-insensitive; the format has no row-order contract)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    src = basket_datasource.read_baskets(spark, "/root/reference/input/input")
+    out = str(tmp_path / "out")
+    src.write.format("basket_text").option("path", out).mode("append").save()
+    import os
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert parts and not [f for f in parts if f.endswith(".inprogress")]
+    back = basket_datasource.read_baskets(spark, out)
+    a = {(r["customer"], tuple(r["items"])) for r in src.collect()}
+    b = {(r["customer"], tuple(r["items"])) for r in back.collect()}
+    assert a == b
