@@ -97,6 +97,28 @@ def cooccurrence_stream(baskets: DataFrame) -> DataFrame:
     return pairs.groupBy("item", "neighbor").agg(F.count(F.lit(1)).alias("pair_cnt"))
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: keep the first occurrence of each key,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark``)
+    — duplicates arriving within the watermark horizon are dropped, and
+    key state older than the horizon is evicted instead of growing
+    forever. The streaming twin of ``dedup.exact_dedup`` for ingest
+    pipelines (e.g. re-delivered documents keyed by content hash).
+
+    At 100 TB-scale ingest the state store holds one entry per distinct
+    key inside the horizon — sized by arrival rate x watermark, not by
+    corpus size.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*key_cols]
+    )
+
+
 def transition_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user counts of (prev_event_type -> event_type) transitions,

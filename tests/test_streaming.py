@@ -251,3 +251,32 @@ def test_session_window_stream(spark, events_dir):
     assert sum(r["n_events"] for r in rows) == spark.read.parquet(events_dir).count()
     # user 1's 2h gap splits its events into >= 2 sessions
     assert len([r for r in rows if r["user_id"] == 1]) >= 2
+
+
+def test_dedup_stream_drops_watermark_window_duplicates(spark, tmp_path):
+    """Streaming dedup keeps one row per key and matches the batch
+    dropDuplicates result on the same input."""
+    out = str(tmp_path / "dup_events")
+    rows = []
+    for i in range(50):
+        rows.append((i % 20, 1704067200 + i * 60, i % 2, "view", float(i), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, off bigint, user_id bigint, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("off").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    stream = streams.read_events_stream(spark, out)
+    streams.run_append_to_memory(streams.dedup_stream(stream), "t_dedup")
+    got = spark.table("t_dedup").collect()
+    assert len(got) == 20  # 50 rows, 20 distinct event_ids
+    assert {r["event_id"] for r in got} == set(range(20))
+    batch_n = spark.read.parquet(out).dropDuplicates(["event_id"]).count()
+    assert len(got) == batch_n
