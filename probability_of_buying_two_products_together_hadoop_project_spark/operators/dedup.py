@@ -9,14 +9,17 @@ Design targets 100 TB corpora:
   candidates get a Jaccard verification. All signature math is JVM-side
   array expressions (transform/aggregate over xxhash64) — no Python UDFs.
 - SimHash: 64-bit signature from token hashes; near-dup candidates via
-  16-bit chunk blocking (Hamming distance <= 3 guarantees >= 1 equal chunk
-  out of 4 by pigeonhole).
+  generalized pigeonhole chunk blocking (split into k > max_hamming
+  chunks; a pair within Hamming d agrees on >= k-d chunks, so an
+  equi-join on chunk-combination keys finds every such pair).
 
 xxhash64 seeds make every signature deterministic run-to-run and
 cluster-size-independent.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -422,42 +425,66 @@ def simhash_signatures(
     )
 
 
-def simhash_near_dup_candidates(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+def simhash_candidates_from_signatures(
+    sigs: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
 ) -> DataFrame:
-    """SimHash near-dup candidate pairs with Hamming verification.
+    """Near-dup pairs from a ``(doc_id, sh: bigint)`` signature DataFrame.
 
-    Blocking: split the 64-bit signature into 4 16-bit chunks; pairs within
-    Hamming distance <= 3 must agree on at least one chunk (pigeonhole), so
-    the equi-join on (chunk_idx, chunk_value) finds all of them without an
-    all-pairs scan.
+    Blocking is the generalized pigeonhole (cf. Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the 64-bit
+    signature into ``k = n_chunks`` chunks. A pair within Hamming distance
+    ``d = max_hamming`` differs in at most d chunks, so it agrees on at
+    least ``k - d`` chunks — hence on at least one of the C(k, k-d)
+    combinations of k-d chunk positions. The equi-join on
+    ``(combo_id, [chunk values])`` therefore finds EVERY pair with
+    ``hamming <= max_hamming``; the exact bit_count filter then removes
+    false candidates. Requires ``k > d`` (enforced) — with k <= d a pair
+    can differ in every chunk and be silently lost.
+
+    ``n_chunks`` trades replication for bucket selectivity: the default
+    ``k = d + 1`` replicates each doc d+1 times and joins on single chunks
+    of width 64/(d+1) bits; a larger k joins on (k-d)-chunk keys — e.g.
+    d=6, k=10 gives 4-chunk ~25-bit keys — far fewer bucket collisions on
+    billion-doc corpora at the cost of C(k, k-d) replicas per doc.
     """
-    sh = simhash_signatures(docs, text_col)
-    # chunk indices are compile-time constants -> plain Python loop, so the
-    # PySpark int-only shift wrappers apply
-    chunks = sh.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for c in range(4)
-                ]
+    d = max_hamming
+    k = d + 1 if n_chunks is None else n_chunks
+    if k <= d:
+        raise ValueError(
+            f"n_chunks={k} must exceed max_hamming={d}: a pair at distance "
+            f"{d} can otherwise differ in every chunk and be missed"
+        )
+    k = min(k, 64)
+    base, rem = divmod(64, k)
+    widths = [base + 1 if i < rem else base for i in range(k)]
+    offsets = [sum(widths[:i]) for i in range(k)]
+
+    def chunk(i: int) -> Column:
+        # offsets/widths are compile-time constants -> plain Python ints,
+        # so the PySpark int-only shift wrappers apply
+        return F.shiftrightunsigned(F.col("sh"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    combos = list(combinations(range(k), k - d))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                F.array(*[chunk(i) for i in combo]).alias("cv"),
             )
-        ).alias("ck"),
-    ).select("doc_id", "sh", "ck.chunk", "ck.cv")
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    chunks = sigs.select("doc_id", "sh", F.explode(keys).alias("ck")).select(
+        "doc_id", "sh", "ck.combo", "ck.cv"
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -466,6 +493,23 @@ def simhash_near_dup_candidates(
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= d)
         .distinct()
+    )
+
+
+def simhash_near_dup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs with Hamming verification.
+
+    Finds ALL pairs of documents whose 64-bit SimHash signatures are
+    within ``max_hamming`` bits, via the pigeonhole chunk blocking in
+    ``simhash_candidates_from_signatures`` (no all-pairs scan).
+    """
+    return simhash_candidates_from_signatures(
+        simhash_signatures(docs, text_col), max_hamming, n_chunks
     )

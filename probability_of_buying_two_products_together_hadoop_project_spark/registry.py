@@ -1682,7 +1682,7 @@ def q_minhash_near_dup(spark, sf_dir):
 @register(
     "simhash_near_dup",
     None,  # xxhash64-based; rows-only check
-    "SimHash near-duplicate pairs with 16-bit-chunk blocking + Hamming verify",
+    "SimHash near-duplicate pairs: pigeonhole chunk blocking + Hamming verify",
 )
 def q_simhash_near_dup(spark, sf_dir):
     return dedup.simhash_near_dup_candidates(

@@ -59,6 +59,61 @@ def test_simhash_near_dup(spark):
     assert (0, 3) not in cand
 
 
+def test_simhash_blocking_finds_planted_hamming5_pair(spark):
+    """Regression for the pigeonhole contract: a pair at Hamming 5 whose
+    differing bits are spread across ALL FOUR of the old fixed 16-bit
+    chunks (bits 0, 1, 16, 32, 48) was silently dropped by the previous
+    4-chunk blocking whenever max_hamming > 3. The generalized blocking
+    (k = max_hamming + 1 chunks) must find it."""
+    sig_b = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 32) | (1 << 48)
+    sigs = spark.createDataFrame([(0, 0), (1, sig_b)], "doc_id int, sh long")
+    for d in (5, 6):
+        out = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_candidates_from_signatures(
+                sigs, max_hamming=d
+            ).collect()
+        }
+        assert out == {(0, 1): 5}
+
+
+def test_simhash_blocking_guarantee_random_signatures(spark):
+    """Brute-force cross-check: every pair within max_hamming must be
+    emitted, none beyond it, for random signatures and a non-default
+    chunk count (k > d + 1 exercises the combination keys)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    sigs = [(i, rng.getrandbits(63)) for i in range(40)]
+    # plant a few close pairs at varied distances
+    for i, d in ((0, 1), (1, 4), (2, 6), (3, 7)):
+        s = sigs[i][1]
+        for b in rng.sample(range(64), d):
+            s ^= 1 << b
+        sigs.append((100 + i, s & ((1 << 63) - 1)))
+    expected = {
+        (a_id, b_id): bin(a ^ b).count("1")
+        for (a_id, a), (b_id, b) in itertools.combinations(sigs, 2)
+        if bin(a ^ b).count("1") <= 6
+    }
+    df = spark.createDataFrame(sigs, "doc_id int, sh long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_candidates_from_signatures(
+            df, max_hamming=6, n_chunks=10
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_rejects_insufficient_chunks():
+    import pytest
+
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        dedup.simhash_candidates_from_signatures(None, max_hamming=6, n_chunks=4)
+
+
 def test_jaccard_exact_values(spark):
     out = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
