@@ -105,6 +105,36 @@ def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     return F.expr(_SRP_EXPR.format(vec=vec_col, last_plane=num_planes - 1))
 
 
+def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Append a per-query ``recall_at_k`` column to an approximate top-k
+    result: the fraction of the EXACT top-k neighbor set the approximate
+    search retrieved. Both inputs carry (query_id, neighbor_id, rk).
+
+    Putting recall INTO the result rows makes retrieval quality part of
+    the driver's row hash — a rows-only check then pins not just that the
+    ANN query runs, but that it retrieves. Deterministic because both
+    sides rank on rounded sims with neighbor_id tie-breaks.
+
+    Plan shape: both sides are k·|queries| rows; the semi-join hit count
+    and the join-back are broadcasts — nothing corpus-sized.
+    """
+    truth = exact.filter(F.col("rk") <= k).select("query_id", "neighbor_id")
+    hits = (
+        approx.filter(F.col("rk") <= k)
+        .join(truth, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        approx.join(F.broadcast(hits), "query_id", "left")
+        .withColumn(
+            "recall_at_k",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 4),
+        )
+        .drop("n_hits")
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -272,6 +272,65 @@ def q_fpgrowth_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "fpgrowth_rules_pairs",
+    """
+    WITH sets AS (
+      SELECT l_orderkey, CAST(l_partkey AS VARCHAR) AS item
+      FROM lineitem GROUP BY l_orderkey, l_partkey
+    ),
+    mc AS (
+      SELECT CAST(ceil(0.0001 * count(DISTINCT l_orderkey)) AS BIGINT) AS min_count,
+             count(DISTINCT l_orderkey) AS n
+      FROM lineitem
+    ),
+    ic AS (SELECT item, count(*) AS cnt FROM sets GROUP BY item),
+    fp AS (
+      SELECT a.item AS a, b.item AS b, count(*) AS cnt
+      FROM sets a JOIN sets b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= (SELECT min_count FROM mc)
+    ),
+    bd AS (
+      SELECT a AS antecedent, b AS consequent, cnt FROM fp
+      UNION ALL
+      SELECT b AS antecedent, a AS consequent, cnt FROM fp
+    )
+    SELECT bd.antecedent, bd.consequent,
+           CAST(bd.cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+           (CAST(bd.cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE))
+             / (CAST(ico.cnt AS DOUBLE) / CAST(mc.n AS DOUBLE)) AS lift,
+           CAST(bd.cnt AS DOUBLE) / CAST(mc.n AS DOUBLE) AS support
+    FROM bd
+    JOIN ic ia ON ia.item = bd.antecedent
+    JOIN ic ico ON ico.item = bd.consequent
+    CROSS JOIN mc
+    WHERE CAST(bd.cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE) >= 0.05
+    """,
+    "FPGrowth associationRules restricted to 1 -> 1 rules (exactly the "
+    "rules arising from size-2 frequent itemsets): antecedent/consequent "
+    "counts and MLlib's own confidence = freq(pair)/freq(antecedent), "
+    "lift = confidence/(freq(consequent)/n), support = freq(pair)/n are "
+    "all ANSI-SQL over co-present pair counts, so the rule miner's "
+    "confidence side gets a hash-checked oracle (the reference's "
+    "P(n|p) ~ rule confidence is the conceptual bridge, SURVEY §2.3 ML)",
+)
+def q_fpgrowth_rules_pairs(spark, sf_dir):
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    # min_support tuned so frequent PAIRS exist at the driver's sf0.01
+    # (max co-presence count there is 5 over ~15k baskets)
+    _, assoc = rules.fp_growth_rules(baskets, min_support=0.0001, min_confidence=0.05)
+    return assoc.filter(
+        (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+    ).select(
+        F.col("antecedent")[0].alias("antecedent"),
+        F.col("consequent")[0].alias("consequent"),
+        "confidence",
+        "lift",
+        "support",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.3): scans, joins, aggs, windows, set ops
 # ---------------------------------------------------------------------------
@@ -1730,14 +1789,49 @@ def q_multimodal_frames(spark, sf_dir):
 
 @register(
     "multimodal_features",
-    None,  # Pandas-UDF fake decoder; rows-only check (stubbed decode path)
-    "Arrow-batched mapInPandas feature extraction over binary payloads",
+    None,  # channel/luma stats of decoded pixels have no SQL twin; the
+    # decode geometry IS hash-checked in multimodal_decode_roundtrip
+    "Arrow-batched mapInPandas feature extraction over REAL synthetic BMP "
+    "payloads: pure-Python 24-bit BMP decode -> geometry + channel means "
+    "+ luma stats (non-BMP formats keep the documented stand-in path)",
 )
 def q_multimodal_features(spark, sf_dir):
-    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, dim=8)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.round(F.element_at("feature", 5), 4).alias("mean_r"),
+        F.round(F.element_at("feature", 6), 4).alias("mean_luma"),
+    )
+
+
+@register(
+    "multimodal_decode_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width,
+           CAST(greatest(ceil(octet_length(encode(text)) / 48.0), 1) AS INT) AS height,
+           CAST(16 * greatest(ceil(octet_length(encode(text)) / 48.0), 1) AS BIGINT) AS n_px
+    FROM documents
+    """,
+    "Hash-checked image decode: each document becomes a real 24-bit BMP "
+    "(16 px wide, text bytes as pixel data), the pure-Python decoder reads "
+    "geometry back from the FILE HEADER, and the oracle recomputes it from "
+    "text length alone — synth + decode must round-trip exactly",
+)
+def q_multimodal_decode_roundtrip(spark, sf_dir):
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=8)
+    width = F.element_at("feature", 1).cast("int")
+    height = F.element_at("feature", 2).cast("int")
+    return feats.select(
+        "media_id",
+        width.alias("width"),
+        height.alias("height"),
+        (width * height).cast("long").alias("n_px"),
     )
 
 
@@ -1804,25 +1898,36 @@ def q_embedding_close_pairs(spark, sf_dir):
 
 @register(
     "embedding_ivf_topk",
-    None,  # k-means assignments have no SQL twin; rows-only check.
+    None,  # k-means assignments have no SQL twin; rows-only check —
+    # but recall_at_k vs the (oracle-checked) brute-force top-k is an
+    # output column, so the row hash pins retrieval quality too.
     "Approximate cosine top-k via IVF: k-means coarse lists, probe the "
-    "nearest n_probe lists, exact re-rank inside (MLlib KMeans quantizer)",
+    "nearest n_probe lists, exact re-rank inside (MLlib KMeans quantizer); "
+    "rows carry recall@10 vs brute force",
 )
 def q_embedding_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, [0, 1, 2, 3, 4], k=10, n_lists=16, n_probe=4
-    ).withColumn("rk", F.col("rk").cast("long"))
+    qids = [0, 1, 2, 3, 4]
+    approx = similarity.ivf_topk(emb, qids, k=10, n_lists=16, n_probe=6)
+    exact = similarity.cosine_topk_bruteforce(emb, qids, k=10)
+    return similarity.with_recall_vs_exact(approx, exact, k=10).withColumn(
+        "rk", F.col("rk").cast("long")
+    )
 
 
 @register(
     "embedding_srp_lsh_topk",
-    None,  # SRP planes derived from xxhash64; rows-only check
-    "Approximate cosine top-k via sign-random-projection LSH buckets",
+    None,  # SRP planes derived from xxhash64; rows-only check — recall
+    # column as in embedding_ivf_topk pins retrieval quality in the hash.
+    "Approximate cosine top-k via sign-random-projection LSH buckets; "
+    "rows carry recall@10 vs brute force",
 )
 def q_embedding_srp_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.srp_lsh_topk(emb, [0, 1, 2, 3, 4], k=10).withColumn(
+    qids = [0, 1, 2, 3, 4]
+    approx = similarity.srp_lsh_topk(emb, qids, k=10, num_planes=24, band_bits=3)
+    exact = similarity.cosine_topk_bruteforce(emb, qids, k=10)
+    return similarity.with_recall_vs_exact(approx, exact, k=10).withColumn(
         "rk", F.col("rk").cast("long")
     )
 

@@ -102,6 +102,24 @@ def test_ivf_sampled_fit_bounded_and_recall_holds(spark):
     assert hit / total >= 0.5, (hit, total)
 
 
+def test_with_recall_vs_exact_matches_python(spark):
+    """recall_at_k must equal the hand-computed |approx ∩ exact| / k per
+    query, and be constant across a query's rows."""
+    df, _ = _emb(spark, n=80, dim=8)
+    queries = [0, 1, 2]
+    exact_df = similarity.cosine_topk_bruteforce(df, queries, k=5)
+    approx_df = similarity.ivf_topk(df, queries, k=5, n_lists=8, n_probe=4)
+    out = similarity.with_recall_vs_exact(approx_df, exact_df, k=5).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact_df.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_df.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in out:
+        want = len(exact_sets[r["query_id"]] & approx_sets[r["query_id"]]) / 5.0
+        assert math.isclose(r["recall_at_k"], round(want, 4)), r
+
+
 def test_srp_lsh_wellformed_and_deterministic(spark):
     df, _ = _emb(spark, n=60)
     out1 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()
