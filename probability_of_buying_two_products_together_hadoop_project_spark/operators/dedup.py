@@ -282,10 +282,13 @@ def edit_distance_candidates(
     # variant string and any block columns are folded into one xxhash64 —
     # so ONE 16-byte-per-row shuffle groups ids per variant and an array
     # expression expands the (ordered) in-bucket pairs. Hash collisions
-    # can only ADD candidates, and the caller's exact levenshtein
-    # verification removes them. Buckets are tiny on diverse strings; a
-    # hot bucket means many near-identical strings, where the pair count
-    # is genuine output, not blocking overhead.
+    # can only ADD candidates: same-block collisions are removed by the
+    # caller's exact levenshtein verification, and cross-block collisions
+    # (a 2^-64 event that the levenshtein check could NOT catch when the
+    # strings genuinely are close) by the exact block-equality guard at
+    # the join-back below. Buckets are tiny on diverse strings; a hot
+    # bucket means many near-identical strings, where the pair count is
+    # genuine output, not blocking overhead.
     vh = F.xxhash64(F.col("_v"), *[F.col(c) for c in block_cols])
     v = d1.select("_id", *block_cols, F.explode(variants).alias("_v")).select(
         F.col("_id"), vh.alias("_vh")
@@ -309,10 +312,16 @@ def edit_distance_candidates(
     na = base.select(
         F.col("_id").alias("id_a"), F.col("_s").alias("s_a"), *block_cols
     )
-    nb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"))
-    return pairs.join(na, "id_a").join(nb, "id_b").select(
-        "id_a", "id_b", "s_a", "s_b", *block_cols
+    nb = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("s_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
     )
+    out = pairs.join(na, "id_a").join(nb, "id_b")
+    for c in block_cols:
+        # exact block-equality guard (see collision note above)
+        out = out.filter(F.col(c).eqNullSafe(F.col(f"_b_{c}")))
+    return out.select("id_a", "id_b", "s_a", "s_b", *block_cols)
 
 
 def edit_distance_pairs(

@@ -61,10 +61,13 @@ class BasketTextReader(DataSourceReader):
 
     def partitions(self):
         if os.path.isdir(self.path):
+            # skip dotted/underscored names (hides the writer's dot-prefixed
+            # temp files) AND any bare *.inprogress stragglers a zombie task
+            # attempt from an older layout might have left behind
             files = sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
-                if not f.startswith((".", "_"))
+                if not f.startswith((".", "_")) and not f.endswith(".inprogress")
             )
         else:
             files = [self.path]
@@ -86,10 +89,13 @@ class _WroteFile(WriterCommitMessage):
 class BasketTextWriter(DataSourceWriter):
     """Sink side: one ``part-<uuid>`` file per task, lines
     ``customer item1 item2 ...`` (the reference input format). Tasks write
-    to ``.inprogress`` names; ``commit`` renames them on the driver, so a
-    failed/aborted run leaves no visible part files (the same
-    rename-on-commit contract as Hadoop output committers, scoped to a
-    shared filesystem)."""
+    to dot-prefixed ``.part-<uuid>.inprogress`` names — invisible to the
+    reader's prefix filter even if a zombie attempt strands one — and
+    ``commit`` renames them on the driver, so a failed/aborted run leaves
+    no visible part files (the same rename-on-commit contract as Hadoop
+    output committers, scoped to a shared filesystem). ``overwrite`` mode
+    removes pre-existing part files at commit time, after all new data is
+    safely on disk."""
 
     def __init__(self, options: dict, overwrite: bool):
         path = options.get("path")
@@ -100,8 +106,7 @@ class BasketTextWriter(DataSourceWriter):
 
     def write(self, iterator) -> _WroteFile:
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{uuid.uuid4().hex}")
-        tmp = final + ".inprogress"
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.inprogress")
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 items = " ".join(row.items) if row.items else ""
@@ -109,8 +114,16 @@ class BasketTextWriter(DataSourceWriter):
         return _WroteFile(tmp)
 
     def commit(self, messages) -> None:
+        if self.overwrite and os.path.isdir(self.path):
+            # honor mode("overwrite"): drop pre-existing visible part files
+            # before exposing the new ones (append mode leaves them alone)
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
         for m in messages:
-            os.replace(m.path, m.path.removesuffix(".inprogress"))
+            base = os.path.basename(m.path)
+            final = base.removeprefix(".").removesuffix(".inprogress")
+            os.replace(m.path, os.path.join(os.path.dirname(m.path), final))
 
     def abort(self, messages) -> None:
         for m in messages:

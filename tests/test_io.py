@@ -156,3 +156,33 @@ def test_basket_text_datasource_write_roundtrip(spark, tmp_path):
     a = {(r["customer"], tuple(r["items"])) for r in src.collect()}
     b = {(r["customer"], tuple(r["items"])) for r in back.collect()}
     assert a == b
+
+
+def test_basket_text_datasource_overwrite_and_stragglers(spark, tmp_path):
+    """mode('overwrite') must REPLACE existing part files, not append to
+    them; and stranded temp files from a zombie task attempt must stay
+    invisible to the reader."""
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    out = str(tmp_path / "out")
+    src = basket_datasource.read_baskets(spark, "/root/reference/input/input")
+    src.write.format("basket_text").option("path", out).mode("append").save()
+    n_first = len(os.listdir(out))
+    assert n_first > 0
+    # simulate a zombie task attempt's stranded temp file
+    straggler = os.path.join(out, ".part-deadbeef.inprogress")
+    with open(straggler, "w") as fh:
+        fh.write("Ghost 1 2 3\n")
+    src.write.format("basket_text").option("path", out).mode("overwrite").save()
+    back = basket_datasource.read_baskets(spark, out)
+    # row COUNT equality: a silent append would double the rows even
+    # though the basket set is identical
+    assert back.count() == src.count()
+    a = {(r["customer"], tuple(r["items"])) for r in src.collect()}
+    b = {(r["customer"], tuple(r["items"])) for r in back.collect()}
+    assert a == b
+    assert "Ghost" not in {r["customer"] for r in back.collect()}

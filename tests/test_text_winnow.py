@@ -1,6 +1,14 @@
-"""Winnowing fingerprint tests: shared-substring guarantee and
-edit-locality (a local edit leaves most fingerprints intact)."""
+"""Winnowing fingerprint tests: shared-substring guarantee,
+edit-locality (a local edit leaves most fingerprints intact), and full
+value equality against an independent pure-Python XXH64 + winnowing
+reference (reference_winnow.py) — including over the real sf0.01
+documents table."""
 
+import os
+
+from pyspark.sql import functions as F
+
+import reference_winnow as ref
 from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
 
 K, W = 5, 4
@@ -42,6 +50,48 @@ def test_guarantee_shared_long_substring(spark):
 def test_short_doc_yields_one_fp(spark):
     fps = _fps(spark, [(1, "ab")])  # shorter than k -> single gram of whole text
     assert len(fps[1]) == 1
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The reference XXH64 (spec implementation) must agree with Spark's
+    xxhash64 expression on strings and on chained bigint args."""
+    samples = ["a", "z", " ", "é", "hello", "0", "winnow"]
+    rows = spark.createDataFrame([(s,) for s in samples], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in rows:
+        assert ref.spark_xxhash64_str(r["s"]) == r["h"], r["s"]
+    pairs = [(1, 2), (-5, 7), (0, 0), (2**62, -(2**62))]
+    got = (
+        spark.createDataFrame(pairs, "x long, y long")
+        .select("x", "y", F.xxhash64("x", "y").alias("h"))
+        .collect()
+    )
+    for r in got:
+        assert ref.spark_xxhash64_longs(r["x"], r["y"]) == r["h"], (r["x"], r["y"])
+
+
+def _ref_sets(rows, k=5, w=4):
+    return {i: ref.winnow_fingerprints_ref(t, k, w) for i, t in rows}
+
+
+def test_fingerprint_values_equal_python_reference(spark):
+    rows = [(1, BASE), (2, EDIT), (3, OTHER), (4, "ab"), (5, "  A  b\tc  ")]
+    assert _fps(spark, rows) == _ref_sets(rows, K, W)
+
+
+def test_fingerprint_values_equal_python_reference_sf001(spark):
+    """Full value parity over the REAL sf0.01 documents table (500 docs):
+    the strongest available winnow evidence, since xxhash64 has no DuckDB
+    twin for a driver oracle."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {}
+    for r in text.winnow_fingerprints(docs, k=K, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _ref_sets(rows, K, W)
+    assert got == want
 
 
 def test_gram_count_exact_no_phantom_char(spark):
