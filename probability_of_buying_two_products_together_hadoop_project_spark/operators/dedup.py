@@ -340,6 +340,72 @@ def edit_distance_pairs(
     )
 
 
+def near_dup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every id gets
+    ``cluster_id`` = the minimum id in its component — the canonical
+    survivor-selection step that turns pairwise near-dup evidence into
+    keep/drop decisions (transitive closure, so A~B, B~C dedups all
+    three even when A~C was never emitted).
+
+    Algorithm: iterative min-label propagation. Each round, every node
+    lowers its label to the minimum label among itself and its
+    neighbors; convergence in O(component diameter) rounds. This is an
+    ITERATIVE algorithm, so the driver-side loop (one action per round to
+    test convergence) is inherent — the same structure as MLlib's
+    iterative fitters, not a hot-path collect. Each round is one shuffle
+    join of the edge list against 16-byte (id, label) rows plus a
+    min-aggregate; ``localCheckpoint`` truncates lineage so round N does
+    not replay rounds 1..N-1. Near-dup graphs are overwhelmingly tiny
+    components (pairs within a few edits of each other), so diameters are
+    small; for adversarial long-chain graphs at 100 TB the same loop
+    admits the large-star/small-star contraction (Kiveris et al. 2014),
+    which converges in O(log n) rounds — not needed for dedup workloads.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .select(F.col("t").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # SimHash as SQL expression templates: the bit index `i` is a lambda
 # variable, and SQL `shiftleft` accepts arbitrary expressions for the shift
 # amount (the PySpark `F.shiftleft` wrapper only takes a Python int).

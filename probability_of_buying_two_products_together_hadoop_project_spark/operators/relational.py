@@ -46,6 +46,33 @@ def top_k_per_group(
     )
 
 
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Reproducible stratified sample: the first ``n_per_stratum`` rows of
+    each stratum ordered by ``md5(key)`` — a deterministic, engine- and
+    partitioning-independent pseudo-random order (any engine that computes
+    md5 draws the IDENTICAL sample, unlike rand()-based TABLESAMPLE).
+
+    The training-pipeline use case: carve a fixed eval/holdout slice per
+    class/source/language that every rerun and every engine reproduces
+    bit-for-bit. Plan shape is one hash exchange on the strata + in-
+    partition rank — same as any top-k per group; no global sort.
+
+    ``key_col`` must be unique per row (it is the total tiebreak).
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def running(
     df: DataFrame,
     partition_by: Sequence[str],

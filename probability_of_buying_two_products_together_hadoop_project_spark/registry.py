@@ -884,6 +884,33 @@ def q_topk_per_group(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+    ) WHERE rk <= 20
+    """,
+    "Deterministic stratified sampling: first 20 rows per priority in "
+    "md5(key) order — a reproducible, engine-independent pseudo-random "
+    "sample (DuckDB draws the IDENTICAL rows, which is the point; "
+    "rand()-based TABLESAMPLE can never be oracle-checked)",
+)
+def q_stratified_sample(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return relational.deterministic_stratified_sample(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_orderkey",
+        20,
+    )
+
+
+@register(
     "set_ops_segments",
     """
     SELECT 'nations_building_and_auto' AS op, count(*) AS n FROM (
@@ -1343,6 +1370,37 @@ def q_transitions(spark, sf_dir):
 
 
 @register(
+    "events_view_purchase_join",
+    """
+    SELECT p.user_id, v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    "View-to-purchase attribution interval join — the batch twin of the "
+    "watermarked stream-stream join (streaming.view_purchase_join); the "
+    "time-range condition is what lets streaming evict join state",
+)
+def q_events_view_purchase(spark, sf_dir):
+    from .streaming import streams
+
+    ev = _t(spark, sf_dir, "events")
+    out = streams.view_purchase_join(ev)
+    return out.select(
+        "user_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,
@@ -1723,6 +1781,44 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source AS blk,
+             list_distinct(string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+')) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM p
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM p
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.t AS r FROM reach JOIN edges e ON e.s = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "Near-dup survivor selection: connected components over the blocked "
+    "Jaccard pairs (min-label propagation, transitive closure) — every "
+    "doc labeled with the min doc_id of its component; oracle computes "
+    "the same closure with a recursive CTE",
+)
+def q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, block_col="source", shingle_n=1, threshold=0.3)
+    return dedup.near_dup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
     "jaccard_prefiltered",
     None,  # xxhash64 LSH prefilter has no DuckDB twin; rows-only check
     "Exact Jaccard over MinHash-band candidates (no block column needed; "
@@ -1953,10 +2049,14 @@ def q_embedding_srp_lsh(spark, sf_dir):
 # thus never more than one round old, and any query whose implementation
 # changes must rotate into the window the same round.
 #
-# r03 tail: relational/TPC-H batteries, all hash-matched green in r02
-# (CORRECTNESS_r02.json) and untouched by r03's changes (which landed in
-# dedup/similarity/multimodal/rules/registry-additions). The r01-verified
-# scalar/window/cube/pivot/set-ops tail from r02 is back in the window.
+# r03 tail: relational/TPC-H batteries and inline events batch twins, all
+# hash-matched green in r02 (CORRECTNESS_r02.json) and untouched by r03's
+# changes (which landed in dedup/similarity/multimodal/rules/streaming/
+# registry-additions; the events twins here are inline window SQL, not
+# streams.py). The r01-verified scalar/window/cube/pivot/set-ops tail
+# from r02 is back in the window, alongside r03's new queries
+# (fpgrowth_rules_pairs, multimodal_decode_roundtrip, dedup_clusters,
+# stratified_sample_orders, events_view_purchase_join).
 _ROTATION_TAIL = {
     "q1_pricing_summary": "r02",
     "q3_top_revenue_orders": "r02",
@@ -1977,6 +2077,9 @@ _ROTATION_TAIL = {
     "q17_small_quantity_revenue": "r02",
     "correlated_max_order": "r02",
     "token_counts": "r02",
+    "events_tumbling_hour": "r02",
+    "events_sliding_30m": "r02",
+    "events_transition_counts": "r02",
 }
 
 

@@ -119,6 +119,56 @@ def dedup_stream(
     )
 
 
+def view_purchase_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each ``left_type`` event joined to the
+    same user's ``right_type`` events that follow within ``within``
+    (attribution: which views converted to purchases).
+
+    Both sides carry a watermark and the join condition bounds the event-
+    time range, which is exactly what lets Structured Streaming EVICT
+    join state — each side buffers only ``watermark + within`` of
+    history, so state is rate-bounded, not stream-length-bounded. The
+    identical plan executes in batch mode (the registry twin
+    ``events_view_purchase_join`` oracle-checks it against DuckDB):
+    watermarks are only attached to streaming inputs.
+    """
+
+    def wm(df: DataFrame) -> DataFrame:
+        return df.withWatermark("ts", watermark) if df.isStreaming else df
+
+    lhs = (
+        wm(events.filter(F.col("event_type") == left_type))
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    rhs = (
+        wm(events.filter(F.col("event_type") == right_type))
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return lhs.join(
+        rhs,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+
+
 def transition_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user counts of (prev_event_type -> event_type) transitions,

@@ -107,6 +107,23 @@ def test_simhash_blocking_guarantee_random_signatures(spark):
     assert got == expected
 
 
+def test_near_dup_clusters_transitive_closure(spark):
+    """A~B and B~C must land A, B, C in ONE cluster labeled min-id, even
+    though (A, C) was never a pair; isolated nodes stay singletons; a
+    long chain (diameter > 1) exercises multi-round propagation."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        # component {0,1,2} via chain; component {5,6}; chain 7-8-9
+        [(0, 1), (1, 2), (5, 6), (8, 7), (9, 8)],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(ids, pairs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+
 def test_simhash_rejects_insufficient_chunks():
     import pytest
 

@@ -1,0 +1,55 @@
+"""Deterministic stratified sampling: reproducible, capped per stratum,
+and engine-independent (md5 order, no RNG)."""
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+
+def _df(spark):
+    rows = [(i, "abc"[i % 3], float(i)) for i in range(90)]
+    return spark.createDataFrame(rows, ["id", "grp", "v"])
+
+
+def test_stratified_sample_caps_and_reproduces(spark):
+    df = _df(spark)
+    s1 = relational.deterministic_stratified_sample(df, ["grp"], "id", 5)
+    s2 = relational.deterministic_stratified_sample(df, ["grp"], "id", 5)
+    rows1 = sorted(map(tuple, s1.collect()))
+    rows2 = sorted(map(tuple, s2.collect()))
+    assert rows1 == rows2  # bit-identical rerun
+    per = {r["grp"]: 0 for r in s1.collect()}
+    for r in s1.collect():
+        per[r["grp"]] += 1
+    assert per == {"a": 5, "b": 5, "c": 5}
+
+
+def test_stratified_sample_matches_python_md5_order(spark):
+    import hashlib
+
+    df = _df(spark)
+    got = {
+        r["grp"]: None
+        for r in relational.deterministic_stratified_sample(df, ["grp"], "id", 3).collect()
+    }
+    out = relational.deterministic_stratified_sample(df, ["grp"], "id", 3).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    for g in "abc":
+        ids = [i for i in range(90) if "abc"[i % 3] == g]
+        want = set(
+            sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+        )
+        assert by_grp[g] == want
+
+
+def test_sample_grows_monotonically(spark):
+    """n=3 sample must be a subset of the n=5 sample (prefix property of
+    a fixed order — lets pipelines grow a holdout without resampling)."""
+    df = _df(spark)
+    s3 = {(r["grp"], r["id"]) for r in
+          relational.deterministic_stratified_sample(df, ["grp"], "id", 3).collect()}
+    s5 = {(r["grp"], r["id"]) for r in
+          relational.deterministic_stratified_sample(df, ["grp"], "id", 5).collect()}
+    assert s3 < s5

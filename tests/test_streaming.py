@@ -280,3 +280,21 @@ def test_dedup_stream_drops_watermark_window_duplicates(spark, tmp_path):
     assert {r["event_id"] for r in got} == set(range(20))
     batch_n = spark.read.parquet(out).dropDuplicates(["event_id"]).count()
     assert len(got) == batch_n
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join drained with availableNow
+    must equal the identical batch join (view -> buy attribution)."""
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_append_to_memory(
+        streams.view_purchase_join(stream, right_type="buy"), "t_ss_join"
+    )
+    got = {tuple(r) for r in spark.table("t_ss_join").collect()}
+    want = {
+        tuple(r)
+        for r in streams.view_purchase_join(
+            spark.read.parquet(events_dir), right_type="buy"
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
