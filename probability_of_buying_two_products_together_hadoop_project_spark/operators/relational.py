@@ -73,6 +73,26 @@ def deterministic_stratified_sample(
     )
 
 
+def keep_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the newest row per key (CDC-style upsert compaction /
+    "latest version wins" dedup): rank window ordered by
+    (order desc, tiebreak desc), keep rank 1. One hash exchange on the
+    key, no global sort — same plan family as top_k_per_group."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def running(
     df: DataFrame,
     partition_by: Sequence[str],

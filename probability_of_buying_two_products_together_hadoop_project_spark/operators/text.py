@@ -234,6 +234,57 @@ def top_distinctive_terms(
     )
 
 
+def corpus_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k word n-grams with counts (multiplicity kept) —
+    the corpus-statistics pass of a training pipeline (contamination
+    screens, boilerplate detection, tokenizer diagnostics).
+
+    Total order (count desc, ngram asc) makes the limit deterministic.
+    n-grams are built by a zip_with cascade over shifted slices of the
+    hoisted token array (the HOF rule: lambdas touch only their element
+    args). One hash aggregation; the result set is k rows.
+    """
+    toked = docs.select(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_nm")
+    ).select(tokens(F.col("_nm")).alias("_tk"))
+    ln = F.size("_tk") - (n - 1)
+    grams: Column = F.slice(F.col("_tk"), 1, ln)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_tk"), 1 + j, ln),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    out = (
+        toked.filter(F.size("_tk") >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )
+    return out
+
+
+def pseudonymize(
+    df: DataFrame, id_col: str, text_col: str, placeholder: str = "<ID>"
+) -> DataFrame:
+    """Identifier anonymization for a text column: digit runs replaced by
+    a placeholder, plus a STABLE surrogate (md5 of the original) so
+    pseudonymized rows still join/dedup consistently across datasets —
+    the standard PII-scrubbing shape of a training-data pipeline.
+    Narrow projection, no shuffle, engine-replicable (regexp + md5)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(c, r"\d+", placeholder).alias("redacted"),
+        F.md5(c).alias("pseudonym"),
+        F.size(F.regexp_extract_all(c, F.lit(r"\d+"), 0)).alias("n_masked_runs"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of normalized text (lowercase, collapsed
     whitespace) plus a cheap 8-hex prefix bucket for blocking."""

