@@ -93,6 +93,42 @@ def keep_latest(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_cols: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-robust equi-join: the left (large/skewed) side gets a
+    deterministic salt in [0, n_salts) hashed from ``salt_cols`` (pass
+    row-level columns, NOT the join key — same-key rows must spread
+    across salts); the right side is replicated once per salt; the join
+    runs on (key, salt). The result set is IDENTICAL to the plain join
+    (the registry oracle checks exactly that) — only the shuffle layout
+    changes: a hot key's rows land on n_salts reducers instead of one.
+
+    This is the manual fallback when AQE's skew-join split cannot apply
+    (joins feeding an aggregation in the same stage, full-outer shapes,
+    disabled AQE). Deterministic salts (xxhash64, no rand()) keep reruns
+    and retries bit-stable. Cost: the right side shuffles n_salts copies
+    — use for genuinely small-ish right sides or pre-filtered dims.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    lhs = left.withColumn("_lsalt", salt)
+    rhs = right.withColumn(
+        "_rsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lhs.join(
+        rhs,
+        (F.col(left_key) == F.col(right_key)) & (F.col("_lsalt") == F.col("_rsalt")),
+        how,
+    )
+    return out.drop("_lsalt", "_rsalt")
+
+
 def running(
     df: DataFrame,
     partition_by: Sequence[str],

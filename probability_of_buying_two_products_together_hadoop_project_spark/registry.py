@@ -884,6 +884,38 @@ def q_topk_per_group(spark, sf_dir):
 
 
 @register(
+    "salted_join_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "Skew-robust salted equi-join (deterministic xxhash64 salts spread "
+    "hot keys over 8 reducers; right side replicated per salt) — the "
+    "oracle is the PLAIN join, proving the salted layout changes only "
+    "the shuffle, never the result",
+)
+def q_salted_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = relational.salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        salt_cols=("l_orderkey", "l_linenumber"),
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "keep_latest_events",
     """
     SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
@@ -2192,6 +2224,7 @@ _ROTATION_TAIL = {
     "text_quality": "r02",
     "lang_id": "r02",
     "doc_fingerprint": "r02",
+    "doc_top_terms": "r02",
 }
 
 

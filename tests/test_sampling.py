@@ -69,3 +69,25 @@ def test_keep_latest_per_key(spark):
         for r in relational.keep_latest(df, ["k1", "k2"], "ts", "v").collect()
     }
     assert out == {(1, "a"): (20, 200.0), (1, "b"): (10, 300.0), (2, "a"): (21, 500.0)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i, float(i)) for i in range(200) for k in ([1] * 3 + [i % 7])],
+        ["k", "row_id", "v"],
+    )
+    right = spark.createDataFrame([(k, f"dim{k}") for k in range(7)], ["rk", "name"])
+    plain = left.join(right, left["k"] == right["rk"]).select("k", "row_id", "v", "name")
+    salted = relational.salted_join(
+        left, right, "k", "rk", salt_cols=("row_id",), n_salts=4
+    ).select("k", "row_id", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the salt must actually spread a hot key's rows across buckets
+    from pyspark.sql import functions as F
+    n_buckets = (
+        left.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
