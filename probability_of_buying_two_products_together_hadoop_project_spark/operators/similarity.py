@@ -182,6 +182,27 @@ def ivf_index(
     return assigned, centroids
 
 
+def write_ivf_index(
+    assigned: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist an IVF index as a list_id-partitioned parquet layout.
+
+    This is the 100 TB story made concrete: probing ``n_probe`` of
+    ``n_lists`` lists becomes DIRECTORY-level partition pruning at the
+    parquet scan — the query reads n_probe/n_lists of the data and the
+    other partitions are never opened (asserted by the pruning test)."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def probe_ivf_index(
+    spark, path: str, list_ids: list[int]
+) -> DataFrame:
+    """Read back only the probed lists; the `isin` filter on the
+    partition column prunes at the directory level (PartitionFilters in
+    the scan node, not a post-scan Filter)."""
+    return spark.read.parquet(path).filter(F.col("list_id").isin(list_ids))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -1539,6 +1539,39 @@ def q_events_view_purchase(spark, sf_dir):
 
 
 @register(
+    "events_view_purchase_outer",
+    """
+    SELECT coalesce(p.user_id, v.user_id) AS user_id,
+           v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us,
+           p.value AS purchase_value
+    FROM events v LEFT JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+    "Conversion funnel WITH abandonment: left-outer interval join — "
+    "batch twin of the watermarked outer stream-stream join, where null "
+    "rows can only emit after the watermark passes the join window",
+)
+def q_events_view_purchase_outer(spark, sf_dir):
+    from .streaming import streams
+
+    ev = _t(spark, sf_dir, "events")
+    out = streams.view_purchase_join_outer(ev)
+    return out.select(
+        "user_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,
@@ -2225,6 +2258,7 @@ _ROTATION_TAIL = {
     "lang_id": "r02",
     "doc_fingerprint": "r02",
     "doc_top_terms": "r02",
+    "ngram_jaccard_pairs": "r02",
 }
 
 

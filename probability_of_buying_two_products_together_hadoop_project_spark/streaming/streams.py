@@ -169,6 +169,51 @@ def view_purchase_join(
     )
 
 
+def view_purchase_join_outer(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant of ``view_purchase_join``: every view emits a
+    row; unconverted views carry nulls. In streaming mode the null row
+    for a view can only be emitted once the watermark passes the end of
+    its join window (Spark must KNOW no purchase can still arrive), so
+    outer results trail the watermark — the canonical conversion-funnel
+    query with abandonment included. Batch mode is an ordinary left join.
+    """
+
+    def wm(df: DataFrame) -> DataFrame:
+        return df.withWatermark("ts", watermark) if df.isStreaming else df
+
+    lhs = wm(events.filter(F.col("event_type") == left_type)).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    rhs = wm(events.filter(F.col("event_type") == right_type)).select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return lhs.join(
+        rhs,
+        (F.col("l_user") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("l_user")).alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def transition_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user counts of (prev_event_type -> event_type) transitions,

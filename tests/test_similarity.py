@@ -120,6 +120,28 @@ def test_with_recall_vs_exact_matches_python(spark):
         assert math.isclose(r["recall_at_k"], round(want, 4)), r
 
 
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The IVF index written partitionBy(list_id) must give directory-
+    level partition pruning when probing: the scan's PartitionFilters
+    carry the list_id predicate (no full-index read)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df, _ = _emb(spark, n=80, dim=8)
+    assigned, _ = similarity.ivf_index(df, n_lists=8)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(assigned, path)
+    probed = similarity.probe_ivf_index(spark, path, [1, 3])
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+    got_lists = {r["list_id"] for r in probed.collect()}
+    assert got_lists <= {1, 3}
+    # probed rows are exactly the assignment's rows for those lists
+    want = assigned.filter(F_col("list_id").isin([1, 3])).count()
+    assert probed.count() == want
+
+
 def test_srp_lsh_wellformed_and_deterministic(spark):
     df, _ = _emb(spark, n=60)
     out1 = similarity.srp_lsh_topk(df, [0, 1, 2], k=5).collect()

@@ -298,3 +298,36 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_stream_outer_join_matches_batch(spark, events_dir):
+    """Left-outer watermarked stream-stream join: unconverted views emit
+    null rows once the watermark passes their join window; with
+    availableNow draining everything, the final result must equal the
+    batch left join (including the null rows)."""
+    stream = streams.read_events_stream(spark, events_dir)
+    streams.run_append_to_memory(
+        streams.view_purchase_join_outer(stream, right_type="buy"), "t_ss_outer"
+    )
+    got = {tuple(r) for r in spark.table("t_ss_outer").collect()}
+    batch_rows = streams.view_purchase_join_outer(
+        spark.read.parquet(events_dir), right_type="buy"
+    ).collect()
+    want = {tuple(r) for r in batch_rows}
+    assert len(want) > 0
+    assert any(r[3] is None for r in want)  # some views never convert
+    # Streaming may emit FEWER null rows than batch: a view whose join
+    # window extends past the final watermark (max_ts - delay) can never
+    # prove "no purchase will arrive", so its null row is withheld.
+    # Everything streaming emitted must be in the batch result, and the
+    # only rows it may withhold are exactly those trailing null rows.
+    assert got <= want
+    import datetime as _dt
+
+    max_ts = max(r["view_ts"] for r in batch_rows)
+    horizon = max_ts - _dt.timedelta(hours=2) + _dt.timedelta(minutes=30)
+    for row in want - got:
+        assert row[3] is None  # withheld rows are always unmatched views
+        assert row[2] + _dt.timedelta(minutes=30) > horizon
+    # the matched (inner) portion must be complete
+    assert {r for r in want if r[3] is not None} <= got
