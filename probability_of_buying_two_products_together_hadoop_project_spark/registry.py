@@ -2020,8 +2020,12 @@ def q_minhash_near_dup(spark, sf_dir):
     "SimHash near-duplicate pairs: pigeonhole chunk blocking + Hamming verify",
 )
 def q_simhash_near_dup(spark, sf_dir):
+    # n_chunks=8 > d+1: joins on 16-bit two-chunk combination keys (28
+    # replicas/doc) instead of 9-bit single chunks — the bucket-
+    # selectivity tradeoff a billion-doc corpus wants; the result set is
+    # identical either way (pigeonhole guarantee + exact Hamming verify)
     return dedup.simhash_near_dup_candidates(
-        _t(spark, sf_dir, "documents"), max_hamming=6
+        _t(spark, sf_dir, "documents"), max_hamming=6, n_chunks=8
     )
 
 
