@@ -154,3 +154,27 @@ def test_symdelete_candidates_single_variant_exchange(spark, sf_smoke):
 
     explodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
     assert explodes == 2, f"expected 2 Generate nodes, got {explodes}"
+
+
+def test_new_operator_plan_shapes(spark, sf_smoke):
+    """Pin the round-3 operators' exchange counts: each is designed as a
+    single hash exchange (window or agg), so a regression to a global
+    sort or extra shuffle fails here."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, max_exchanges in (
+        ("stratified_sample_orders", 1),
+        ("keep_latest_events", 1),
+        ("corpus_bigrams", 2),  # agg + total-ordered limit
+        ("pseudonymize_customers", 0),  # narrow projection, no shuffle
+    ):
+        n = explain.count_exchanges(qs[name](spark, sf_smoke))
+        assert n <= max_exchanges, f"{name}: {n} exchanges > {max_exchanges}"
+    # salted join: the salt must not add exchanges beyond the join's own
+    # (the replicated right side broadcasts or shuffles once)
+    plan = explain.formatted_plan(qs["salted_join_revenue"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # interval join plans as a real equi-join on user_id, never nested-loop
+    ssj = explain.formatted_plan(qs["events_view_purchase_join"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in ssj and "CartesianProduct" not in ssj
