@@ -265,6 +265,54 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def upsert_sink_parquet(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    tiebreak_col: str,
+):
+    """Incremental upsert sink via ``foreachBatch``: each micro-batch is
+    merged into a parquet table with latest-version-wins semantics
+    (union existing + batch, keep the newest row per key) — MERGE INTO
+    for a plain-parquet world, exactly the ``relational.keep_latest``
+    compaction applied incrementally.
+
+    The rewrite is table-sized per batch, which is fine for modest state
+    tables (dimension snapshots, per-key latest status); at 100 TB state
+    one would partition the table and rewrite only partitions touched by
+    the batch's keys, or use a table format with row-level merge. Returns
+    the started StreamingQuery (caller awaits termination).
+    """
+    spark = stream_df.sparkSession
+    from ..operators.relational import keep_latest
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        new = batch_df
+        if os.path.exists(path):
+            new = spark.read.parquet(path).unionByName(batch_df)
+        compacted = keep_latest(new, list(key_cols), order_col, tiebreak_col)
+        # write to a temp dir then swap: the sink stays readable and a
+        # failed batch leaves the previous table intact (idempotent
+        # because keep_latest is deterministic over the union)
+        tmp = path + f"._inprogress_{batch_id}"
+        compacted.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "._checkpoint")
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (

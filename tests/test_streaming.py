@@ -331,3 +331,45 @@ def test_stream_stream_outer_join_matches_batch(spark, events_dir):
         assert row[2] + _dt.timedelta(minutes=30) > horizon
     # the matched (inner) portion must be complete
     assert {r for r in want if r[3] is not None} <= got
+
+
+def test_upsert_sink_latest_version_wins(spark, tmp_path):
+    """foreachBatch upsert sink: draining a stream of versioned rows must
+    leave the parquet table holding exactly the newest row per key, and a
+    second incremental run must merge (not duplicate)."""
+    src = str(tmp_path / "updates")
+    table = str(tmp_path / "state")
+
+    def write_batch(rows, subdir):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, off bigint, user_id bigint, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("off").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_batch([(k, 100 + k, k % 2, "v1", float(k), "{}") for k in range(5)], "a")
+    q = streams.upsert_sink_parquet(
+        streams.read_events_stream(spark, src), table,
+        key_cols=("event_id",), order_col="ts", tiebreak_col="value",
+    )
+    q.awaitTermination()
+    state1 = {r["event_id"]: r["event_type"] for r in spark.read.parquet(table).collect()}
+    assert state1 == {k: "v1" for k in range(5)}
+
+    # newer versions for keys 1,3 plus a brand-new key 9
+    write_batch(
+        [(1, 500, 1, "v2", 10.0, "{}"), (3, 500, 1, "v2", 10.0, "{}"),
+         (9, 500, 1, "v2", 10.0, "{}")],
+        "b",
+    )
+    q = streams.upsert_sink_parquet(
+        streams.read_events_stream(spark, src), table,
+        key_cols=("event_id",), order_col="ts", tiebreak_col="value",
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r["event_type"] for r in spark.read.parquet(table).collect()}
+    assert got == {0: "v1", 1: "v2", 2: "v1", 3: "v2", 4: "v1", 9: "v2"}
