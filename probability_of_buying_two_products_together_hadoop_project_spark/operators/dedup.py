@@ -19,6 +19,7 @@ cluster-size-independent.
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
@@ -403,7 +404,108 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # falling through with changed > 0 would silently return labels
+        # that split one component across clusters (A and Z of a long
+        # chain) — fail loudly; callers with adversarial-diameter graphs
+        # should use near_dup_clusters_star (O(log n) rounds)
+        raise RuntimeError(
+            f"near_dup_clusters: labels still changing after {max_iters} "
+            f"rounds ({changed} nodes moved last round); a component's "
+            "diameter exceeds max_iters. Raise max_iters or use "
+            "near_dup_clusters_star for long-chain graphs."
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters_star(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): same output contract as ``near_dup_clusters``
+    (``cluster_id`` = min id in component) but O(log n) rounds even on
+    adversarial long-chain graphs, where min-label propagation needs
+    O(diameter) rounds.
+
+    Each round is two edge rewrites, each one shuffle:
+      large-star: for every node u, re-point each HIGHER neighbor
+        (v > u) at m = min(N(u) ∪ {u});
+      small-star: direct edges high->low, re-point each lower neighbor
+        and u itself at m = min(N(u) ∪ {u}).
+    The edge set monotonically contracts toward stars rooted at each
+    component's minimum; convergence = the edge set is a fixed point of
+    both rewrites (checked with one count + anti-join per round, the
+    same iteration-inherent driver action as the MLlib-fitter pattern).
+    ``localCheckpoint`` truncates lineage per round.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        # undirected edge set, canonical (lo, hi), self-loops dropped
+        return (
+            df.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return canon(
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct high -> low: u > v for every edge
+        directed = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        repoint = directed.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = m.select("u", F.col("m").alias("v"))
+        return canon(repoint.union(self_edge))
+
+    edges = canon(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        stable = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).isEmpty()
+        )
+        edges = new_edges
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters_star: not converged in {max_iters} rounds"
+        )
+    # at the fixed point every non-root node has an edge to its component
+    # minimum; roots and isolated ids label themselves
+    root = edges.select(F.col("v").alias("id"), F.col("u").alias("label"))
+    labels = root.union(
+        edges.select(F.col("u").alias("id"), F.col("u").alias("label"))
+    ).groupBy("id").agg(F.min("label").alias("label"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+        )
+    )
 
 
 # SimHash as SQL expression templates: the bit index `i` is a lambda
@@ -523,13 +625,32 @@ def simhash_candidates_from_signatures(
     billion-doc corpora at the cost of C(k, k-d) replicas per doc.
     """
     d = max_hamming
-    k = d + 1 if n_chunks is None else n_chunks
+    if not 0 <= d < 64:
+        raise ValueError(
+            f"max_hamming={d} out of range: signatures are 64 bits, so "
+            "d >= 64 makes every pair a trivial match (and d < 0 is "
+            "meaningless) — block on something else"
+        )
+    # clamp BEFORE validating: with the old order, a requested k > 64
+    # passed the k > d check and was then silently clamped to a value
+    # that could be <= d, losing the pigeonhole guarantee
+    k = min(d + 1 if n_chunks is None else n_chunks, 64)
     if k <= d:
         raise ValueError(
-            f"n_chunks={k} must exceed max_hamming={d}: a pair at distance "
-            f"{d} can otherwise differ in every chunk and be missed"
+            f"n_chunks={k} (after clamping to 64) must exceed "
+            f"max_hamming={d}: a pair at distance {d} can otherwise "
+            "differ in every chunk and be missed"
         )
-    k = min(k, 64)
+    n_combos = math.comb(k, k - d)
+    if n_combos > 512:
+        # C(k, k-d) rows are emitted PER DOCUMENT; e.g. the clamped
+        # k=64, d=3 gives 41,664 replicas/doc and a 41k-element literal
+        # array in the plan — degenerate, so fail loudly instead
+        raise ValueError(
+            f"n_chunks={k} with max_hamming={d} replicates each doc "
+            f"C({k},{k - d})={n_combos} times (>512); choose a smaller "
+            "n_chunks (replication d+1 at n_chunks=d+1 is the minimum)"
+        )
     base, rem = divmod(64, k)
     widths = [base + 1 if i < rem else base for i in range(k)]
     offsets = [sum(widths[:i]) for i in range(k)]

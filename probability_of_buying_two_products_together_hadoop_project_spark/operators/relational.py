@@ -111,11 +111,29 @@ def salted_join(
     changes: a hot key's rows land on n_salts reducers instead of one.
 
     This is the manual fallback when AQE's skew-join split cannot apply
-    (joins feeding an aggregation in the same stage, full-outer shapes,
-    disabled AQE). Deterministic salts (xxhash64, no rand()) keep reruns
-    and retries bit-stable. Cost: the right side shuffles n_salts copies
-    — use for genuinely small-ish right sides or pre-filtered dims.
+    (joins feeding an aggregation in the same stage, disabled AQE).
+    Deterministic salts (xxhash64, no rand()) keep reruns and retries
+    bit-stable. Cost: the right side shuffles n_salts copies — use for
+    genuinely small-ish right sides or pre-filtered dims.
+
+    Only left-preserving joins are legal here: the right side is
+    replicated once per salt, so right/full-outer shapes would emit each
+    unmatched right row n_salts times (null-extended) — silently wrong.
+    To salt a right-outer join, swap the sides; for full-outer, fall
+    back to AQE's skew handling.
     """
+    allowed = {
+        "inner",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not left-preserving; the "
+            "replicated right side would duplicate unmatched right rows "
+            f"n_salts={n_salts} times. Allowed: {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     lhs = left.withColumn("_lsalt", salt)
     rhs = right.withColumn(

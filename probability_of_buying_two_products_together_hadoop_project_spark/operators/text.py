@@ -269,18 +269,34 @@ def corpus_ngrams(
 
 
 def pseudonymize(
-    df: DataFrame, id_col: str, text_col: str, placeholder: str = "<ID>"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    placeholder: str = "<ID>",
+    salt: str = "pepper",
 ) -> DataFrame:
     """Identifier anonymization for a text column: digit runs replaced by
-    a placeholder, plus a STABLE surrogate (md5 of the original) so
-    pseudonymized rows still join/dedup consistently across datasets —
-    the standard PII-scrubbing shape of a training-data pipeline.
-    Narrow projection, no shuffle, engine-replicable (regexp + md5)."""
+    a placeholder, plus a STABLE surrogate so pseudonymized rows still
+    join/dedup consistently across datasets — the standard PII-scrubbing
+    shape of a training-data pipeline.
+
+    The surrogate is a KEYED hash, sha256(salt || value): an unkeyed
+    md5(value) over low-entropy identifiers ("Customer#000042") is
+    trivially reversible by dictionary enumeration, so it would leak the
+    very identifier it masks. With a secret salt the enumeration attack
+    needs the key. In production, feed ``salt`` from a secret manager and
+    rotate per dataset-release; the default here is a test fixture. This
+    is linkage-consistent pseudonymization (same input -> same surrogate,
+    by design), not anonymization — re-identification via linkage is
+    still possible for anyone holding the salt.
+
+    Narrow projection, no shuffle, engine-replicable (regexp + sha256).
+    """
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
         F.regexp_replace(c, r"\d+", placeholder).alias("redacted"),
-        F.md5(c).alias("pseudonym"),
+        F.sha2(F.concat(F.lit(salt), c), 256).alias("pseudonym"),
         F.size(F.regexp_extract_all(c, F.lit(r"\d+"), 0)).alias("n_masked_runs"),
     )
 

@@ -1008,12 +1008,13 @@ def q_corpus_bigrams(spark, sf_dir):
     """
     SELECT c_custkey,
            regexp_replace(c_name, '\\d+', '<ID>', 'g') AS redacted,
-           md5(c_name) AS pseudonym,
+           sha256('pepper' || c_name) AS pseudonym,
            CAST(len(regexp_extract_all(c_name, '\\d+')) AS INT) AS n_masked_runs
     FROM customer
     """,
-    "Identifier anonymization: digit runs masked, stable md5 surrogate "
-    "kept so pseudonymized rows still join/dedup across datasets",
+    "Identifier anonymization: digit runs masked, stable KEYED "
+    "sha256(salt||value) surrogate (unkeyed md5 over low-entropy IDs is "
+    "dictionary-reversible) kept so rows still join/dedup across datasets",
 )
 def q_pseudonymize(spark, sf_dir):
     return text.pseudonymize(

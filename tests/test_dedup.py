@@ -235,3 +235,72 @@ def test_simhash_signature_deterministic(spark):
     sigs2 = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
     assert sigs1 == sigs2
     assert sigs1[3] == sigs1[4]
+
+
+def test_near_dup_clusters_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iters must raise, not silently
+    return labels that split the component (ADVICE r03)."""
+    import pytest
+
+    n = 8
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        dedup.near_dup_clusters(ids, chain, max_iters=2)
+
+
+def test_star_contraction_chain_graph_log_rounds(spark):
+    """large-star/small-star contraction labels a 64-node path graph
+    correctly within O(log n) rounds — min-label propagation would need
+    ~diameter (63) rounds; 12 is far below that and ~2*log2(64)."""
+    import pytest
+
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters_star(ids, chain, max_iters=12).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.near_dup_clusters_star(ids, chain, max_iters=1).collect()
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Both cluster algorithms agree on a mixed graph (chains, isolated
+    nodes, merged components)."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 7), (9, 8), (2, 9), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    a = {r["doc_id"]: r["cluster_id"] for r in dedup.near_dup_clusters(ids, pairs).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in dedup.near_dup_clusters_star(ids, pairs).collect()}
+    assert a == b
+
+
+def test_simhash_rejects_out_of_range_hamming_and_clamps_first(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        dedup.simhash_candidates_from_signatures(None, max_hamming=64)
+    with pytest.raises(ValueError, match="out of range"):
+        dedup.simhash_candidates_from_signatures(None, max_hamming=-1)
+    # n_chunks > 64 is clamped BEFORE validation (ADVICE r03: the old
+    # post-validation clamp could yield k <= d and an empty combo key);
+    # the clamped k=64, d=3 would replicate each doc C(64,61)=41,664x,
+    # so the replication guard must refuse it loudly
+    with pytest.raises(ValueError, match="replicates each doc"):
+        dedup.simhash_candidates_from_signatures(None, max_hamming=3, n_chunks=100)
+    # a sane oversized k still works and finds a planted d=3 pair
+    sig_b = (1 << 0) | (1 << 21) | (1 << 42)
+    sigs = spark.createDataFrame([(0, 0), (1, sig_b)], "doc_id int, sh long")
+    got = dedup.simhash_candidates_from_signatures(
+        sigs, max_hamming=3, n_chunks=8
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(0, 1, 3)]

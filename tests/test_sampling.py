@@ -91,3 +91,15 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_buckets > 1
+
+
+def test_salted_join_rejects_right_preserving_shapes(spark):
+    """Right/full-outer would duplicate unmatched right rows once per
+    salt (ADVICE r03) — salted_join must refuse them."""
+    import pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    rhs = spark.range(4).withColumnRenamed("id", "r")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not left-preserving"):
+            relational.salted_join(df, rhs, "k", "r", salt_cols=("k",), how=how)
