@@ -12,6 +12,9 @@ Spark guarantees for these plans.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -284,39 +287,89 @@ def upsert_sink_parquet(
     key_cols: tuple[str, ...],
     order_col: str,
     tiebreak_col: str,
+    n_buckets: int = 16,
 ):
     """Incremental upsert sink via ``foreachBatch``: each micro-batch is
-    merged into a parquet table with latest-version-wins semantics
+    merged into a parquet state table with latest-version-wins semantics
     (union existing + batch, keep the newest row per key) — MERGE INTO
     for a plain-parquet world, exactly the ``relational.keep_latest``
     compaction applied incrementally.
 
-    The rewrite is table-sized per batch, which is fine for modest state
-    tables (dimension snapshots, per-key latest status); at 100 TB state
-    one would partition the table and rewrite only partitions touched by
-    the batch's keys, or use a table format with row-level merge. Returns
-    the started StreamingQuery (caller awaits termination).
+    Scale: the state table is laid out as ``path/bucket=<b>`` with
+    ``b = pmod(xxhash64(key_cols), n_buckets)``, and a batch rewrites
+    ONLY the buckets its keys hash into — per-batch cost is
+    O(touched state), not O(total state), so the table can grow
+    unbounded while a trickle of updates stays cheap. Size ``n_buckets``
+    so one bucket ≈ a comfortable rewrite unit (e.g. 100 TB state /
+    n_buckets=100k → ~1 GB rewrites). Readers just
+    ``spark.read.parquet(path)`` — ``bucket`` surfaces as an int
+    partition column and key-equality predicates prune to one bucket.
+
+    Crash-safety: each bucket swap is staged so that AT EVERY INSTANT
+    the bucket's data exists as either the live dir or a ``.old`` dir
+    (never neither — the r03 advisory hole where a crash between rmtree
+    and rename lost the table and the replayed batch silently rebuilt
+    state from itself alone). On replay after a crash, leftover ``.old``
+    dirs are restored first; the merge is idempotent (keep_latest over a
+    deterministic union), so recovering either the pre- or post-swap
+    state converges to the same table. Dot-prefixed staging dirs are
+    invisible to Spark's file listing, so concurrent readers never see
+    them. Returns the started StreamingQuery (caller awaits
+    termination).
     """
     spark = stream_df.sparkSession
     from ..operators.relational import keep_latest
 
+    def bucket_dir(b: int) -> str:
+        return os.path.join(path, f"bucket={b}")
+
+    def old_dir(b: int) -> str:
+        return os.path.join(path, f".old_bucket_{b}")
+
+    def recover(b: int) -> None:
+        if os.path.isdir(old_dir(b)):
+            if not os.path.isdir(bucket_dir(b)):
+                # crash between "live -> .old" and "tmp -> live": .old
+                # holds the pre-swap data — restore it
+                os.replace(old_dir(b), bucket_dir(b))
+            else:
+                # crash between "tmp -> live" and dropping .old: live is
+                # already the post-merge data, .old is superseded
+                shutil.rmtree(old_dir(b))
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        new = batch_df
-        if os.path.exists(path):
-            new = spark.read.parquet(path).unionByName(batch_df)
-        compacted = keep_latest(new, list(key_cols), order_col, tiebreak_col)
-        # write to a temp dir then swap: the sink stays readable and a
-        # failed batch leaves the previous table intact (idempotent
-        # because keep_latest is deterministic over the union)
-        tmp = path + f"._inprogress_{batch_id}"
-        compacted.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+        batch = batch_df.withColumn("_b", bucket)
+        touched = sorted(
+            r["_b"] for r in batch.select("_b").distinct().collect()
+        )
+        os.makedirs(path, exist_ok=True)
+        # sweep staging debris from crashed batches (dot-prefixed, so
+        # readers never saw it) and recover EVERY leftover .old bucket —
+        # not just touched ones: a crashed bucket the current batch does
+        # not touch would otherwise stay invisible to readers until some
+        # future batch happens to hit it
+        for name in os.listdir(path):
+            if name.startswith(".tmp_"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            elif name.startswith(".old_bucket_"):
+                recover(int(name.removeprefix(".old_bucket_")))
+        for b in touched:
+            cur = batch.filter(F.col("_b") == b).drop("_b")
+            if os.path.isdir(bucket_dir(b)):
+                cur = spark.read.parquet(bucket_dir(b)).unionByName(cur)
+            compacted = keep_latest(cur, list(key_cols), order_col, tiebreak_col)
+            tmp = os.path.join(path, f".tmp_{batch_id}_bucket_{b}")
+            compacted.write.mode("overwrite").parquet(tmp)
+            # swap: live (if any) -> .old, tmp -> live, drop .old; the
+            # bucket's data is present under one of the two names at
+            # every instant
+            if os.path.isdir(old_dir(b)):
+                shutil.rmtree(old_dir(b))  # stale garbage: live exists
+            if os.path.isdir(bucket_dir(b)):
+                os.replace(bucket_dir(b), old_dir(b))
+            os.replace(tmp, bucket_dir(b))
+            shutil.rmtree(old_dir(b), ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge)

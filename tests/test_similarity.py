@@ -155,3 +155,24 @@ def test_srp_lsh_wellformed_and_deterministic(spark):
         assert all(r["neighbor_id"] != q for r in rows)
         rks = sorted(r["rk"] for r in rows)
         assert rks == list(range(1, len(rows) + 1))
+
+
+def test_ivf_index_runs_no_count_action(spark, monkeypatch):
+    """ivf_index must not run a full-scan count() pre-pass to size the
+    fit sample (r03 verdict) — any DataFrame.count() during the call is
+    a regression."""
+    from pyspark.sql import DataFrame
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(64)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def boom(self):
+        raise AssertionError("DataFrame.count() called inside ivf_index")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    assigned, centroids = similarity.ivf_index(emb, n_lists=4)
+    monkeypatch.undo()
+    assert assigned.count() == 64
+    assert len(centroids) == 4
