@@ -249,6 +249,7 @@ def edit_distance_candidates(
     str_col: str,
     block_cols: tuple[str, ...] = (),
     max_dist: int = 2,
+    prefix_block_len: int = 0,
 ) -> DataFrame:
     """Candidate pairs for Levenshtein distance <= ``max_dist`` via
     symmetric-delete blocking (the public SymSpell scheme, Garbe 2012):
@@ -263,16 +264,37 @@ def edit_distance_candidates(
     quadratic in n. Optional ``block_cols`` (e.g. a nation key) further
     conjoin the join key. Output: (id_a, id_b, s_a, s_b, block cols),
     deduplicated.
+
+    ``prefix_block_len > 0`` is the discriminative-slice cut for corpora
+    whose strings share a constant prefix (serial identifiers like
+    "Customer#000000042"): the first n chars become an additional exact
+    block key and deletion variants are generated over the SUFFIX only —
+    for an 18-char name with a 9-char constant prefix that is 46 variant
+    keys/row instead of 172. Recall: a common prefix strips off
+    Levenshtein-exactly (lev(Px, Py) = lev(x, y) — the DP's first rows
+    are forced), so on a shared-prefix corpus this is still lossless.
+    On mixed corpora it is deliberate blocking, same contract as
+    ``block_cols``: pairs whose first n chars differ are not examined.
     """
     if max_dist not in (1, 2):
         raise ValueError("edit_distance_candidates supports max_dist 1 or 2")
     base = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s"), *block_cols
     )
+    if prefix_block_len:
+        base = base.withColumn(
+            "_pfx", F.substring("_s", 1, prefix_block_len)
+        ).withColumn(
+            "_sfx", F.expr(f"substring(_s, {prefix_block_len + 1})")
+        )
+    else:
+        base = base.withColumn("_pfx", F.lit("")).withColumn(
+            "_sfx", F.col("_s")
+        )
     # hoist the delete-1 array into its own projection: it is referenced
     # twice below and HOF-lambda inlining would otherwise recompute it
-    d1 = base.withColumn("_d1", _delete_one(F.col("_s")))
-    parts = [F.array(F.col("_s")), F.col("_d1")]
+    d1 = base.withColumn("_d1", _delete_one(F.col("_sfx")))
+    parts = [F.array(F.col("_sfx")), F.col("_d1")]
     if max_dist == 2:
         parts.append(F.flatten(F.transform(F.col("_d1"), _delete_one)))
     variants = F.array_distinct(F.concat(*parts))
@@ -290,10 +312,10 @@ def edit_distance_candidates(
     # the join-back below. Buckets are tiny on diverse strings; a hot
     # bucket means many near-identical strings, where the pair count is
     # genuine output, not blocking overhead.
-    vh = F.xxhash64(F.col("_v"), *[F.col(c) for c in block_cols])
-    v = d1.select("_id", *block_cols, F.explode(variants).alias("_v")).select(
-        F.col("_id"), vh.alias("_vh")
-    )
+    vh = F.xxhash64(F.col("_v"), F.col("_pfx"), *[F.col(c) for c in block_cols])
+    v = d1.select(
+        "_id", "_pfx", *block_cols, F.explode(variants).alias("_v")
+    ).select(F.col("_id"), vh.alias("_vh"))
     buckets = (
         v.groupBy("_vh")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
@@ -322,6 +344,13 @@ def edit_distance_candidates(
     for c in block_cols:
         # exact block-equality guard (see collision note above)
         out = out.filter(F.col(c).eqNullSafe(F.col(f"_b_{c}")))
+    if prefix_block_len:
+        # same exact guard for the implicit prefix block key
+        out = out.filter(
+            F.substring("s_a", 1, prefix_block_len).eqNullSafe(
+                F.substring("s_b", 1, prefix_block_len)
+            )
+        )
     return out.select("id_a", "id_b", "s_a", "s_b", *block_cols)
 
 
@@ -331,11 +360,16 @@ def edit_distance_pairs(
     str_col: str,
     block_cols: tuple[str, ...] = (),
     max_dist: int = 2,
+    prefix_block_len: int = 0,
 ) -> DataFrame:
     """Exact Levenshtein-<=d pairs: symmetric-delete candidates (no recall
-    loss), then one levenshtein() per deduplicated candidate pair. Same
-    results as a quadratic blocked join, linear candidate generation."""
-    cand = edit_distance_candidates(df, id_col, str_col, block_cols, max_dist)
+    loss; see ``prefix_block_len`` caveat on mixed-prefix corpora), then
+    one levenshtein() on the FULL strings per deduplicated candidate
+    pair. Same results as a quadratic blocked join, linear candidate
+    generation."""
+    cand = edit_distance_candidates(
+        df, id_col, str_col, block_cols, max_dist, prefix_block_len
+    )
     return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
         F.col("dist") <= max_dist
     )

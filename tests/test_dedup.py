@@ -304,3 +304,22 @@ def test_simhash_rejects_out_of_range_hamming_and_clamps_first(spark):
         sigs, max_hamming=3, n_chunks=8
     ).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(0, 1, 3)]
+
+
+def test_prefix_slice_edit_distance_is_lossless_on_shared_prefix(spark):
+    """prefix_block_len must return EXACTLY the full-variant results on a
+    shared-prefix corpus (lev(Px, Py) = lev(x, y)) — the recall claim
+    behind the fuzzy query's discriminative-slice cut."""
+    rows = [(i, f"Customer#{i % 300:09d}") for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    full = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(df, "id", "name").collect()
+    }
+    sliced = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(
+            df, "id", "name", prefix_block_len=9
+        ).collect()
+    }
+    assert sliced == full and len(full) > 600  # dup ids + near digit runs
