@@ -48,6 +48,8 @@ HEADLINE = [
     "text_stats",
     "embedding_topk",
     "embedding_srp_lsh_topk",
+    "events_session_window",
+    "multimodal_png_roundtrip",
 ]
 
 

@@ -20,6 +20,7 @@ of payloads, controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -122,16 +123,178 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, body
 
 
+# --- PNG codec (pure Python + stdlib zlib; 8-bit RGB, non-interlaced) ---
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(
+    ftype: int, line: bytes, prev: bytes, bpp: int = 3
+) -> bytearray:
+    """Apply PNG forward filter ``ftype`` to one scanline (spec §9)."""
+    n = len(line)
+    res = bytearray(n)
+    for i in range(n):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        res[i] = (line[i] - pred) & 0xFF
+    return res
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
+    """Reverse the per-scanline filters of decompressed IDAT data."""
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def encode_png(
+    width: int, height: int, rgb_bytes: bytes, filter_mode: str = "mixed"
+) -> bytes:
+    """Pack RGB pixel bytes (len == width*height*3, row 0 = TOP row) into
+    an 8-bit truecolor non-interlaced PNG using only stdlib ``zlib``.
+
+    ``filter_mode='mixed'`` cycles scanlines through all five spec filter
+    types (None/Sub/Up/Average/Paeth) — deterministic, and it makes the
+    encode→decode round-trip exercise every unfilter branch; ``'none'``
+    writes filter 0 throughout."""
+    if len(rgb_bytes) != width * height * 3:
+        raise ValueError("rgb_bytes must be width*height*3 RGB bytes")
+    stride = width * 3
+    lines = []
+    prev = bytes(stride)
+    for r in range(height):
+        line = rgb_bytes[r * stride : (r + 1) * stride]
+        ftype = (r % 5) if filter_mode == "mixed" else 0
+        lines.append(bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit truecolor non-interlaced PNG -> (width, height, RGB
+    bytes with row 0 = TOP row): IHDR/IDAT walk, zlib inflate, unfilter.
+    Chunk CRCs are not re-verified (zlib's adler32 already covers the
+    pixel stream). Raises NotImplementedError for palette/alpha/16-bit/
+    interlaced variants — those need only more of the same spec, not a
+    codec library."""
+    if payload is None or not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    width = height = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    return width, height, _png_unfilter(raw, width, height)
+
+
+def png_from_text(text: str, width: int = 16) -> bytes:
+    """Deterministic synthetic image: utf-8 bytes of the text, zero-padded
+    to whole pixel rows, as 8-bit RGB PNG (mixed scanline filters)."""
+    raw = (text or "").encode("utf-8")
+    row_bytes = width * 3
+    height = max((len(raw) + row_bytes - 1) // row_bytes, 1)
+    raw = raw.ljust(width * height * 3, b"\x00")
+    return encode_png(width, height, raw)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (width, height, BGR bytes, top-down).
 
-    REAL for 24-bit uncompressed BMP (pure-Python parser above). Other
-    formats require codec libraries not present in this container and
-    raise — plug a real decoder into this branch."""
+    REAL for 24-bit uncompressed BMP and 8-bit truecolor PNG (pure-Python
+    parsers above; PNG needs only stdlib zlib). PNG's native RGB is
+    swapped to BGR so both formats honor the same channel contract.
+    JPEG genuinely needs a codec library absent from this container and
+    raises — plug a real decoder into that branch."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and payload.startswith(PNG_SIG):
+        w, h, rgb = decode_png(payload)
+        bgr = bytearray(rgb)
+        bgr[0::3], bgr[2::3] = rgb[2::3], rgb[0::3]
+        return w, h, bytes(bgr)
     raise NotImplementedError(
-        "only BMP decodes without a codec library; plug a JPEG/PNG "
+        "only BMP and PNG decode without a codec library; plug a JPEG "
         "decoder in here"
     )
 
@@ -180,6 +343,70 @@ def media_bmp_from_documents(docs: DataFrame, width: int = 16) -> DataFrame:
                 " hex(substring(payload, 23, 1))), 16, 10) as int)"
             ).alias("height"),
         ).alias("meta"),
+    )
+
+
+def media_png_from_documents(docs: DataFrame, width: int = 16) -> DataFrame:
+    """Media table whose payloads are REAL decodable PNGs: each document's
+    text rendered as a synthetic 8-bit RGB PNG (``png_from_text``, mixed
+    scanline filters so decode exercises the full spec surface).
+
+    Same shape as ``media_bmp_from_documents``: Arrow-batched pandas UDF
+    for the per-payload packing, JVM-side metadata extraction (PNG's
+    IHDR height is the big-endian int32 at byte offset 20 → 1-indexed
+    21..24)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_png(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: png_from_text(t, width))
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        make_png(F.col("text")).alias("payload"),
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.lit(width).cast("int").alias("width"),
+            F.expr(
+                "cast(conv(hex(substring(payload, 21, 4)), 16, 10) as int)"
+            ).alias("height"),
+        ).alias("meta"),
+    )
+
+
+DECODED_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def decode_png_pixels(media: DataFrame) -> DataFrame:
+    """Full pixel-stream PNG decode over the binary column: (media_id,
+    width, height, RGB pixel bytes). Arrow-batched ``mapInPandas`` —
+    payloads never leave the executors; downstream comparisons (e.g. the
+    round-trip oracle's md5) run JVM-side on the decoded bytes."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [decode_png(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "pixels": [d[2] for d in decoded],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, DECODED_PIXELS_SCHEMA
     )
 
 
@@ -237,7 +464,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """
 
     def feat(p: bytes) -> list[float]:
-        if p is not None and p[:2] == b"BM":
+        if p is not None and (p[:2] == b"BM" or p.startswith(PNG_SIG)):
             f = image_features(p)
             return f[:dim] + [0.0] * (dim - len(f))
         return _fake_feature(p, dim)

@@ -1768,6 +1768,80 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "events_session_window",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+    "Native F.session_window batch twin: the WINDOW-FUNCTION output shape "
+    "(start AND end columns) of Spark's dynamic-gap session operator. "
+    "Boundary contract pinned by the oracle: sessions merge only when the "
+    "next event is STRICTLY inside [start, last+gap) — an event at "
+    "exactly last+gap starts a new session (hence >= in the oracle's "
+    "lag split, vs > in events_sessionize's inclusive-gap variant); "
+    "window end = last event + gap",
+)
+def q_events_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_window_bounds",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts)) + 3600000000 AS window_end_us,
+           event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "Tumbling F.window batch twin emitting BOTH window bounds — the "
+    "struct(start, end) output shape streaming consumers see, "
+    "hash-checked end-to-end",
+)
+def q_events_window_bounds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data ops: dedup, text analysis, fingerprinting, similarity search
 # ---------------------------------------------------------------------------
@@ -2123,6 +2197,38 @@ def q_multimodal_decode_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width,
+           CAST(greatest(ceil(octet_length(encode(text)) / 48.0), 1) AS INT) AS height,
+           md5(text) AS pixel_md5
+    FROM documents
+    """,
+    "PIXEL-exact PNG round-trip: each document becomes a real 8-bit RGB "
+    "PNG (stdlib-zlib codec, scanlines cycling through all five spec "
+    "filters), the pure-Python decoder inflates + unfilters the full "
+    "pixel stream, and md5 of the recovered leading bytes must equal "
+    "md5 of the document's utf-8 text — a bit-exact decode oracle, "
+    "stronger than the BMP geometry check",
+)
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_png_from_documents(docs)
+    dec = multimodal.decode_png_pixels(media)
+    n_raw = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_raw"),
+    )
+    return dec.join(n_raw, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.md5(F.expr("substring(pixels, 1, n_raw)")).alias("pixel_md5"),
+    )
+
+
+@register(
     "embedding_topk",
     """
     WITH q AS (
@@ -2233,43 +2339,53 @@ def q_embedding_srp_lsh(spark, sf_dir):
 # evidence is thus never more than one round old, and any query whose
 # implementation changes must rotate into the window the same round.
 #
-# r03 tail: relational/TPC-H batteries and inline events batch twins, all
-# hash-matched green in r02 (CORRECTNESS_r02.json) and untouched by r03's
-# changes (which landed in dedup/similarity/multimodal/rules/streaming/
-# registry-additions; the events twins here are inline window SQL, not
-# streams.py). The r01-verified scalar/window/cube/pivot/set-ops tail
-# from r02 is back in the window, alongside r03's new queries
-# (fpgrowth_rules_pairs, multimodal_decode_roundtrip, dedup_clusters,
-# stratified_sample_orders, events_view_purchase_join).
+# r04 tail: the previous (r02-evidence) tail is rotated back into the
+# window in full, alongside r04's new queries (multimodal_png_roundtrip,
+# events_session_window, events_window_bounds) and every query whose
+# implementation r04 touched (fuzzy_customer_name_pairs / salted_join /
+# pseudonymize / simhash / dedup_clusters / ivf / extract_features
+# consumers). The tail below holds only queries hash-matched or
+# rows-only-green in r03 (CORRECTNESS_r03.json) whose implementations
+# (registered fn + every helper) r04 left untouched: basket/rules
+# co-occurrence chain, TPC-H relational batteries, scalar batteries,
+# stream-join batch twins, and untouched relational operators. Module
+# neighbors of r04's edits (dedup_exact, minhash, jaccard_prefiltered,
+# winnow, corpus_bigrams, embedding_topk/srp/close_pairs, multimodal
+# meta/frame_sample, events_sessionize) are deliberately KEPT IN THE
+# WINDOW although technically untouched — free conservatism, the
+# window has the slots.
 _ROTATION_TAIL = {
-    "q1_pricing_summary": "r02",
-    "q3_top_revenue_orders": "r02",
-    "q5_region_revenue": "r02",
-    "q6_forecast_revenue": "r02",
-    "join_left_customer_orders": "r02",
-    "join_semi_customers": "r02",
-    "join_anti_customers": "r02",
-    "join_full_outer_segments": "r02",
-    "csv_source_nation_agg": "r02",
-    "json_source_region_agg": "r02",
-    "agg_stats_returnflag": "r02",
-    "agg_stats_exact_formula": "r02",
-    "agg_collect_sorted_orders": "r02",
-    "agg_percentiles": "r02",
-    "agg_approx_count_distinct": "r02",
-    "q4_order_priority_exists": "r02",
-    "q17_small_quantity_revenue": "r02",
-    "correlated_max_order": "r02",
-    "token_counts": "r02",
-    "events_tumbling_hour": "r02",
-    "events_sliding_30m": "r02",
-    "events_transition_counts": "r02",
-    "text_stats": "r02",
-    "text_quality": "r02",
-    "lang_id": "r02",
-    "doc_fingerprint": "r02",
-    "doc_top_terms": "r02",
-    "ngram_jaccard_pairs": "r02",
+    "cooccurrence_pairs": "r03",
+    "cooccurrence_topk": "r03",
+    "cooccurrence_stripes": "r03",
+    "cooccurrence_pairs_joined": "r03",
+    "pair_rules": "r03",
+    "fpgrowth_itemsets": "r03",
+    "fpgrowth_itemsets_pairs": "r03",
+    "fpgrowth_rules_pairs": "r03",
+    "window_rank_variants": "r03",
+    "scalar_map_funcs": "r03",
+    "having_big_customers": "r03",
+    "agg_rollup_lineitem": "r03",
+    "agg_cube_orders": "r03",
+    "window_running_orders": "r03",
+    "window_lag_lead_events": "r03",
+    "topk_orders_per_customer": "r03",
+    "keep_latest_events": "r03",
+    "unpivot_lineitem_measures": "r03",
+    "stratified_sample_orders": "r03",
+    "set_ops_segments": "r03",
+    "scalar_string_math_funcs": "r03",
+    "scalar_conditional_funcs": "r03",
+    "scalar_regexp_funcs": "r03",
+    "scalar_date_funcs": "r03",
+    "json_extract_events": "r03",
+    "agg_grouping_sets": "r03",
+    "pivot_order_status_by_year": "r03",
+    "scalar_array_funcs": "r03",
+    "asof_join_event_order": "r03",
+    "events_view_purchase_join": "r03",
+    "events_view_purchase_outer": "r03",
 }
 
 

@@ -32,8 +32,12 @@ def test_bmp_from_text_geometry_and_content():
     assert all(b == 0 for b in body[len(raw) :])
 
 
-def test_decode_image_rejects_non_bmp():
+def test_decode_image_rejects_unsupported_formats():
+    # JPEG magic: genuinely needs a codec library -> honest stub branch
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # PNG signature but no IHDR -> the real decoder rejects it
+    with pytest.raises(ValueError, match="missing IHDR"):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
@@ -86,3 +90,74 @@ def test_extract_features_fallback_for_non_bmp(spark):
     assert len(out) == 1
     assert len(out[0]["feature"]) == 4
     assert out[0]["n_bytes"] == len("plain text payload")
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """encode_png('mixed') cycles scanlines through filter types 0..4, so
+    a >=5-row image round-tripping bit-exactly proves every unfilter
+    branch (None/Sub/Up/Average/Paeth) against stdlib zlib."""
+    import random
+
+    rng = random.Random(11)
+    w, h = 7, 9  # odd width exercises the a/c edge cases at row starts
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    payload = multimodal.encode_png(w, h, px)
+    assert payload.startswith(multimodal.PNG_SIG)
+    w2, h2, out = multimodal.decode_png(payload)
+    assert (w2, h2) == (w, h)
+    assert out == px
+    # filter-0-only variant must decode to the same pixels
+    w3, h3, out3 = multimodal.decode_png(
+        multimodal.encode_png(w, h, px, filter_mode="none")
+    )
+    assert out3 == px
+
+
+def test_png_from_text_geometry_and_content():
+    text = "b" * 100
+    payload = multimodal.png_from_text(text, width=16)
+    w, h, body = multimodal.decode_png(payload)
+    raw = text.encode()
+    assert w == 16 and h == max((len(raw) + 47) // 48, 1)
+    assert body[: len(raw)] == raw
+    assert all(b == 0 for b in body[len(raw):])
+
+
+def test_decode_image_swaps_png_to_bgr():
+    # one pixel R=1 G=2 B=3: PNG stores RGB, decode_image contract is BGR
+    payload = multimodal.encode_png(1, 1, bytes([1, 2, 3]))
+    w, h, bgr = multimodal.decode_image(payload)
+    assert (w, h) == (1, 1) and bgr == bytes([3, 2, 1])
+
+
+def test_png_rejects_unsupported_variants():
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # color type 6 = RGBA
+    chunk = (
+        _s.pack(">I", len(ihdr))
+        + b"IHDR" + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        multimodal.decode_png(multimodal.PNG_SIG + chunk)
+
+
+def test_media_png_table_and_pixel_decode(spark):
+    docs = spark.createDataFrame(
+        [(0, "short"), (1, "x" * 70), (2, "b" * 100)], ["doc_id", "text"]
+    )
+    media = multimodal.media_png_from_documents(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    for mid, r in rows.items():
+        w, h, _ = multimodal.decode_png(bytes(r["payload"]))
+        assert r["meta"]["width"] == w == 16
+        assert r["meta"]["height"] == h  # JVM-side IHDR parse agrees
+        assert r["meta"]["mime"] == "image/png"
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+    dec = {r["media_id"]: r for r in multimodal.decode_png_pixels(media).collect()}
+    for mid, text in ((0, "short"), (1, "x" * 70), (2, "b" * 100)):
+        raw = text.encode()
+        assert bytes(dec[mid]["pixels"])[: len(raw)] == raw
+        assert dec[mid]["width"] == 16

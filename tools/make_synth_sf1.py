@@ -1,0 +1,81 @@
+"""Synthesize a ~10x (sf≈1) dataset from sf0.1 for scaling measurements.
+
+The driver provides sf0.001/0.01/0.1 only; SCALING.md's linearity claims
+rest on the 0.01→0.1 decade. This tool manufactures the next decade for
+the three tables the heavy queries read:
+
+- lineitem: 10 key-shifted copies (l_orderkey += i * (max+1)). Same
+  basket-size distribution, 10x the baskets — exactly what a bigger
+  TPC-H would give the co-occurrence chain.
+- customer: 10 key-shifted copies with c_name REGENERATED from the new
+  key (TPC-H's own Customer#%09d scheme), so the name space grows like
+  a real sf1 instead of creating 10 exact copies of every name (which
+  would measure duplicate-pair output volume, not blocking).
+- documents: 10 id-shifted copies with a per-copy suffix token appended
+  to the text, so exact-duplicate explosion doesn't swamp the near-dup
+  measurement; shingle distribution is otherwise unchanged.
+
+Usage: python tools/make_synth_sf1.py [out_dir]  (default .scratch_sf1.0)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from probability_of_buying_two_products_together_hadoop_project_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch_sf1.0",
+    )
+    spark = get_spark("make-synth-sf1")
+    copies = list(range(10))
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+    li10 = li.crossJoin(
+        spark.createDataFrame([(i,) for i in copies], ["_c"])
+    ).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("_c") * F.lit(max_ok)
+    ).drop("_c")
+    li10.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    cu = spark.read.parquet(f"{SRC}/customer.parquet")
+    max_ck = cu.agg(F.max("c_custkey")).first()[0] + 1
+    cu10 = (
+        cu.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("_c") * F.lit(max_ck))
+        .withColumn("c_name", F.format_string("Customer#%09d", F.col("c_custkey")))
+        .drop("_c")
+    )
+    cu10.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_d = docs.agg(F.max("doc_id")).first()[0] + 1
+    d10 = (
+        docs.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_c") * F.lit(max_d))
+        .withColumn(
+            "text", F.concat("text", F.format_string(" copytag%d", F.col("_c")))
+        )
+        .drop("_c")
+    )
+    d10.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    for t in ("lineitem", "customer", "documents"):
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
