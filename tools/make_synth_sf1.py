@@ -11,9 +11,15 @@ the three tables the heavy queries read:
   key (TPC-H's own Customer#%09d scheme), so the name space grows like
   a real sf1 instead of creating 10 exact copies of every name (which
   would measure duplicate-pair output volume, not blocking).
-- documents: 10 id-shifted copies with a per-copy suffix token appended
-  to the text, so exact-duplicate explosion doesn't swamp the near-dup
-  measurement; shingle distribution is otherwise unchanged.
+- documents: 10 id-shifted copies, each passed through a per-copy
+  letter permutation (translate over the most frequent letters) so the
+  copies are NOT near-duplicates of each other: an appended-suffix
+  mutation was tried first and made every copy a ~0.97-Jaccard sibling
+  of 9 others, exploding the true near-dup answer ~45x and conflating
+  output volume with blocking overhead. The permutation keeps token
+  lengths and corpus statistics while rewriting most shingles, so the
+  near-dup RATE stays roughly constant as the corpus grows — the regime
+  a linear-blocking claim must be measured in.
 
 Usage: python tools/make_synth_sf1.py [out_dir]  (default .scratch_sf1.0)
 """
@@ -61,12 +67,15 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     max_d = docs.agg(F.max("doc_id")).first()[0] + 1
+    alpha = "etaoinshr"
+    perm = F.when(F.col("_c") == 0, F.col("text"))
+    for i in copies[1:]:
+        rot = alpha[i:] + alpha[:i]
+        perm = perm.when(F.col("_c") == i, F.expr(f"translate(text, '{alpha}', '{rot}')"))
     d10 = (
         docs.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
         .withColumn("doc_id", F.col("doc_id") + F.col("_c") * F.lit(max_d))
-        .withColumn(
-            "text", F.concat("text", F.format_string(" copytag%d", F.col("_c")))
-        )
+        .withColumn("text", perm)
         .drop("_c")
     )
     d10.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
