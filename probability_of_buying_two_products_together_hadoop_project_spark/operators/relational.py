@@ -242,6 +242,60 @@ def asof_join(
     return u.filter(F.col("_side") == 1).drop("_side", "_ts")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    max_interval_sec: int,
+) -> DataFrame:
+    """Point-in-interval equi+range join via time-bucket banding: match
+    each point row to every same-key interval row with
+    ``start <= ts < end`` — without the O(|points| x |intervals|)-per-key
+    blow-up of a naive range join (open-source Spark plans a range
+    predicate as a nested-loop filter inside the key join).
+
+    Banding: with bucket width W = ``max_interval_sec`` and the caller's
+    guarantee that ``end - start <= W``, a point at time t can only match
+    intervals starting in bucket(t) or bucket(t) - 1 (since
+    start in (t - W, t]). The POINT side is exploded x2 to probe both
+    buckets, the interval side keeps one row per interval, and the join
+    is a plain equi-join on (key, bucket) + exact range filter — shuffle
+    linear in both inputs, each qualifying pair produced exactly once
+    (an interval lives in one bucket, so the two probes never both hit).
+    This is the standard banded range join; pick W as a tight bound on
+    interval length — W x2 over-wide buckets just admit more false
+    candidates for the exact filter to drop.
+
+    Columns of both inputs are preserved (prefix-disambiguate before the
+    call if names collide). An interval longer than W would be matched
+    only partially (points more than 2 buckets past its start are never
+    probed), which is silently-wrong territory — so the operator drops
+    such intervals ENTIRELY (clean contract: "intervals longer than
+    max_interval_sec do not participate"); callers needing them must
+    split long intervals into W-sized pieces upstream.
+    """
+    w_us = max_interval_sec * 1_000_000
+    pb = F.floor(F.unix_micros(F.col(ts_col)) / w_us)
+    p2 = points.withColumn(
+        "_pb", F.explode(F.array(pb.cast("long"), (pb - 1).cast("long")))
+    )
+    ib = F.floor(F.unix_micros(F.col(start_col)) / w_us).cast("long")
+    i2 = intervals.filter(
+        F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col)) <= w_us
+    ).withColumn("_ib", ib)
+    out = p2.join(
+        i2,
+        (F.col(point_key) == F.col(interval_key)) & (F.col("_pb") == F.col("_ib")),
+    ).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return out.drop("_pb", "_ib")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

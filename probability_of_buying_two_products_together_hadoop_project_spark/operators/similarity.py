@@ -105,6 +105,119 @@ def srp_signature(vec_col: str, num_planes: int = 16) -> Column:
     return F.expr(_SRP_EXPR.format(vec=vec_col, last_plane=num_planes - 1))
 
 
+# SRP variant with planes from an integer LCG instead of xxhash64. Same
+# structure as _SRP_EXPR; the point of the LCG is that an ANSI-SQL oracle
+# (DuckDB) can regenerate the IDENTICAL planes — xxhash64 exists only in
+# Spark — so the whole LSH pipeline (signature -> band blocking -> exact
+# cosine verify) becomes driver-hash-checkable cross-engine, not just
+# rows-only. Plane entry for (plane p, dim i):
+#   ((1103515245*(p*131 + i) + 12345) % 2^31) / 2^31 * 2 - 1   in [-1, 1)
+# All intermediates < 2^53, so double arithmetic is exact in both engines;
+# the sign decision and therefore the signature are integer-identical.
+_SRP_LCG_EXPR = """
+aggregate(
+  sequence(0, {last_plane}),
+  cast(0 as bigint),
+  (acc, p) -> acc + IF(
+    aggregate(
+      zip_with({vec}, sequence(0, size({vec}) - 1),
+        (x, i) -> cast(x as double)
+                  * (cast((cast(1103515245 as bigint) * (p * 131 + i) + 12345)
+                          % 2147483648 as double)
+                     / 2147483648.0d * 2.0d - 1.0d)),
+      cast(0.0 as double),
+      (s, v) -> s + v
+    ) > 0,
+    shiftleft(cast(1 as bigint), p),
+    cast(0 as bigint)))
+"""
+
+
+def srp_signature_lcg(vec_col: str, num_planes: int = 24) -> Column:
+    """SRP bit signature with oracle-replicable LCG planes (see above)."""
+    return F.expr(_SRP_LCG_EXPR.format(vec=vec_col, last_plane=num_planes - 1))
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.15,
+    num_planes: int = 24,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-LSH band blocking +
+    exact cosine verification — the vector analog of MinHash+verify for
+    text, and the scale path for embedding-level dedup (candidates are
+    pairs sharing >= 1 of ``bands`` signature bands; linear shuffle in
+    corpus size, never an all-pairs scan).
+
+    The emitted set is exactly "pairs sharing >= 1 band AND
+    round(cosine, 4) >= threshold" — a deterministic semantic the DuckDB
+    oracle replicates bit-for-bit (LCG planes, see ``srp_signature_lcg``),
+    so the driver hash pins the bucketing itself, not just row counts.
+    Recall vs the unblocked definition follows the SRP S-curve
+    (1 - (1 - p_band)^bands, p_bit = 1 - theta/pi); raise num_planes/
+    bands for higher recall at more replication, exactly the MinHash
+    banding tradeoff.
+
+    Plan shape: one narrow projection computes the signature, explode
+    replicates (id, band_idx, band_val) x bands — 16-byte rows; bucket
+    GROUP BY + in-bucket ordered-pair expansion (no self-join: a
+    self-join would re-execute the signature subtree on both sides);
+    join-back to vectors by id; exact cosine only on candidates.
+    """
+    w = num_planes // bands
+    if w * bands != num_planes:
+        raise ValueError("num_planes must be divisible by bands")
+    sig = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        srp_signature_lcg(vec_col, num_planes).alias("_sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sig"), b * w)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sig.select("_id", F.explode(band_structs).alias("bk"))
+        .select("_id", "bk.band", "bk.bv")
+        .groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expand = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    cand = (
+        buckets.select(F.explode(pair_expand).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+    vb = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            F.col("a").alias("vec_a"),
+            F.col("b").alias("vec_b"),
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def with_recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Append a per-query ``recall_at_k`` column to an approximate top-k
     result: the fraction of the EXACT top-k neighbor set the approximate

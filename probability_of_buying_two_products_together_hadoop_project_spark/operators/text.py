@@ -268,6 +268,72 @@ def corpus_ngrams(
     return out
 
 
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_token_thresh: float = 0.2,
+    dup_bigram_thresh: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition screen (cf. Rae et al. 2021 §A1.1): the
+    mass of the most frequent token and the duplicate-bigram fraction —
+    degenerate/boilerplate generations repeat tokens and phrases far
+    above natural-text rates, and these two ratios catch both modes.
+
+    Per doc: ``top_token_frac`` = multiplicity of the most frequent
+    whitespace token / n_tokens; ``dup_bigram_frac`` = 1 - distinct
+    bigrams / total bigrams (0 when fewer than 2 tokens);
+    ``is_repetitive`` flags either ratio over its threshold.
+
+    Plan: explode + two hash aggregations keyed by (doc_id, gram) then
+    doc_id — linear shuffle in token volume, the same shape a 100 TB
+    corpus screen wants (no per-doc UDF, no collect). Ratios are exact
+    integer-derived doubles rounded to 4 dp, oracle-replicable.
+    """
+    toked = docs.select(
+        F.col("doc_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    tok = toked.select("doc_id", F.explode("_tk").alias("t"))
+    tstat = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("_topc"))
+    )
+    ln = F.size("_tk") - 1
+    grams = F.zip_with(
+        F.slice(F.col("_tk"), 1, ln),
+        F.slice(F.col("_tk"), 2, ln),
+        lambda x, y: F.concat(x, F.lit(""), y),
+    )
+    bstat = (
+        toked.filter(F.size("_tk") >= 2)
+        .select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("_nb"), F.count(F.lit(1)).alias("_db"))
+    )
+    top_frac = F.round(F.col("_topc").cast("double") / F.col("n_tokens"), 4)
+    dup_frac = F.round(
+        F.coalesce(
+            F.lit(1.0) - F.col("_db").cast("double") / F.col("_nb"), F.lit(0.0)
+        ),
+        4,
+    )
+    return (
+        tstat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            (
+                (top_frac > top_token_thresh) | (dup_frac > dup_bigram_thresh)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
 def pseudonymize(
     df: DataFrame,
     id_col: str,

@@ -103,3 +103,36 @@ def test_salted_join_rejects_right_preserving_shapes(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="not left-preserving"):
             relational.salted_join(df, rhs, "k", "r", salt_cols=("k",), how=how)
+
+
+def test_interval_join_matches_bruteforce_and_drops_long_intervals(spark):
+    """Banded interval join must equal the naive range join exactly —
+    bucket-boundary straddles produce each pair exactly once — and
+    intervals longer than max_interval_sec are dropped entirely, never
+    partially matched."""
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(i, 1, i * 37) for i in range(40)], ["pid", "k", "sec"]
+    ).select("pid", "k", F.timestamp_seconds("sec").alias("ts"))
+    iv_rows = [(100 + j, 1, j * 53, j * 53 + 90) for j in range(25)]
+    iv_rows.append((999, 1, 0, 10_000))  # longer than max_interval: dropped
+    ivs = spark.createDataFrame(iv_rows, ["iid", "ik", "s", "e"]).select(
+        "iid", "ik",
+        F.timestamp_seconds("s").alias("ws"),
+        F.timestamp_seconds("e").alias("we"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in relational.interval_join(
+            pts, ivs, "k", "ik", "ts", "ws", "we", max_interval_sec=90
+        ).collect()
+    )
+    want = sorted(
+        (p, i)
+        for p in range(40)
+        for (i, _, s, e) in iv_rows
+        if i != 999 and s <= p * 37 < e
+    )
+    assert got == want and len(want) > 20
+    assert all(i != 999 for _, i in got)

@@ -176,3 +176,31 @@ def test_ivf_index_runs_no_count_action(spark, monkeypatch):
     monkeypatch.undo()
     assert assigned.count() == 64
     assert len(centroids) == 4
+
+
+def test_cosine_near_dup_finds_planted_pairs(spark):
+    """Planted near-identical vectors (cos ~ 1: every SRP bit agrees ->
+    all bands collide) must be surfaced; orthogonal vectors must not."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal to 0/1
+        (3, [0.0, 0.9999, 0.001, 0.0]), # near-dup of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.cosine_near_dup_pairs(
+            emb, threshold=0.9, num_planes=24, bands=8
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 0.99
+    assert (2, 3) in got and got[(2, 3)] >= 0.99
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_cosine_near_dup_rejects_bad_band_split():
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.cosine_near_dup_pairs(None, num_planes=24, bands=7)

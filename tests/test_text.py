@@ -1,6 +1,8 @@
 """Text-analysis operator tests: token stats, language ID, quality
 scoring, fingerprinting — small deterministic fixtures."""
 
+from pyspark.sql import functions as F
+
 from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
 
 
@@ -125,6 +127,42 @@ def test_pseudonymize_masks_and_stabilizes(spark):
     out = {r["id"]: r for r in text.pseudonymize(df, "id", "name").collect()}
     assert out[1]["redacted"] == "Customer#<ID>"
     assert out[1]["n_masked_runs"] == 1
-    assert out[1]["pseudonym"] == hashlib.md5(b"Customer#000042").hexdigest()
+    # surrogate is KEYED (sha256 over salt||value): an unkeyed hash of a
+    # low-entropy identifier is dictionary-reversible (r03 advisory)
+    assert (
+        out[1]["pseudonym"]
+        == hashlib.sha256(b"pepperCustomer#000042").hexdigest()
+    )
+    assert (
+        text.pseudonymize(df, "id", "name", salt="other")
+        .filter(F.col("id") == 1)
+        .first()["pseudonym"]
+        != out[1]["pseudonym"]
+    )
     assert out[2]["redacted"] == "no digits here" and out[2]["n_masked_runs"] == 0
     assert out[3]["redacted"] == "a<ID>b<ID>c<ID>" and out[3]["n_masked_runs"] == 3
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "spam spam spam spam spam"),            # one token repeated
+            (2, "go to go to go to go to"),             # repeated bigram
+            (3, "one"),                                 # < 2 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert out[1]["top_token_frac"] == 1.0 and out[1]["is_repetitive"]
+    # "go to go to go to go to": 7 bigrams, 2 distinct -> 1 - 2/7
+    assert abs(out[2]["dup_bigram_frac"] - round(1 - 2 / 7, 4)) < 1e-9
+    assert out[2]["is_repetitive"]
+    assert not out[0]["is_repetitive"]
+    # "the" appears twice in 10 tokens
+    assert out[0]["top_token_frac"] == 0.2
+    # single-token doc: no bigrams (frac 0), but its one token is 100%
+    # of the mass so the top-token rule flags it — length gating is
+    # quality_score's job, not the repetition formula's
+    assert out[3]["dup_bigram_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 1.0 and out[3]["is_repetitive"]
