@@ -178,3 +178,24 @@ def test_new_operator_plan_shapes(spark, sf_smoke):
     # interval join plans as a real equi-join on user_id, never nested-loop
     ssj = explain.formatted_plan(qs["events_view_purchase_join"](spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" not in ssj and "CartesianProduct" not in ssj
+
+
+def test_round4_operator_plan_shapes(spark, sf_smoke):
+    """Pin the round-4 operators' plan structure: the banded interval
+    join must be an EQUI-join (the naive range formulation would plan a
+    per-key nested loop), the LSH near-dup pipeline stays
+    bucket-aggregated (no cartesian anywhere), and the session-window
+    twin is a single exchange."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    qs = e.queries()
+    ij = explain.formatted_plan(qs["interval_join_view_purchase"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in ij and "CartesianProduct" not in ij
+    nd = explain.formatted_plan(qs["embedding_cosine_near_dup"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in nd and "CartesianProduct" not in nd
+    assert explain.count_exchanges(qs["events_session_window"](spark, sf_smoke)) <= 1
+    assert explain.count_exchanges(qs["events_window_bounds"](spark, sf_smoke)) <= 1
+    # PNG roundtrip: Arrow mapInPandas + one broadcast join-back, no shuffle
+    assert explain.count_exchanges(qs["multimodal_png_roundtrip"](spark, sf_smoke)) == 0
