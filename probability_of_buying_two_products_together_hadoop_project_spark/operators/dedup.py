@@ -452,6 +452,106 @@ def near_dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def minhash_near_dup_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash near-dup with an ORACLE-REPLICABLE hash family: min over
+    md5(seed || ':' || shingle) strings instead of xxhash64 — md5 exists
+    identically in ANSI-SQL engines, so a DuckDB twin regenerates the
+    exact signatures, band keys, candidate set, and Jaccard verdicts,
+    and the driver hash pins the ENTIRE MinHash pipeline cross-engine
+    (the xxhash64 variant `minhash_near_dup_candidates` stays the fast
+    rows-only path; this one is the verified twin, same blocking
+    semantics: pairs sharing >= 1 of ``bands`` band keys, then exact
+    shingle-set Jaccard >= threshold).
+
+    Lexicographic min over md5 hex strings is a valid min-hash: the hex
+    encoding is order-isomorphic to the 128-bit integer, which is
+    uniform over shingles. Cost vs xxhash64: string hashing and H string
+    mins per doc — fine for a verification-grade query; shuffle is the
+    same (band keys + candidate ids), linear in corpus size.
+
+    Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounding.
+    """
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    tk = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(_norm_tokens_sql(text_col)).alias("_tk"),
+    ).filter(F.size("_tk") >= shingle_n)
+    ln = F.size("_tk") - (shingle_n - 1)
+    grams: Column = F.slice(F.col("_tk"), 1, ln)
+    for j in range(1, shingle_n):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_tk"), 1 + j, ln),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    # hoist the distinct-shingle array: it is referenced num_hashes times
+    # below and once by the verify join-back (HOF-lambda hoisting rule)
+    g = tk.select("_id", F.array_distinct(grams).alias("_g"))
+    sigs = [
+        F.array_min(
+            F.transform(F.col("_g"), lambda x, i=i: F.md5(F.concat(F.lit(f"{i}:"), x)))
+        ).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = g.select("_id", "_g", *sigs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"_s{b * rows + r}") for r in range(rows)])
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sig.select("_id", F.explode(band_structs).alias("bs"))
+        .select("_id", "bs.band", "bs.bk")
+        .groupBy("band", "bk")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expand = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    cand = (
+        buckets.select(F.explode(pair_expand).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+    ga = g.select(F.col("_id").alias("a"), F.col("_g").alias("ga"))
+    gb = g.select(F.col("_id").alias("b"), F.col("_g").alias("gb"))
+    jac = F.round(
+        F.size(F.array_intersect("ga", "gb"))
+        / F.size(F.array_union("ga", "gb")).cast("double"),
+        4,
+    )
+    return (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def near_dup_clusters_star(
     ids: DataFrame,
     pairs: DataFrame,
@@ -743,3 +843,47 @@ def simhash_near_dup_candidates(
     return simhash_candidates_from_signatures(
         simhash_signatures(docs, text_col), max_hamming, n_chunks
     )
+
+
+def simhash_signatures_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash signatures over an ORACLE-REPLICABLE token hash: the
+    60-bit integer from the first 15 hex chars of md5(token)
+    (``conv(substr(md5(t),1,15),16,10)`` here ==
+    ``('0x'||substr(md5(t),1,15))::BIGINT`` in DuckDB). Bits 60-63 are
+    never set, so their balance is strictly negative and the packed
+    signature simply leaves them 0 in both engines — the shared 64-bit
+    balance/pack templates apply unchanged. The xxhash64 variant
+    (``simhash_signatures``) stays the fast path; this one exists so a
+    DuckDB twin can regenerate identical signatures and the driver hash
+    can pin the whole SimHash pipeline cross-engine.
+    """
+    hashes = F.expr(
+        f"transform({_norm_tokens_sql(text_col)},"
+        " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        docs.select(F.col(id_col), hashes.alias("hs"))
+        .select(id_col, F.expr(_SIMHASH_BALANCE_EXPR.format(hs="hs")).alias("bal"))
+        .select(id_col, F.expr(_SIMHASH_PACK_EXPR.format(bal="bal")).alias("sh"))
+    )
+
+
+def simhash_near_dup_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with the md5-family signature — same
+    pigeonhole blocking as the fast path, but every stage is
+    regenerable by an ANSI-SQL oracle. Because the blocking is LOSSLESS
+    (a pair within Hamming d always shares a (k-d)-chunk combination)
+    and the exact ``bit_count`` filter runs after it, the emitted set is
+    exactly "pairs with hamming(sig_a, sig_b) <= d" — which is what the
+    quadratic oracle states directly.
+    """
+    return simhash_candidates_from_signatures(
+        simhash_signatures_md5(docs, text_col), max_hamming, n_chunks
+    ).withColumn("hamming", F.col("hamming").cast("long"))

@@ -1009,6 +1009,61 @@ def q_corpus_bigrams(spark, sf_dir):
     return out.withColumnRenamed("ngram", "bigram")
 
 
+_MH_SIGS = ",\n           ".join(
+    f"list_min(list_transform(grams, x -> md5('{i}:' || x)))" for i in range(16)
+)
+_MH_BANDS = ",\n           ".join(
+    f"md5(s[{2 * b + 1}] || s[{2 * b + 2}])" for b in range(8)
+)
+_MH_BAND_MATCH = " OR ".join(
+    f"a.bands[{b + 1}] = b.bands[{b + 1}]" for b in range(8)
+)
+_MH_JACCARD = (
+    "round(len(list_intersect(a.grams, b.grams)) * 1.0"
+    " / len(list_distinct(a.grams || b.grams)), 4)"
+)
+
+
+@register(
+    "minhash_near_dup_verified",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS grams
+      FROM tk WHERE len(tk) >= 3
+    ), sig AS (
+      SELECT doc_id, grams,
+           [{_MH_SIGS}] AS s
+      FROM g
+    ), band AS (
+      SELECT doc_id, grams,
+           [{_MH_BANDS}] AS bands
+      FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_MH_JACCARD} AS jaccard
+    FROM band a JOIN band b ON a.doc_id < b.doc_id
+     AND ({_MH_BAND_MATCH})
+    WHERE {_MH_JACCARD} >= 0.3
+    """,
+    "MinHash near-dup with an oracle-replicable md5 hash family: the "
+    "DuckDB twin regenerates the exact 16 signatures, 8 band keys, "
+    "candidate set, and Jaccard verdicts (its band-match OR clause is "
+    "the quadratic statement of the same semantic), so the driver hash "
+    "pins the whole MinHash pipeline cross-engine; the xxhash64 variant "
+    "stays the fast path",
+)
+def q_minhash_verified(spark, sf_dir):
+    return dedup.minhash_near_dup_verified(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "repetition_screen",
     """
@@ -1418,6 +1473,39 @@ def q_stats_exact(spark, sf_dir):
             / (F.col("n") - 1).cast("double")
         ).alias("stddev_qty"),
     )
+
+
+@register(
+    "hll_sketch_partitioned_merge",
+    None,  # DataSketches binary sketches have no DuckDB twin; rows-only.
+    # Merge associativity (union of partials == whole-data sketch) and
+    # <5% error vs exact are pinned by tests/test_approx.py instead.
+    "MERGEABLE distinct-count sketches (Apache DataSketches HLL): one "
+    "sketch per group, then hll_union_agg folds the partials into the "
+    "global estimate — the 100 TB pattern where per-partition/per-day "
+    "sketches are stored once and any rollup is a cheap sketch union, "
+    "never a re-scan; union-of-partials agrees with the direct "
+    "whole-data sketch to well under the sketch error bound (the union "
+    "re-encodes HLL_4 partials via HLL_8, so not bit-exact), pinned by "
+    "test alongside <5% error vs exact",
+)
+def q_hll_partitioned_merge(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    sk = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per = sk.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
+    )
+    merged = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("__merged__").alias("o_orderpriority"),
+            F.hll_sketch_estimate("u").cast("long").alias("approx_customers"),
+        )
+    )
+    return per.unionByName(merged)
 
 
 @register(
@@ -2194,6 +2282,45 @@ def q_simhash_near_dup(spark, sf_dir):
 
 
 @register(
+    "simhash_near_dup_verified",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(tk,
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM tk
+    ), sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 64), b ->
+               CASE WHEN list_sum(list_transform(hs,
+                      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+      FROM hs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """,
+    "SimHash near-dup with an oracle-replicable md5-derived token hash: "
+    "the DuckDB twin regenerates the identical 64-bit signatures "
+    "(bit-balance + sign pack) and states the quadratic hamming<=6 "
+    "definition — equal to the engine's pigeonhole-blocked output "
+    "because the blocking is lossless; with the LCG-plane cosine LSH "
+    "and md5 MinHash this completes cross-engine hash-pinning of all "
+    "three near-dup families",
+)
+def q_simhash_verified(spark, sf_dir):
+    return dedup.simhash_near_dup_verified(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,
@@ -2527,6 +2654,15 @@ _ROTATION_TAIL = {
     "events_sessionize": "r03",
     "multimodal_frame_sample": "r03",
     "doc_winnow_fingerprint": "r03",
+    # moved when minhash_near_dup_verified registered (head > 50 again):
+    # media_from_documents + meta projection untouched since r02, green r03
+    "multimodal_meta": "r03",
+    # moved when simhash_near_dup_verified registered: label-blocked
+    # exact cosine untouched this round, green r03
+    "embedding_close_pairs_by_label": "r03",
+    # moved when hll_sketch_partitioned_merge registered: brute-force
+    # topk untouched this round, green r03
+    "embedding_topk": "r03",
 }
 
 

@@ -323,3 +323,37 @@ def test_prefix_slice_edit_distance_is_lossless_on_shared_prefix(spark):
         ).collect()
     }
     assert sliced == full and len(full) > 600  # dup ids + near digit runs
+
+
+def test_minhash_verified_agrees_with_fast_path(spark):
+    """The md5-family verified MinHash and the xxhash64 fast path use
+    independent hash families over the same shingles — on the planted
+    corpus both must surface the same near-dup pairs."""
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_dup_candidates(
+            _docs(spark), num_hashes=32, bands=16
+        ).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_dup_verified(
+            _docs(spark), num_hashes=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    assert (0, 1) in verified and verified[(0, 1)] == 1.0
+    assert (0, 2) in verified and (3, 4) in verified
+    assert set(verified) <= fast | {(0, 1), (0, 2), (1, 2), (3, 4)}
+
+
+def test_simhash_verified_md5_family(spark):
+    """md5-family SimHash: planted near-dups surface, unrelated docs do
+    not, and the two hash families (xxhash64 / md5) agree on the
+    normalized-identical pair (hamming 0 regardless of family)."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_verified(_docs(spark), max_hamming=6).collect()
+    }
+    assert got[(0, 1)] == 0   # normalized-identical -> identical signature
+    assert (0, 2) in got and got[(0, 2)] <= 6
+    assert (0, 3) not in got and (0, 4) not in got
