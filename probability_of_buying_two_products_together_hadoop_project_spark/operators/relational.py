@@ -242,6 +242,30 @@ def asof_join(
     return u.filter(F.col("_side") == 1).drop("_side", "_ts")
 
 
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction_permille: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample: keep rows where an md5-derived
+    bucket of the key falls under ``fraction_permille``/1000. The right
+    sampler at 100 TB: no rand() (rerun/retry bit-stable), no
+    coordination (each task decides locally from row content), stable
+    under repartitioning, and CONSISTENT across datasets — sampling two
+    tables by the same join key keeps referential integrity (a kept
+    order keeps all its lineitems when both sample on orderkey).
+    Engine-independent (md5 + integer mod), so an ANSI-SQL oracle draws
+    the identical rows; ``salt`` rotates the sample.
+
+    Narrow filter, no shuffle; at the parquet scan it is a post-scan
+    predicate (md5 is not pushable) but prunes before any exchange.
+    """
+    key = F.concat_ws("", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return df.filter(F.pmod(h, F.lit(1000)) < fraction_permille)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

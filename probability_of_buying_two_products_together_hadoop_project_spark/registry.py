@@ -1124,6 +1124,25 @@ def q_pseudonymize(spark, sf_dir):
 
 
 @register(
+    "hash_sample_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 1000 < 100
+    """,
+    "Deterministic uniform ~10% sample via md5-bucket of the key: no "
+    "rand() (rerun-stable), no coordination, consistent across tables "
+    "sharing the key — the oracle draws the IDENTICAL rows, which no "
+    "rand()-based sampler can promise",
+)
+def q_hash_sample(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return relational.hash_sample(orders, ["o_orderkey"], 100)
+
+
+@register(
     "stratified_sample_orders",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
@@ -2663,6 +2682,9 @@ _ROTATION_TAIL = {
     # moved when hll_sketch_partitioned_merge registered: brute-force
     # topk untouched this round, green r03
     "embedding_topk": "r03",
+    # moved when hash_sample_orders registered: corpus_ngrams untouched
+    # by r04's text.py additions, green r03
+    "corpus_bigrams": "r03",
 }
 
 

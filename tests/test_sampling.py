@@ -136,3 +136,24 @@ def test_interval_join_matches_bruteforce_and_drops_long_intervals(spark):
     )
     assert got == want and len(want) > 20
     assert all(i != 999 for _, i in got)
+
+
+def test_hash_sample_is_deterministic_and_join_consistent(spark):
+    """md5-bucket sampling must (a) draw the same rows on rerun, (b)
+    keep referential integrity when two tables sample on the same key:
+    every sampled child row's parent is in the parent sample."""
+    from pyspark.sql import functions as F
+
+    parents = spark.range(1000).withColumnRenamed("id", "k")
+    children = (
+        spark.range(3000)
+        .select((F.col("id") % 1000).alias("k"), F.col("id").alias("cid"))
+    )
+    ps1 = {r["k"] for r in relational.hash_sample(parents, ["k"], 100).collect()}
+    ps2 = {r["k"] for r in relational.hash_sample(parents, ["k"], 100).collect()}
+    cs = {(r["k"], r["cid"]) for r in relational.hash_sample(children, ["k"], 100).collect()}
+    assert ps1 == ps2 and 50 <= len(ps1) <= 150  # ~10% of 1000
+    assert {k for k, _ in cs} <= ps1  # child sample's keys ⊆ parent sample
+    # salt rotates the draw
+    ps3 = {r["k"] for r in relational.hash_sample(parents, ["k"], 100, salt="v2").collect()}
+    assert ps3 != ps1
