@@ -284,53 +284,72 @@ def repetition_stats(
     bigrams / total bigrams (0 when fewer than 2 tokens);
     ``is_repetitive`` flags either ratio over its threshold.
 
-    Plan: explode + two hash aggregations keyed by (doc_id, gram) then
-    doc_id — linear shuffle in token volume, the same shape a 100 TB
-    corpus screen wants (no per-doc UDF, no collect). Ratios are exact
-    integer-derived doubles rounded to 4 dp, oracle-replicable.
+    Plan: ZERO exchanges — both ratios are per-row array expressions
+    (a first cut used explode + two hash aggs + a join: 4 exchanges for
+    per-doc facts that never needed to leave the row). The top-token
+    count is the longest run of equal adjacent elements in the SORTED
+    token array — one O(n log n) sort plus one O(n) aggregate per row,
+    robust for degenerate million-token docs (unlike a
+    count-per-distinct formulation, which is O(distinct x n) per row).
+    Ratios are exact integer-derived doubles rounded to 4 dp,
+    oracle-replicable.
     """
     toked = docs.select(
-        F.col("doc_id"), tokens(F.col(text_col)).alias("_tk")
+        F.col("doc_id"),
+        tokens(F.col(text_col)).alias("_tk"),
+        # hoisted: referenced by the run-length aggregate's lambda
+        F.array_sort(tokens(F.col(text_col))).alias("_srt"),
     )
-    tok = toked.select("doc_id", F.explode("_tk").alias("t"))
-    tstat = (
-        tok.groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("_topc"))
+    n = F.size("_tk")
+    # longest run of equal adjacent tokens in the sorted array =
+    # multiplicity of the most frequent token; state = (current run,
+    # best run) folded over positions 2..n
+    topc = F.when(n == 0, F.lit(0)).otherwise(
+        F.expr(
+            """
+            aggregate(
+              sequence(2, greatest(size(_srt), 2)),
+              named_struct('cur', 1, 'best', 1),
+              (acc, i) -> IF(i > size(_srt), acc,
+                IF(element_at(_srt, i) = element_at(_srt, i - 1),
+                   named_struct('cur', acc.cur + 1,
+                                'best', greatest(acc.best, acc.cur + 1)),
+                   named_struct('cur', 1, 'best', acc.best))),
+              acc -> acc.best)
+            """
+        )
     )
-    ln = F.size("_tk") - 1
+    ln = n - 1
     grams = F.zip_with(
         F.slice(F.col("_tk"), 1, ln),
         F.slice(F.col("_tk"), 2, ln),
-        lambda x, y: F.concat(x, F.lit(""), y),
+        lambda x, y: F.concat(x, F.lit("\x1f"), y),
     )
-    bstat = (
-        toked.filter(F.size("_tk") >= 2)
-        .select("doc_id", F.explode(grams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("_nb"), F.count(F.lit(1)).alias("_db"))
+    with_cols = toked.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        topc.alias("_topc"),
+        F.when(n >= 2, grams).alias("_bg"),
     )
-    top_frac = F.round(F.col("_topc").cast("double") / F.col("n_tokens"), 4)
+    top_frac = F.round(
+        F.col("_topc").cast("double") / F.greatest("n_tokens", F.lit(1)), 4
+    )
     dup_frac = F.round(
         F.coalesce(
-            F.lit(1.0) - F.col("_db").cast("double") / F.col("_nb"), F.lit(0.0)
+            F.lit(1.0)
+            - F.size(F.array_distinct("_bg")).cast("double") / F.size("_bg"),
+            F.lit(0.0),
         ),
         4,
     )
-    return (
-        tstat.join(bstat, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            top_frac.alias("top_token_frac"),
-            dup_frac.alias("dup_bigram_frac"),
-            (
-                (top_frac > top_token_thresh) | (dup_frac > dup_bigram_thresh)
-            ).alias("is_repetitive"),
-        )
+    return with_cols.select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (
+            (top_frac > top_token_thresh) | (dup_frac > dup_bigram_thresh)
+        ).alias("is_repetitive"),
     )
 
 

@@ -199,3 +199,14 @@ def test_round4_operator_plan_shapes(spark, sf_smoke):
     assert explain.count_exchanges(qs["events_window_bounds"](spark, sf_smoke)) <= 1
     # PNG roundtrip: Arrow mapInPandas + one broadcast join-back, no shuffle
     assert explain.count_exchanges(qs["multimodal_png_roundtrip"](spark, sf_smoke)) == 0
+
+
+def test_repetition_screen_zero_shuffle(spark, sf_smoke):
+    """Per-doc repetition ratios are row-local facts; the screen must
+    plan as a pure narrow projection (the explode+agg formulation cost
+    4 exchanges for nothing)."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    assert explain.count_exchanges(e.queries()["repetition_screen"](spark, sf_smoke)) == 0
