@@ -69,20 +69,25 @@ def _export_once(kind: str, sf_dir: str, write_fn) -> str:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
-        # rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-
-        # settable legacy conf) and convert to a micros timestamp; the
-        # testdata has exactly microsecond resolution so this is lossless
-        # and matches DuckDB's nanos->micros TIMESTAMP coercion.
-        # session.get_spark sets the conf at build time; for sessions we
-        # did not build (the driver's), set it once if absent — it cannot
+        # events.parquet's ts physical type has varied across testdata
+        # generations: TIMESTAMP(NANOS) (vanilla Spark rejects it —
+        # PARQUET_TYPE_ILLEGAL), and micros with isAdjustedToUTC=false
+        # (Spark 4 infers TIMESTAMP_NTZ, which unix_micros/window reject).
+        # Normalize every variant to a session-TZ timestamp; sessions here
+        # run UTC (session.get_spark), so NTZ->LTZ is a lossless relabel
+        # and matches DuckDB's naive-as-UTC TIMESTAMP semantics.
+        # session.get_spark sets the nanos conf at build time; for sessions
+        # we did not build (the driver's), set it once if absent — it cannot
         # be scoped-and-restored because the returned DataFrame reads the
         # conf lazily at scan planning, after this function returns.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
