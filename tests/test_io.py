@@ -186,3 +186,82 @@ def test_basket_text_datasource_overwrite_and_stragglers(spark, tmp_path):
     b = {(r["customer"], tuple(r["items"])) for r in back.collect()}
     assert a == b
     assert "Ghost" not in {r["customer"] for r in back.collect()}
+
+
+def test_basket_text_stream_reader_offsets(tmp_path):
+    """Offset algebra without Spark: read() consumes exactly the new
+    files, readBetweenOffsets() replays exactly the delta, temps stay
+    invisible — the determinism contract simple stream readers rely on
+    for exactly-once recovery."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "part-0").write_text("Mary 34 56\n")
+    rdr = basket_datasource.BasketTextStreamReader({"path": str(d)})
+    start = rdr.initialOffset()
+    rows1, off1 = rdr.read(start)
+    assert [r[0] for r in rows1] == ["Mary"]
+    # no new files -> empty batch, offset unchanged
+    rows_idle, off_idle = rdr.read(off1)
+    assert list(rows_idle) == [] and off_idle == off1
+    # new file + an uncommitted writer temp: only the committed file lands
+    (d / "part-1").write_text("Bob 1 2\nKelly 9\n")
+    (d / ".part-x.inprogress").write_text("Ghost 7 7\n")
+    rows2, off2 = rdr.read(off1)
+    assert sorted(r[0] for r in rows2) == ["Bob", "Kelly"]
+    # replay of the failed-batch window returns exactly the same rows
+    replay = list(rdr.readBetweenOffsets(off1, off2))
+    assert sorted(r[0] for r in replay) == ["Bob", "Kelly"]
+    assert "Ghost" not in {r[0] for r in replay}
+
+
+def test_basket_text_stream_end_to_end(spark, tmp_path):
+    """readStream over the custom source: two availableNow runs against a
+    growing directory consume each basket exactly once, and the flagship
+    co-occurrence aggregation composes on top of the stream."""
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "part-0").write_text("Mary 34 56 29\nBob 1 2 1 2 1\n")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    basket_datasource.register(spark)
+
+    def run_once():
+        # parquet sink: supports checkpoint recovery across restarts (the
+        # memory sink does not), so the second run resumes from the
+        # committed offset instead of replaying file part-0
+        q = (
+            spark.readStream.format("basket_text")
+            .option("path", str(src_dir))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    first = {
+        (r["customer"], tuple(r["items"]))
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first == {("Mary", ("34", "56", "29")), ("Bob", ("1", "2", "1", "2", "1"))}
+    # second file arrives; the restarted query picks up ONLY the delta
+    # (sink accumulates old + new: a re-read of part-0 would double Mary)
+    (src_dir / "part-1").write_text("Kelly 92 29\n")
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3
+    assert {r["customer"] for r in rows} == {"Mary", "Bob", "Kelly"}
