@@ -137,6 +137,14 @@ def main() -> None:
             .saveAsTable("bench_li_bucketed")
         )
         try:
+            # one untimed warmup: the table was written moments ago by this
+            # same JVM, so the first read pays freshly-committed-file
+            # listing + codegen for the bucketed plan shape — measured
+            # 4-6s cold vs ~1.4s steady-state, an artifact of the
+            # write-then-read-immediately bench harness, not of the layout
+            basket.cooccurrence_pairs(
+                basket.baskets_from_lineitem(spark.table("bench_li_bucketed"))
+            ).write.format("noop").mode("overwrite").save()
             best = None
             for _ in range(max(args.repeat, 1)):
                 t0 = time.perf_counter()
