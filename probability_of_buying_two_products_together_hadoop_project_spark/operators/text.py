@@ -234,6 +234,32 @@ def top_distinctive_terms(
     )
 
 
+def normalized_tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens of whitespace-normalized lowered text — the
+    shared tokenization contract every corpus operator (and its DuckDB
+    oracle twin) uses."""
+    return tokens(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+
+
+def ngram_array(tk: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings, built by a
+    zip_with cascade over shifted slices of the (hoisted) token array —
+    the HOF rule: lambdas touch only their element args, so the token
+    array is evaluated once, not once per lambda (quadratic otherwise).
+    Caller filters ``size(tk) >= n`` (shorter arrays yield empty)."""
+    ln = F.size(tk) - (n - 1)
+    grams: Column = F.slice(tk, 1, ln)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tk, 1 + j, ln),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return grams
+
+
 def corpus_ngrams(
     docs: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
 ) -> DataFrame:
@@ -249,17 +275,9 @@ def corpus_ngrams(
     toked = docs.select(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_nm")
     ).select(tokens(F.col("_nm")).alias("_tk"))
-    ln = F.size("_tk") - (n - 1)
-    grams: Column = F.slice(F.col("_tk"), 1, ln)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(F.col("_tk"), 1 + j, ln),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
     out = (
         toked.filter(F.size("_tk") >= n)
-        .select(F.explode(grams).alias("ngram"))
+        .select(F.explode(ngram_array(F.col("_tk"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram"))
@@ -395,4 +413,119 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         h.alias("fp"),
         F.substring(h, 1, 8).alias("fp_bucket"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a bag-of-words query — the lexical
+    retrieval half of a training-data / RAG pipeline (Robertson-Spärck
+    Jones probabilistic model, Okapi BM25 with the Lucene non-negative
+    idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Engine shape (all JVM expressions, no UDF):
+    - token arrays are FILTERED to the query terms *before* explode, so
+      the exploded row count is the number of query-term occurrences,
+      not corpus token count — at 100 TB the explode stays proportional
+      to matches;
+    - df (docs-per-term) and the (N, avgdl) scalars are tiny aggregates
+      broadcast back onto the per-(doc, term) tf rows: the corpus is
+      never shuffled, only the tf rows (≤ matches) hash-partition once;
+    - per-term partial scores are rounded to 6 decimals and summed as
+      decimal(18,6) (order-independent, cross-engine exact), then the
+      total rounds to 4 — the sort key is fully deterministic, with
+      ``id_col`` as the tie-break so top-k is reproducible across
+      engines and runs.
+    """
+    tk = normalized_tokens(text_col)
+    toked = docs.select(F.col(id_col), tk.alias("_tk")).select(
+        id_col,
+        F.size("_tk").alias("dl"),
+        F.filter(
+            F.col("_tk"), lambda t: t.isin([x.lower() for x in terms])
+        ).alias("_hits"),
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toked.filter(F.size("_hits") > 0)
+        .select(id_col, "dl", F.explode("_hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    from ..functions.scalar import dsum
+
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(part, 6).alias("_s"))
+        .groupBy(id_col)
+        .agg(F.round(dsum("_s", 6), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination via exact n-gram overlap: flag corpus
+    documents sharing any word n-gram with a benchmark/eval set (the
+    published GPT-3 appendix-C style screen uses 13-grams; pick ``n``
+    to the corpus — the synthetic test corpus' tiny vocabulary needs a
+    smaller n to be non-vacuous).
+
+    Engine shape: both sides reduce to DISTINCT md5(gram) digests — the
+    join ships 32-hex digests, never gram text. The benchmark side is a
+    deduplicated digest set, typically tiny vs the corpus (eval suites
+    are MBs, corpora are TBs), and broadcasts; the corpus side stays a
+    narrow per-row explode→distinct. Output: one row per contaminated
+    corpus doc with its distinct shared-gram count (docs also in the
+    benchmark set are excluded via anti-join on ``id_col``, not text
+    equality, so exact-duplicate eval docs still flag).
+    """
+    def grams_of(frame: DataFrame) -> DataFrame:
+        tk = normalized_tokens(text_col)
+        return (
+            frame.select(F.col(id_col), tk.alias("_tk"))
+            .filter(F.size("_tk") >= n)
+            .select(
+                id_col,
+                F.explode(F.array_distinct(ngram_array(F.col("_tk"), n))).alias(
+                    "_g"
+                ),
+            )
+            .select(id_col, F.md5("_g").alias("gram_md5"))
+        )
+
+    bench_grams = grams_of(benchmark).select("gram_md5").distinct()
+    corpus_grams = grams_of(
+        docs.join(benchmark.select(id_col), id_col, "left_anti")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram_md5")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

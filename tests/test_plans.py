@@ -210,3 +210,34 @@ def test_repetition_screen_zero_shuffle(spark, sf_smoke):
     from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
 
     assert explain.count_exchanges(e.queries()["repetition_screen"](spark, sf_smoke)) == 0
+
+
+def test_late_r04_query_plan_shapes(spark, sf_smoke):
+    """Pin the late-r04 queries: TPC-H shapes keep every dimension
+    broadcast (no cartesian, no nested-loop except the 1-row scalar
+    broadcasts in q22/bm25), and exchange counts stay at the designed
+    minimum — the fact table shuffles once (its big equi-join or its
+    aggregation), never more."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    qs = e.queries()
+    # (name, max_exchanges, scalar_broadcast_allowed)
+    cases = [
+        ("q7_nation_volume_shipping", 1, False),
+        ("q10_returned_item_revenue", 2, False),  # agg + top-k sort
+        ("q13_order_count_distribution", 2, False),
+        ("q18_large_quantity_orders", 2, False),
+        ("q22_inactive_rich_customers", 2, True),
+        ("bm25_search", 5, True),
+        ("decontaminate_ngrams", 2, False),
+    ]
+    for name, max_exch, scalar_bnlj_ok in cases:
+        df = qs[name](spark, sf_smoke)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        if not scalar_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        n = explain.count_exchanges(df)
+        assert n <= max_exch, f"{name}: {n} exchanges > {max_exch}"

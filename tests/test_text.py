@@ -166,3 +166,60 @@ def test_repetition_stats_flags_degenerate_text(spark):
     # quality_score's job, not the repetition formula's
     assert out[3]["dup_bigram_frac"] == 0.0
     assert out[3]["top_token_frac"] == 1.0 and out[3]["is_repetitive"]
+
+
+def test_bm25_ranking_ground_truth(spark):
+    """BM25 against a hand-computed fixture: the doc where the query term
+    is rarer-corpus-wide but denser in-doc must outrank longer diluted
+    docs; docs without any query term don't appear."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),            # dense hit, short
+            (2, "spark and a lot of other words here to dilute the score"),
+            (3, "no relevant terms at all"),
+            (4, "join join spark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in text.bm25_topk(docs, ["spark", "join"], k=10).collect()}
+    assert 3 not in out and set(out) == {1, 2, 4}
+    # hand-computed for doc 1: N=4, avgdl=(3+12+5+3)/4=5.75, spark df=3
+    idf_spark = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    tf, dl = 3, 3
+    s1 = idf_spark * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 5.75))
+    assert abs(out[1] - round(round(s1, 6), 4)) < 1e-9
+    # doc 4 scores on both terms; doc 2's single diluted hit scores least
+    assert out[4] > out[1] > out[2]
+
+
+def test_bm25_term_prefilter_plan(spark):
+    """The token array filters to query terms BEFORE explode: the plan
+    must not contain a Generate over the full token array (the explode
+    input is the filtered array)."""
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b c d")], "doc_id long, text string")
+    plan = text.bm25_topk(docs, ["b"], k=5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "filter(" in plan  # ArrayFilter feeds the explode
+
+
+def test_ngram_decontaminate_planted_overlap(spark):
+    """A corpus doc sharing a 3-gram with a benchmark doc is flagged with
+    the right distinct-gram count; non-overlapping docs and benchmark
+    members themselves are not flagged."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # benchmark (0 % 97 == 0)
+            (1, "x alpha beta gamma y"),          # shares 'alpha beta gamma'
+            (2, "completely different words here"),
+            (3, "alpha beta gamma delta"),        # exact copy of benchmark doc
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = {r["doc_id"]: r["n_shared_grams"] for r in text.ngram_decontaminate(docs, bench, n=3).collect()}
+    # doc 1 shares exactly 1 distinct 3-gram; doc 3 shares both of the
+    # benchmark doc's 3-grams despite being excluded from the corpus side
+    # only by id (text-equality exclusion would hide it — the bug the
+    # anti-join-on-id design avoids)
+    assert out == {1: 1, 3: 2}
