@@ -382,6 +382,7 @@ def near_dup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    on_budget_exhausted: str = "raise",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every id gets
     ``cluster_id`` = the minimum id in its component — the canonical
@@ -441,13 +442,27 @@ def near_dup_clusters(
     else:
         # falling through with changed > 0 would silently return labels
         # that split one component across clusters (A and Z of a long
-        # chain) — fail loudly; callers with adversarial-diameter graphs
-        # should use near_dup_clusters_star (O(log n) rounds)
+        # chain). Either fail loudly, or — with
+        # ``on_budget_exhausted="star"`` — hand the graph to the
+        # large-star/small-star contraction, whose O(log n) round count
+        # is diameter-independent, so the budget that defeated
+        # propagation cannot defeat the fallback.
+        if on_budget_exhausted == "star":
+            import warnings
+
+            warnings.warn(
+                f"near_dup_clusters: not converged after {max_iters} "
+                f"rounds ({changed} nodes moved last round); switching "
+                "to large-star/small-star contraction",
+                stacklevel=2,
+            )
+            return near_dup_clusters_star(ids, pairs, id_col, a_col, b_col)
         raise RuntimeError(
             f"near_dup_clusters: labels still changing after {max_iters} "
             f"rounds ({changed} nodes moved last round); a component's "
-            "diameter exceeds max_iters. Raise max_iters or use "
-            "near_dup_clusters_star for long-chain graphs."
+            "diameter exceeds max_iters. Raise max_iters, pass "
+            "on_budget_exhausted='star', or call near_dup_clusters_star "
+            "directly for long-chain graphs."
         )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 

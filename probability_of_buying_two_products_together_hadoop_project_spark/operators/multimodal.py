@@ -233,18 +233,76 @@ def encode_png(
     )
 
 
+def encode_png_gray(width: int, height: int, gray_bytes: bytes) -> bytes:
+    """Pack 8-bit grayscale bytes (len == width*height, row 0 = TOP) into
+    a non-interlaced grayscale PNG (color type 0), mixed scanline
+    filters as in :func:`encode_png`."""
+    if len(gray_bytes) != width * height:
+        raise ValueError("gray_bytes must be width*height bytes")
+    lines = []
+    prev = bytes(width)
+    for r in range(height):
+        line = gray_bytes[r * width : (r + 1) * width]
+        ftype = r % 5
+        lines.append(
+            bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev, bpp=1))
+        )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Pack 8-bit palette indices + an RGB palette (<=256*3 bytes, len a
+    multiple of 3) into an indexed-color PNG (color type 3), mixed
+    scanline filters."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    if len(palette) % 3 != 0 or not 3 <= len(palette) <= 256 * 3:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    lines = []
+    prev = bytes(width)
+    for r in range(height):
+        line = indices[r * width : (r + 1) * width]
+        ftype = r % 5
+        lines.append(
+            bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev, bpp=1))
+        )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse an 8-bit truecolor non-interlaced PNG -> (width, height, RGB
-    bytes with row 0 = TOP row): IHDR/IDAT walk, zlib inflate, unfilter.
-    Chunk CRCs are not re-verified (zlib's adler32 already covers the
-    pixel stream). Raises NotImplementedError for palette/alpha/16-bit/
-    interlaced variants — those need only more of the same spec, not a
-    codec library."""
+    """Parse a non-interlaced 8-bit PNG -> (width, height, RGB bytes with
+    row 0 = TOP row): IHDR/PLTE/IDAT walk, zlib inflate, unfilter.
+
+    REAL for color types 2 (truecolor), 0 (grayscale, expanded to RGB),
+    and 3 (indexed — PLTE lookup). Chunk CRCs are not re-verified
+    (zlib's adler32 already covers the pixel stream). Raises
+    NotImplementedError for alpha/16-bit/interlaced variants — those
+    need only more of the same spec, not a codec library."""
     if payload is None or not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos = 8
     idat = bytearray()
-    width = height = None
+    palette = None
+    width = height = ctype = None
     while pos + 8 <= len(payload):
         ln, tag = struct.unpack_from(">I4s", payload, pos)
         pos += 8
@@ -254,10 +312,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            if depth != 8 or ctype not in (0, 2, 3) or (comp, filt, interlace) != (
+                0,
+                0,
+                0,
+            ):
                 raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported"
+                    "only 8-bit gray/truecolor/indexed non-interlaced PNG "
+                    "supported"
                 )
+        elif tag == b"PLTE":
+            palette = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -265,7 +330,26 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    return width, height, _png_unfilter(raw, width, height)
+    if ctype == 2:
+        return width, height, _png_unfilter(raw, width, height)
+    px = _png_unfilter(raw, width, height, bpp=1)
+    if ctype == 0:
+        # grayscale -> RGB expansion (g,g,g): callers get one channel
+        # contract for every color type
+        out = bytearray(len(px) * 3)
+        out[0::3] = px
+        out[1::3] = px
+        out[2::3] = px
+        return width, height, bytes(out)
+    if palette is None or len(palette) % 3 != 0 or not palette:
+        raise ValueError("indexed PNG missing or malformed PLTE")
+    n_entries = len(palette) // 3
+    if max(px) >= n_entries:
+        raise ValueError("palette index out of range")
+    out = bytearray(len(px) * 3)
+    for i, idx in enumerate(px):
+        out[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+    return width, height, bytes(out)
 
 
 def png_from_text(text: str, width: int = 16) -> bytes:

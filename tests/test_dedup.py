@@ -357,3 +357,26 @@ def test_simhash_verified_md5_family(spark):
     assert got[(0, 1)] == 0   # normalized-identical -> identical signature
     assert (0, 2) in got and got[(0, 2)] <= 6
     assert (0, 3) not in got and (0, 4) not in got
+
+
+def test_near_dup_clusters_star_fallback_on_budget(spark):
+    """on_budget_exhausted='star': the same chain that defeats min-label
+    propagation at max_iters=2 converges via the contraction fallback to
+    the correct single component (with a warning, not an exception)."""
+    import warnings
+
+    n = 8
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(
+                ids, chain, max_iters=2, on_budget_exhausted="star"
+            ).collect()
+        }
+    assert any("switching" in str(x.message) for x in w)
+    assert got == {i: 0 for i in range(n)}

@@ -161,3 +161,47 @@ def test_media_png_table_and_pixel_decode(spark):
         raw = text.encode()
         assert bytes(dec[mid]["pixels"])[: len(raw)] == raw
         assert dec[mid]["width"] == 16
+
+
+def test_png_grayscale_roundtrip_and_rgb_expansion():
+    """Grayscale (color type 0) encode→decode: pixels survive all five
+    filters and expand to (g,g,g) RGB — one channel contract for every
+    color type."""
+    w, h = 7, 6  # 6 rows -> filters 0..4 and a repeat
+    gray = bytes((i * 37) % 256 for i in range(w * h))
+    png = multimodal.encode_png_gray(w, h, gray)
+    dw, dh, rgb = multimodal.decode_png(png)
+    assert (dw, dh) == (w, h) and len(rgb) == w * h * 3
+    assert rgb[0::3] == gray and rgb[1::3] == gray and rgb[2::3] == gray
+
+
+def test_png_palette_roundtrip():
+    """Indexed (color type 3): PLTE lookup reproduces the exact RGB the
+    palette defines, across all five scanline filters."""
+    w, h = 5, 6
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])  # 4 entries
+    idx = bytes((i * 3) % 4 for i in range(w * h))
+    png = multimodal.encode_png_palette(w, h, idx, palette)
+    dw, dh, rgb = multimodal.decode_png(png)
+    assert (dw, dh) == (w, h)
+    for i, k in enumerate(idx):
+        assert rgb[3 * i : 3 * i + 3] == palette[3 * k : 3 * k + 3], i
+    # malformed: out-of-range index must raise, not wrap
+    with pytest.raises(ValueError, match="index out of range"):
+        multimodal.encode_png_palette(w, h, bytes([9]) * (w * h), palette)
+
+
+def test_png_palette_decode_rejects_missing_plte():
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = _z.compress(b"\x00\x00\x00")  # filter byte + 2 indices
+    body = b""
+    for tag, data in ((b"IHDR", ihdr), (b"IDAT", raw), (b"IEND", b"")):
+        body += (
+            _s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+    with pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png(multimodal.PNG_SIG + body)
