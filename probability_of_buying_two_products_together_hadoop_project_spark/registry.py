@@ -2908,6 +2908,67 @@ def q_decontaminate(spark, sf_dir):
     return text.ngram_decontaminate(docs, benchmark, n=4)
 
 
+@register(
+    "variant_extract_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+    "Spark 4 native VARIANT path: parse_json once into a variant column, "
+    "variant_get typed extraction (vs the string-re-parsing "
+    "get_json_object in json_extract_events) — the binary variant "
+    "encoding is parsed once per row, then every extraction is a "
+    "tree walk, the semi-structured contract at 100 TB",
+)
+def q_variant_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("_v"))
+        .select(
+            "event_type", F.variant_get("_v", "$.k", "long").alias("k")
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
+    "window_range_frame_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+    "RANGE window frame (value-based, not row-based): per-customer "
+    "30-day trailing revenue — peers at the same date aggregate "
+    "identically, so the frame is deterministic under any row order; "
+    "exact-decimal sum keeps the double cross-engine-identical",
+)
+def q_window_range_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -3023,6 +3084,8 @@ _ROTATION_TAIL = {
     "q22_inactive_rich_customers": "r04-local",
     "bm25_search": "r04-local",
     "decontaminate_ngrams": "r04-local",
+    "variant_extract_events": "r04-local",
+    "window_range_frame_orders": "r04-local",
 }
 
 
