@@ -50,6 +50,9 @@ HEADLINE = [
     "embedding_srp_lsh_topk",
     "events_session_window",
     "multimodal_png_roundtrip",
+    "q7_nation_volume_shipping",
+    "bm25_search",
+    "decontaminate_ngrams",
 ]
 
 
