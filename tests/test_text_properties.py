@@ -1,0 +1,88 @@
+"""Property tests for the late-r04 text operators: independent pure-Python
+references (the repo's winnow-parity pattern) drive randomized corpora
+through both the simulator and the Spark pipeline."""
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
+
+words = st.sampled_from(["spark", "join", "window", "scan", "agg", "row", "x", "yy"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=12), min_size=1, max_size=8
+)
+
+
+def py_ngrams(tokens, n):
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def py_bm25(docs, terms, k1=1.2, b=0.75):
+    """Independent BM25 reference mirroring the operator's rounding
+    contract (6dp per-term partials, 4dp total)."""
+    n_docs = len(docs)
+    if n_docs == 0:
+        return {}
+    avgdl = sum(len(d) for d in docs.values()) / n_docs
+    df = Counter(t for d in docs.values() for t in set(d) if t in terms)
+    scores = {}
+    for did, toks in docs.items():
+        tf = Counter(t for t in toks if t in terms)
+        if not tf:
+            continue
+        s = 0.0
+        for t, f in sorted(tf.items()):
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(toks) / avgdl)), 6
+            )
+        scores[did] = round(round(s, 6), 4)
+    return scores
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_ngram_array_matches_python(spark, doc_lists):
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doc_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["g"])
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.size(text.normalized_tokens()) >= n,
+                text.ngram_array(text.normalized_tokens(), n),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("g"),
+        ).collect()
+    }
+    for i, toks in enumerate(doc_lists):
+        want = py_ngrams(toks, n) if len(toks) >= n else []
+        assert got[i] == want, (i, toks)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_bm25_matches_python_reference(spark, doc_lists):
+    terms = ["spark", "join"]
+    docs = {i: toks for i, toks in enumerate(doc_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in text.bm25_topk(df, terms, k=len(doc_lists) + 1).collect()
+    }
+    want = py_bm25(docs, set(terms))
+    # same doc set scored, same 4dp scores (exact: both sides share the
+    # decimal-sum rounding contract)
+    assert got == want, (got, want)
