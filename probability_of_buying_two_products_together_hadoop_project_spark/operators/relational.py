@@ -345,3 +345,41 @@ def sessionize(
         ).otherwise(F.lit(0))
     )
     return df.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def salted_collect(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase salted collect_list for skewed HOLISTIC aggregation.
+
+    Algebraic aggregates (sum/count/min/max) are skew-tolerant for free:
+    Catalyst's partial aggregation combines map-side, so a hot key ships
+    one partial row per task. ``collect_list`` is holistic — the naive
+    plan ships EVERY value of a hot key to one reducer, the classic
+    straggler at 100 TB. The fix mirrors salted_join: phase 1 groups by
+    (key, salt) where ``salt = pmod(xxhash64(value), n_salts)`` — the
+    hot key's values spread across ``n_salts`` reducers and collect into
+    partial lists; phase 2 groups by key alone, but now each hot key
+    contributes at most ``n_salts`` pre-collected rows, not one row per
+    value. Deterministic salt (hash of the value, not rand()) keeps
+    reruns identical and retries safe.
+
+    Output: ``values`` = sort_array(flatten(partials)) — a canonical
+    order, because two-phase collection (and ANY distributed collect)
+    has no defensible arrival order; consumers that need one get it
+    explicitly, cross-engine-reproducibly.
+    """
+    keys = [F.col(k) for k in key_cols]
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    partial = (
+        df.select(*keys, F.col(value_col), salt.alias("_salt"))
+        .groupBy(*key_cols, "_salt")
+        .agg(F.collect_list(value_col).alias("_part"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sort_array(F.flatten(F.collect_list("_part"))).alias("values"))
+    )

@@ -157,3 +157,31 @@ def test_hash_sample_is_deterministic_and_join_consistent(spark):
     # salt rotates the draw
     ps3 = {r["k"] for r in relational.hash_sample(parents, ["k"], 100, salt="v2").collect()}
     assert ps3 != ps1
+
+
+def test_salted_collect_equals_plain_collect(spark):
+    """Salting must be result-invisible: the two-phase salted collect,
+    flattened and sorted, equals sort_array(collect_list) computed the
+    naive way — including a deliberately hot key holding most rows."""
+    rows = [(1, f"v{i % 7}") for i in range(200)] + [(2, "a"), (2, "b"), (3, "z")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    salted = {
+        r["k"]: list(r["values"])
+        for r in relational.salted_collect(df, ["k"], "v", n_salts=4).collect()
+    }
+    plain = {
+        r["k"]: list(r["vs"])
+        for r in df.groupBy("k")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .collect()
+    }
+    assert salted == plain
+    # the hot key's 200 values really spread: phase 1 emits one partial
+    # per distinct salt of the value hashes (> 1 for 7 distinct values)
+    partials = (
+        df.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("v"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert partials > 1
