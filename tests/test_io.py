@@ -265,3 +265,47 @@ def test_basket_text_stream_end_to_end(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 3
     assert {r["customer"] for r in rows} == {"Mary", "Bob", "Kelly"}
+
+
+def test_basket_text_stream_flagship_composes(spark, tmp_path):
+    """The full pipeline story: stream the reference basket format
+    through the custom source, aggregate with the streaming flagship
+    (same pair expression as batch; running count state) in
+    complete-mode, and land the same pair counts the batch path
+    computes — streaming and batch share one logical plan."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+    from probability_of_buying_two_products_together_hadoop_project_spark.streaming import streams
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "part-0").write_text("Mary 34 56 29\nBob 1 2 1 2 1\n")
+    basket_datasource.register(spark)
+    stream = (
+        spark.readStream.format("basket_text")
+        .option("path", str(src_dir))
+        .load()
+    )
+    q = (
+        streams.cooccurrence_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stream_flagship")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["item"], r["neighbor"]): r["pair_cnt"]
+        for r in spark.sql("SELECT * FROM stream_flagship").collect()
+    }
+    want = {
+        (r["item"], r["neighbor"]): r["pair_cnt"]
+        for r in basket.cooccurrence_counts(
+            basket_datasource.read_baskets(spark, str(src_dir))
+        ).collect()
+    }
+    assert got == want and got[("1", "2")] == 2
+    spark.catalog.dropTempView("stream_flagship")
