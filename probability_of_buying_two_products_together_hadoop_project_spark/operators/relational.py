@@ -192,6 +192,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: dict[str, str],
+    tie_break: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row of
     the same key with ``right_ts <= left_ts`` (nulls if none).
@@ -203,7 +204,14 @@ def asof_join(
     window — ONE exchange on the key, a per-partition sort, zero row
     blow-up, works at any key cardinality or time skew.
 
-    ``right_cols`` maps right column -> output name.
+    ``right_cols`` maps right column -> output name. ``tie_break``
+    (an OUTPUT name from ``right_cols``) pins which right row wins when
+    several share the exact as-of timestamp: the one with the GREATEST
+    tie_break value. Without it the winner among equal-timestamp rows
+    is whichever sorts last in the partition — stable within a run but
+    not across engines or shuffles (surfaced at sf0.1, where same-day
+    order ties are common; at sf0.01 no tie was ever hit). Pass it
+    whenever the right side can carry duplicate timestamps per key.
     """
     # internal working columns and the output names land on the left frame;
     # a pre-existing column with any of those names would be silently
@@ -219,27 +227,36 @@ def asof_join(
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(o) for c, o in right_cols.items()],
+            # ONE struct per right row: the running last() then selects a
+            # whole row atomically — per-column last() could mix columns
+            # from different rows when the winning row carries nulls
+            F.struct(
+                *[F.col(c).alias(o) for c, o in right_cols.items()]
+            ).alias("_rv"),
         )
         .withColumn("_side", F.lit(0))
     )
-    for o in right_cols.values():
-        lt = lt.withColumn(o, F.lit(None).cast(dict(rt.dtypes)[o]))
-    cols = [on, "_ts", "_side", *right_cols.values()]
+    lt = lt.withColumn("_rv", F.lit(None).cast(dict(rt.dtypes)["_rv"]))
+    cols = [on, "_ts", "_side", "_rv"]
     extra = [c for c in lt.columns if c not in cols]
     u = lt.select(*cols, *extra).unionByName(
         rt.select(*cols, *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c) for c in extra])
     )
     # right rows sort before left rows at the same timestamp (_side 0 < 1),
-    # so an exactly-equal right timestamp IS visible to the left row
+    # so an exactly-equal right timestamp IS visible to the left row;
+    # the ascending tie_break makes the greatest-valued right row the
+    # last (winning) one among equal timestamps
+    order = ["_ts", "_side"] + ([f"_rv.{tie_break}"] if tie_break else [])
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for o in right_cols.values():
-        u = u.withColumn(o, F.last(o, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side", "_ts")
+        out = out.withColumn(o, F.col(f"_rv.{o}"))
+    return out.drop("_side", "_ts", "_rv")
 
 
 def hash_sample(

@@ -1651,15 +1651,26 @@ def q_interval_join(spark, sf_dir):
 @register(
     "asof_join_event_order",
     """
-    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-           o.o_orderkey AS last_orderkey,
-           CAST(o.o_totalprice AS DOUBLE) AS last_orderprice
-    FROM events e
-    ASOF LEFT JOIN orders o
-      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    SELECT event_id, user_id, ts_us, last_orderkey, last_orderprice
+    FROM (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             o.o_orderkey AS last_orderkey,
+             CAST(o.o_totalprice AS DOUBLE) AS last_orderprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
     """,
-    "As-of join: latest order at or before each event (union-tag + "
-    "last_value window; Spark lacks native ASOF JOIN)",
+    "As-of join: latest order at or before each event, TIES at the "
+    "same order date resolved to the greatest orderkey (union-tag + "
+    "last_value window with explicit tie-break; DuckDB's native ASOF "
+    "leaves equal-timestamp winners unspecified, so the oracle states "
+    "the deterministic contract via arg_max over a composite key — "
+    "same-day ties are common at sf0.1, absent at sf0.01)",
 )
 def q_asof_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -1673,6 +1684,7 @@ def q_asof_join(spark, sf_dir):
         left_ts="ts",
         right_ts="o_orderdate",
         right_cols={"o_orderkey": "last_orderkey", "o_totalprice": "last_orderprice"},
+        tie_break="last_orderkey",
     )
     return out.select(
         "event_id",

@@ -36,3 +36,29 @@ def test_asof_join_semantics(spark):
     got = {r["event_id"]: r["last_val"] for r in out.collect()}
     assert got == {1: None, 2: 100, 3: 200, 4: 300, 5: None}
     assert out.count() == left.count()  # no row blow-up, left-join semantics
+
+
+def test_asof_join_tie_break_and_atomic_row(spark):
+    """Two right rows at the SAME as-of timestamp: the greatest
+    tie_break value wins, and every output column comes from that one
+    winning row (atomic struct selection — per-column carry could mix
+    rows when the winner holds nulls)."""
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 5, 7, 70.0), (100, 5, 9, None), (100, 3, 8, 80.0)],
+        "user_id long, rts long, k long, price double",
+    )
+    out = relational.asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols={"k": "last_k", "price": "last_price"},
+        tie_break="last_k",
+    ).collect()[0]
+    # ties at rts=5: k=9 beats k=7; its null price must NOT fall back to
+    # k=7's 70.0 or k=8's 80.0
+    assert out["last_k"] == 9 and out["last_price"] is None
