@@ -105,6 +105,11 @@ def main() -> None:
     shuffle: dict[str, dict[str, int]] = {}
     for name in names:
         best = None
+        # one untimed warmup per query so repeat=1 runs aren't charged for
+        # first-touch costs (codegen for this plan shape, file listing) —
+        # previously only the bucketed variant got this, biasing
+        # bucketed-vs-baseline comparisons at repeat=1
+        qs[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         r0, w0 = _shuffle_totals(ui_url)
         for _ in range(max(args.repeat, 1)):
             t0 = time.perf_counter()

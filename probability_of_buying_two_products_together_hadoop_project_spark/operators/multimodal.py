@@ -267,7 +267,7 @@ def encode_png_palette(
         raise ValueError("indices must be width*height bytes")
     if len(palette) % 3 != 0 or not 3 <= len(palette) <= 256 * 3:
         raise ValueError("palette must be 1..256 RGB triples")
-    if max(indices) >= len(palette) // 3:
+    if max(indices, default=0) >= len(palette) // 3:
         raise ValueError("palette index out of range")
     lines = []
     prev = bytes(width)
@@ -344,7 +344,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if palette is None or len(palette) % 3 != 0 or not palette:
         raise ValueError("indexed PNG missing or malformed PLTE")
     n_entries = len(palette) // 3
-    if max(px) >= n_entries:
+    if max(px, default=0) >= n_entries:
         raise ValueError("palette index out of range")
     out = bytearray(len(px) * 3)
     for i, idx in enumerate(px):

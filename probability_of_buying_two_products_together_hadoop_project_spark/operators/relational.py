@@ -216,7 +216,7 @@ def asof_join(
     # internal working columns and the output names land on the left frame;
     # a pre-existing column with any of those names would be silently
     # clobbered and corrupt results — fail loudly instead
-    clash = {"_ts", "_side", *right_cols.values()}.intersection(left.columns)
+    clash = {"_ts", "_side", "_rv", *right_cols.values()}.intersection(left.columns)
     if clash:
         raise ValueError(
             "asof_join: left columns collide with internal/output names: "

@@ -309,3 +309,28 @@ def test_basket_text_stream_flagship_composes(spark, tmp_path):
     }
     assert got == want and got[("1", "2")] == 2
     spark.catalog.dropTempView("stream_flagship")
+
+
+def test_events_loader_pins_utc_on_foreign_session(spark, sf_smoke):
+    """A driver-owned session may carry a non-UTC timezone; the events
+    loader must pin UTC before the NTZ->timestamp relabel, or every epoch
+    shifts by the TZ offset and diverges from DuckDB's naive-as-UTC
+    semantics (r04 ADVICE, medium)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark import registry
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = registry._t(spark, sf_smoke, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = df.selectExpr("min(unix_micros(ts)) AS e").collect()[0]["e"]
+
+        import duckdb
+
+        want = duckdb.sql(
+            "SELECT epoch_us(min(ts)) FROM "
+            f"read_parquet('{sf_smoke}/events.parquet')"
+        ).fetchone()[0]
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)

@@ -4,6 +4,7 @@ through both the simulator and the Spark pipeline."""
 
 import math
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -21,9 +22,21 @@ def py_ngrams(tokens, n):
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def _spark_round(x: float, places: str) -> Decimal:
+    """Spark's round(double, n): BigDecimal.valueOf(double) parses
+    Double.toString's shortest round-trip decimal (same string Python's
+    repr produces), then setScale(n, HALF_UP). Python's round() instead
+    rounds the underlying binary double, which disagrees at decimal ties
+    (e.g. 1.40075 -> 1.4007, Spark/DuckDB -> 1.4008)."""
+    return Decimal(repr(float(x))).quantize(
+        Decimal(places), rounding=ROUND_HALF_UP
+    )
+
+
 def py_bm25(docs, terms, k1=1.2, b=0.75):
     """Independent BM25 reference mirroring the operator's rounding
-    contract (6dp per-term partials, 4dp total)."""
+    contract: 6dp HALF_UP per-term partials, exact decimal sum (dsum),
+    cast to double, 4dp HALF_UP total."""
     n_docs = len(docs)
     if n_docs == 0:
         return {}
@@ -34,13 +47,14 @@ def py_bm25(docs, terms, k1=1.2, b=0.75):
         tf = Counter(t for t in toks if t in terms)
         if not tf:
             continue
-        s = 0.0
+        s = Decimal(0)
         for t, f in sorted(tf.items()):
             idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
-            s += round(
-                idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(toks) / avgdl)), 6
+            s += _spark_round(
+                idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(toks) / avgdl)),
+                "0.000001",
             )
-        scores[did] = round(round(s, 6), 4)
+        scores[did] = float(_spark_round(float(s), "0.0001"))
     return scores
 
 
@@ -86,3 +100,25 @@ def test_bm25_matches_python_reference(spark, doc_lists):
     # same doc set scored, same 4dp scores (exact: both sides share the
     # decimal-sum rounding contract)
     assert got == want, (got, want)
+
+
+def test_bm25_rounding_tie_regression(spark):
+    """Pinned hypothesis falsifying example (r04): doc ['spark']*2 scores
+    an exact per-term partial of 1.40075 — a 4-decimal tie. Spark/DuckDB
+    round the decimal half-up (1.4008); Python's round() rounds the
+    nearest binary double (1.4007499...) down. The reference must follow
+    the engine's decimal HALF_UP contract."""
+    doc_lists = [[], [], ["spark"] * 2, ["join"] * 6, ["spark"] * 11 + ["join"]]
+    terms = ["spark", "join"]
+    docs = dict(enumerate(doc_lists))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in text.bm25_topk(df, terms, k=len(doc_lists) + 1).collect()
+    }
+    want = py_bm25(docs, set(terms))
+    assert got == want, (got, want)
+    assert got[2] == 1.4008  # the tie rounds half-UP, not to the binary double
