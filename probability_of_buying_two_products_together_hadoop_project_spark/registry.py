@@ -82,6 +82,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf lazily at scan planning, after this function returns.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->LTZ relabel below (and window()/date_trunc in the events
+        # queries) reads the SESSION timezone; a non-UTC driver session would
+        # shift every epoch by the TZ offset and move window boundaries,
+        # diverging from DuckDB's naive-as-UTC semantics. Pin it like the
+        # nanos conf — same cannot-scope-and-restore reasoning applies.
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -2837,6 +2844,219 @@ def q_q22(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal", 4).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1, 2
+    """,
+    "TPC-H Q21 shape (adapted: no receipt/commit dates in this schema, so "
+    "'failed' = l_returnflag 'R' on a finished order): suppliers who were "
+    "the SOLE failing supplier in a multi-supplier order — chained "
+    "correlated EXISTS / NOT EXISTS over the same fact, decorrelated to a "
+    "left-semi + left-anti self-join pair on the fact's own join key "
+    "(co-partitioned: all three lineitem legs shuffle on l_orderkey once, "
+    "no row blow-up, no nested loop). Region-filtered supplier dim "
+    "broadcasts.",
+)
+def q_q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("s_suppkey", "s_name", "n_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# Q2/Q11 adaptation note: this schema has no partsupp table, so lineitem
+# serves as the part-supplier price/value list (unit price =
+# l_extendedprice / l_quantity; supply value = extendedprice * (1 -
+# discount)). The plan shapes under test — Q2's correlated scalar MIN
+# over a join tree, Q11's HAVING against a global scalar of the same
+# aggregate — are preserved exactly.
+_Q2_PRICED_CTE = """
+    WITH priced AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    _Q2_PRICED_CTE
+    + """
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           pr.unit_price AS best_price
+    FROM priced pr
+      JOIN part p ON p.p_partkey = pr.l_partkey AND p.p_size <= 10
+      JOIN supplier s ON s.s_suppkey = pr.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE pr.unit_price = (SELECT min(pr2.unit_price) FROM priced pr2
+                           WHERE pr2.l_partkey = pr.l_partkey)
+    """,
+    "TPC-H Q2 shape (adapted — see module note): for each small part, the "
+    "EUROPE supplier(s) achieving the minimum unit price. The correlated "
+    "scalar MIN over a join tree decorrelates to: price the (part, "
+    "supplier) pairs once, grouped MIN per part, join back on price "
+    "equality (MIN of doubles is order-independent, so the equality is "
+    "cross-engine exact; ties keep all witnesses, as in reference Q2). "
+    "The per-part min is a WINDOW over the priced relation, not a "
+    "self-join — lineitem is scanned once, and the window reuses the "
+    "grouped rows with one extra exchange on the part key.",
+)
+def q_q2(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("s_suppkey", "s_name", "n_name")
+    priced = (
+        li.join(F.broadcast(sn.select("s_suppkey")), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        priced.withColumn("_best", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("_best"))
+        .drop("_best")
+    )
+    return (
+        winners.join(F.broadcast(p), winners.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), winners.l_suppkey == sn.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("unit_price").alias("best_price"),
+        )
+    )
+
+
+_Q11_SUPPLY_CTE = """
+    WITH supply AS (
+      SELECT l.l_partkey,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS v
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_9'
+    )
+"""
+
+
+@register(
+    "q11_important_stock",
+    _Q11_SUPPLY_CTE
+    + """
+    SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM supply
+    GROUP BY l_partkey
+    HAVING CAST(SUM(v) AS DOUBLE) >
+           (SELECT CAST(SUM(v) AS DOUBLE) * 0.0005 FROM supply)
+    """,
+    "TPC-H Q11 shape (adapted — see module note): parts whose supply "
+    "value from NATION_9 suppliers exceeds a fraction of that nation's "
+    "total. HAVING against a global scalar of the SAME aggregate "
+    "decorrelates to: one grouped decimal-sum pass, one global decimal "
+    "sum (a partial re-aggregation of the first, not a second scan), "
+    "broadcast the 1-row scalar and filter. Exact decimal sums on both "
+    "sides make the threshold boundary bit-identical cross-engine.",
+)
+def q_q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9").select(
+        "n_nationkey"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    supply = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    per_part = supply.groupBy("l_partkey").agg(
+        F.sum("v").alias("_vd")
+    )
+    total = per_part.agg(
+        (F.sum("_vd").cast("double") * F.lit(0.0005)).alias("_thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_vd").cast("double") > F.col("_thresh"))
+        .select("l_partkey", F.col("_vd").cast("double").alias("total_value"))
     )
 
 

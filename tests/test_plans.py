@@ -241,3 +241,33 @@ def test_late_r04_query_plan_shapes(spark, sf_smoke):
             assert "BroadcastNestedLoopJoin" not in plan, name
         n = explain.count_exchanges(df)
         assert n <= max_exch, f"{name}: {n} exchanges > {max_exch}"
+
+
+def test_r05_tpch_query_plan_shapes(spark, sf_smoke):
+    """Pin the r05 TPC-H additions: Q21's chained semi/anti self-joins
+    stay co-partitioned equi-joins (no cartesian/nested-loop), Q2 scans
+    lineitem ONCE (window min, not a min-side self-join), Q11's only
+    nested loop is the 1-row threshold broadcast."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    qs = e.queries()
+    cases = [
+        # (name, max_exchanges, scalar_broadcast_allowed)
+        ("q21_waiting_supplier", 4, False),
+        ("q2_min_cost_supplier", 3, False),
+        ("q11_important_stock", 3, True),
+    ]
+    for name, max_exch, scalar_bnlj_ok in cases:
+        df = qs[name](spark, sf_smoke)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        if not scalar_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        n = explain.count_exchanges(df)
+        assert n <= max_exch, f"{name}: {n} exchanges > {max_exch}"
+    # Q2 must read lineitem exactly once (the whole point of the window
+    # formulation vs the join-back one)
+    plan2 = explain.formatted_plan(qs["q2_min_cost_supplier"](spark, sf_smoke))
+    assert plan2.count("lineitem.parquet") <= 1
