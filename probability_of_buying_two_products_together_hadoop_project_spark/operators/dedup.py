@@ -375,6 +375,93 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    block_cols: tuple[str, ...] = (),
+    max_dist: int = 2,
+    prefix_block_len: int = 0,
+) -> DataFrame:
+    """``edit_distance_pairs`` with identical strings collapsed to one
+    representative BEFORE candidate generation — the dist-0 prefilter.
+
+    On duplicate-heavy corpora (crawl text, denormalized names) the plain
+    path pays the O(len^max_dist) variant fan-out and the bucket shuffle
+    PER ROW, although every copy of a string generates the same variants;
+    and k copies of one string meet in every shared bucket, so candidate
+    pairs grow with k^2 before verification can drop them. Here:
+
+    1. one exchange groups rows by (string, blocks): variant fan-out and
+       the bucket shuffle then scale with DISTINCT strings only;
+    2. identical-string pairs (dist 0) are emitted straight from each
+       group's sorted id array — never bucketed, never verified;
+    3. cross-string pairs are verified ONCE per distinct string pair,
+       then expanded to id pairs by a small array product.
+
+    Exactly ``edit_distance_pairs``'s contract (same columns, id_a <
+    id_b, same rows — equality is pytest-pinned), so the two are
+    interchangeable; pick this one when duplicates are expected. On an
+    all-unique corpus it costs one extra exchange (the group-by) and
+    wins nothing.
+    """
+    groups = (
+        df.select(F.col(id_col).alias("_gs_id"), F.col(str_col).alias("_gs"), *block_cols)
+        .groupBy("_gs", *block_cols)
+        .agg(F.array_sort(F.collect_list("_gs_id")).alias("_ids"))
+    )
+    reps = groups.select(
+        F.col("_ids")[0].alias("_gid"), "_gs", *block_cols, "_ids"
+    )
+    cand = edit_distance_candidates(
+        reps, "_gid", "_gs", block_cols, max_dist, prefix_block_len
+    )
+    verified = cand.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
+        F.col("dist") <= max_dist
+    )
+    ga = reps.select(F.col("_gid").alias("id_a"), F.col("_ids").alias("_ids_a"))
+    gb = reps.select(F.col("_gid").alias("id_b"), F.col("_ids").alias("_ids_b"))
+    # expand each verified distinct-string pair to its id-pair product;
+    # the pair is re-ordered per id (id_a < id_b), so the strings swap
+    # with it — all inside one array expression, no extra shuffle
+    expanded = F.expr(
+        """
+        flatten(transform(_ids_a, x -> transform(_ids_b, y -> struct(
+          least(x, y) AS id_a, greatest(x, y) AS id_b,
+          CASE WHEN x < y THEN s_a ELSE s_b END AS s_a,
+          CASE WHEN x < y THEN s_b ELSE s_a END AS s_b))))
+        """
+    )
+    cross = (
+        verified.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode(expanded).alias("_p"), *block_cols, "dist")
+        .select("_p.id_a", "_p.id_b", "_p.s_a", "_p.s_b", *block_cols, "dist")
+    )
+    in_group_pairs = F.expr(
+        """
+        flatten(transform(_ids, (x, i) ->
+          transform(slice(_ids, i + 2, size(_ids)), y -> struct(x AS id_a, y AS id_b))))
+        """
+    )
+    # identical strings: every in-group pair is dist 0 by construction.
+    # NULL strings never pair — levenshtein(NULL, NULL) is NULL in the
+    # plain path, so it drops them too.
+    within = (
+        groups.filter(F.col("_gs").isNotNull() & (F.size("_ids") >= 2))
+        .select(
+            F.explode(in_group_pairs).alias("_p"),
+            F.col("_gs").alias("s_a"),
+            F.col("_gs").alias("s_b"),
+            *block_cols,
+        )
+        .select(
+            "_p.id_a", "_p.id_b", "s_a", "s_b", *block_cols, F.lit(0).alias("dist")
+        )
+    )
+    return cross.unionByName(within)
+
+
 def near_dup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

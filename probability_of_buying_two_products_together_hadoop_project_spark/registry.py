@@ -755,6 +755,57 @@ def q_fuzzy_names(spark, sf_dir):
 
 
 @register(
+    "fuzzy_name_pairs_collapsed",
+    """
+    WITH cc AS (
+      SELECT c_custkey * 2 AS id, c_name, c_nationkey FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1 AS id, c_name, c_nationkey FROM customer
+    )
+    SELECT a.id AS key_a, b.id AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM cc a JOIN cc b
+      ON a.c_nationkey = b.c_nationkey AND a.id < b.id
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "The dist-0-collapsed fuzzy matcher on a duplicate-heavy corpus "
+    "(every name appears twice under distinct ids — built by self-union "
+    "so the oracle can state the same construction): identical strings "
+    "group to ONE representative before the symmetric-delete fan-out, "
+    "dist-0 pairs are emitted from the group id arrays without "
+    "verification, and each verified distinct-string pair expands to its "
+    "id-pair product. Variant generation and the bucket shuffle scale "
+    "with distinct strings, not rows — the duplicated corpus costs the "
+    "same candidate work as the original. Oracle: the plain quadratic "
+    "definition on the duplicated relation.",
+)
+def q_fuzzy_collapsed(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    dup = cust.select(
+        (F.col("c_custkey") * 2).alias("id"), "c_name", "c_nationkey"
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") * 2 + 1).alias("id"), "c_name", "c_nationkey"
+        )
+    )
+    out = dedup.edit_distance_pairs_collapsed(
+        dup,
+        id_col="id",
+        str_col="c_name",
+        block_cols=("c_nationkey",),
+        max_dist=2,
+        prefix_block_len=9,
+    )
+    return out.select(
+        F.col("id_a").alias("key_a"),
+        F.col("id_b").alias("key_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@register(
     "agg_rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus,

@@ -380,3 +380,48 @@ def test_near_dup_clusters_star_fallback_on_budget(spark):
         }
     assert any("switching" in str(x.message) for x in w)
     assert got == {i: 0 for i in range(n)}
+
+
+def test_edit_distance_collapsed_equals_plain(spark):
+    """The dist-0-collapsed path must be row-identical to the plain path
+    on a duplicate-heavy corpus: duplicates of _rand_names plus planted
+    length-changing edits, with and without a block column."""
+    rows = _rand_names(20, seed=7)
+    base = rows[0][1]
+    rows += [(1001, base[1:]), (1002, base + "z")]
+    # duplicate every string under fresh ids (x3 for one hot string)
+    dup_rows = [(i, s) for i, s in rows]
+    dup_rows += [(10_000 + i, s) for i, s in rows]
+    dup_rows += [(20_000, base), (20_001, base)]
+    df = spark.createDataFrame(dup_rows, ["id", "name"]).withColumn(
+        "blk", (F.col("id") % 2 == 0).cast("int") * 0  # single block
+    )
+    for blocks in ((), ("blk",)):
+        plain = {
+            (r["id_a"], r["id_b"], r["s_a"], r["s_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(
+                df, "id", "name", block_cols=blocks, max_dist=2
+            ).collect()
+        }
+        collapsed = [
+            (r["id_a"], r["id_b"], r["s_a"], r["s_b"], r["dist"])
+            for r in dedup.edit_distance_pairs_collapsed(
+                df, "id", "name", block_cols=blocks, max_dist=2
+            ).collect()
+        ]
+        assert len(collapsed) == len(set(collapsed))  # no dup emissions
+        assert set(collapsed) == plain
+        assert any(d == 0 for *_, d in collapsed)  # dist-0 pairs present
+
+
+def test_edit_distance_collapsed_null_strings_never_pair(spark):
+    """levenshtein(NULL, NULL) is NULL in the plain path, so NULL-string
+    rows pair with nothing; the collapsed path's group expansion must not
+    resurrect them."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "abc"), (4, "abc")], ["id", "name"]
+    )
+    got = dedup.edit_distance_pairs_collapsed(df, "id", "name").collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(3, 4)}
+    plain = dedup.edit_distance_pairs(df, "id", "name").collect()
+    assert {(r["id_a"], r["id_b"]) for r in plain} == {(3, 4)}
