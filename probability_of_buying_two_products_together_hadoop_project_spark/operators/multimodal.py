@@ -566,6 +566,62 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+VERIFIED_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("nonzero_px", T.LongType(), True),
+    ]
+)
+
+
+def extract_features_verified(media: DataFrame) -> DataFrame:
+    """Decoder-derived features restricted to INTEGER-EXACT quantities —
+    geometry, per-channel byte sums, nonzero-pixel count — so a SQL
+    oracle can recompute every value bit-for-bit from the source bytes
+    (integer sums are order-independent; float per-pixel reductions are
+    not, which is why ``extract_features``'s luma std has no SQL twin).
+    Channel means / luma follow from the sums by one exact double
+    division, done OUTSIDE the decoder so both engines share it.
+
+    Same Arrow ``mapInPandas`` shape as ``extract_features``; the numpy
+    stride slices verify the decoder's BGR byte ORDER and padding strip,
+    not just the header geometry."""
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = decode_image(bytes(p))
+                arr = np.frombuffer(body, dtype=np.uint8)
+                px = arr.reshape(-1, 3)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        w * h,
+                        int(arr[0::3].sum()),
+                        int(arr[1::3].sum()),
+                        int(arr[2::3].sum()),
+                        int(px.any(axis=1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VERIFIED_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VERIFIED_FEATURE_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes (the
     partitioning/batching shape of video frame extraction), JVM-side."""

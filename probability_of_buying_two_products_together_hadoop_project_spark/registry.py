@@ -2474,6 +2474,70 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_features_verified",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           16 AS width,
+           CAST(greatest(ceil(n / 48.0), 1) AS INT) AS height,
+           CAST(16 * greatest(ceil(n / 48.0), 1) AS BIGINT) AS n_px,
+           CAST(COALESCE(list_sum(list_transform(range(0, n, 3),
+                i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0) AS BIGINT) AS b_sum,
+           CAST(COALESCE(list_sum(list_transform(range(1, n, 3),
+                i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0) AS BIGINT) AS g_sum,
+           CAST(COALESCE(list_sum(list_transform(range(2, n, 3),
+                i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0) AS BIGINT) AS r_sum,
+           CAST(COALESCE(list_sum(list_transform(range(0, CAST(ceil(n / 3.0) AS INT)),
+                p -> CASE WHEN ('0x' || substr(h, 6*p + 1, 6))::BIGINT > 0
+                          THEN 1 ELSE 0 END)), 0) AS BIGINT) AS nonzero_px,
+           (0.114::DOUBLE * COALESCE(list_sum(list_transform(range(0, n, 3),
+                  i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0)
+               + 0.587::DOUBLE * COALESCE(list_sum(list_transform(range(1, n, 3),
+                  i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0)
+               + 0.299::DOUBLE * COALESCE(list_sum(list_transform(range(2, n, 3),
+                  i -> ('0x' || substr(h, 2*i + 1, 2))::INT)), 0))
+             / CAST(16 * greatest(ceil(n / 48.0), 1) AS BIGINT) AS mean_luma
+    FROM b
+    """,
+    "Hash-checked image FEATURE extraction (the verified twin of "
+    "multimodal_features): the real pure-Python BMP decoder feeds numpy "
+    "stride slices that compute integer-exact per-channel byte sums and "
+    "the nonzero-pixel count — order-independent quantities a SQL oracle "
+    "recomputes bit-for-bit from the source text's bytes (the BMP body "
+    "IS the zero-padded utf-8 text, so channel k's sum is the sum of "
+    "bytes at positions = k mod 3). Verifies the decoder's BGR byte "
+    "ORDER and padding strip, not just header geometry. Luma mean is "
+    "one exact double expression over the integer sums, shared by both "
+    "engines. Per-pixel FLOAT reductions (luma std) stay in the "
+    "rows-only multimodal_features — float sums are order-dependent "
+    "and cannot be pinned cross-engine.",
+)
+def q_multimodal_features_verified(spark, sf_dir):
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features_verified(media)
+    luma = (
+        F.lit(0.114) * F.col("b_sum")
+        + F.lit(0.587) * F.col("g_sum")
+        + F.lit(0.299) * F.col("r_sum")
+    ) / F.col("n_px")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_px",
+        "b_sum",
+        "g_sum",
+        "r_sum",
+        "nonzero_px",
+        luma.alias("mean_luma"),
+    )
+
+
+@register(
     "multimodal_decode_roundtrip",
     """
     SELECT doc_id AS media_id,

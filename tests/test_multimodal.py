@@ -205,3 +205,33 @@ def test_png_palette_decode_rejects_missing_plte():
         )
     with pytest.raises(ValueError, match="PLTE"):
         multimodal.decode_png(multimodal.PNG_SIG + body)
+
+
+def test_verified_features_consistent_with_float_features(spark):
+    """The integer-exact verified features must agree with the float
+    feature vector: channel means == sums / n_px (up to the float path's
+    6dp rounding), geometry identical — on BMP and PNG payloads."""
+    df = spark.createDataFrame(
+        [(1, "hello multimodal world"), (2, ""), (3, "x" * 100)],
+        "doc_id long, text string",
+    )
+    for maker in (
+        multimodal.media_bmp_from_documents,
+        multimodal.media_png_from_documents,
+    ):
+        media = maker(df)
+        ints = {
+            r["media_id"]: r
+            for r in multimodal.extract_features_verified(media).collect()
+        }
+        floats = {
+            r["media_id"]: r["feature"]
+            for r in multimodal.extract_features(media, dim=8).collect()
+        }
+        for mid, iv in ints.items():
+            fv = floats[mid]
+            assert (iv["width"], iv["height"]) == (int(fv[0]), int(fv[1]))
+            assert iv["n_px"] == iv["width"] * iv["height"]
+            for k, col in ((2, "b_sum"), (3, "g_sum"), (4, "r_sum")):
+                assert abs(fv[k] - iv[col] / iv["n_px"]) < 1e-6, (mid, col)
+            assert 0 <= iv["nonzero_px"] <= iv["n_px"]
