@@ -151,6 +151,35 @@ def q_cooccurrence_pairs(spark, sf_dir):
     return basket.cooccurrence_pairs(baskets)
 
 
+# one hot item absorbing ~30% of all lineitem rows (keys 0-9 uniform, so
+# remapping residues 0-2 to item 0 makes it ~30% of every basket's items)
+_SKEW_ITEM_SQL = "(CASE WHEN l_partkey % 10 < 3 THEN 0 ELSE l_partkey END)"
+
+
+@register(
+    "cooccurrence_pairs_skewed",
+    _COOC_CTE.replace("l_partkey", _SKEW_ITEM_SQL)
+    + "SELECT item, neighbor, pair_cnt, prob FROM cooc",
+    "The flagship on a DELIBERATELY skewed item domain (one hot item in "
+    "~30% of lineitem rows, built by a deterministic remap both engines "
+    "state identically): exercises the join_marginals variant, whose "
+    "marginal side partial-aggregates to one row per distinct item and "
+    "BROADCASTS — the hot item never concentrates an exchange partition, "
+    "unlike the default window variant whose partitionBy(item) puts every "
+    "hot-item neighbor row in one sort partition (measured straggler "
+    "crossover in SCALING.md round-5 section).",
+)
+def q_cooccurrence_skewed(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_partkey",
+        F.when(F.col("l_partkey") % 10 < 3, F.lit(0)).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    baskets = basket.baskets_from_lineitem(li)
+    return basket.cooccurrence_pairs(baskets, join_marginals=True)
+
+
 @register(
     "cooccurrence_topk",
     _COOC_CTE
