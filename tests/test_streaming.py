@@ -489,3 +489,79 @@ def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path):
         k: ("v1" if k in in_victim else "v2") for k in range(8)
     }
     assert not os.path.isdir(os.path.join(table, f".old_bucket_{b}"))
+
+
+def test_upsert_sink_survives_injected_midswap_kill(spark, tmp_path):
+    """END-TO-END kill-and-restart: a crash injected into a LIVE query
+    between the atomic phases of the bucket swap (after 'live -> .old',
+    and separately after 'tmp -> live' but before dropping .old) must
+    never lose the bucket — at every instant the data exists under one
+    of the two names — and the restarted query must replay the
+    uncommitted batch and converge to exactly the post-batch state.
+    The pre-existing crashed-swap test stages the on-disk layout by
+    hand; this one kills the real code path mid-flight."""
+    import os as _os
+
+    import pytest
+
+    src = str(tmp_path / "updates")
+    table = str(tmp_path / "state")
+    schema = (
+        "event_id bigint, off bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def push(rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.timestamp_seconds("off").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        return streams.upsert_sink_parquet(
+            streams.read_events_stream(spark, src), table,
+            key_cols=("event_id",), order_col="ts", tiebreak_col="value",
+            n_buckets=2,
+        )
+
+    push([(k, 100 + k, k, "v1", float(k), "{}") for k in range(8)])
+    start().awaitTermination()
+
+    real_replace = streams.os.replace
+    for round_no, crash_after in enumerate((1, 2), start=2):
+        # new versions for every key -> both buckets touched
+        push([(k, 1000 * round_no, k, f"v{round_no}", 0.0, "{}") for k in range(8)])
+        calls = {"n": 0}
+
+        def bomb(a, b):
+            real_replace(a, b)
+            calls["n"] += 1
+            if calls["n"] == crash_after:
+                raise RuntimeError("injected mid-swap crash")
+
+        streams.os.replace = bomb
+        try:
+            q = start()
+            with pytest.raises(Exception, match="injected|Query"):
+                q.awaitTermination()
+        finally:
+            streams.os.replace = real_replace
+        # the mid-swap invariant: every bucket is present as live or .old
+        for b in (0, 1):
+            assert _os.path.isdir(_os.path.join(table, f"bucket={b}")) or (
+                _os.path.isdir(_os.path.join(table, f".old_bucket_{b}"))
+            ), f"bucket {b} lost after crash_after={crash_after}"
+        # restart: recovery + idempotent replay of the uncommitted batch
+        start().awaitTermination()
+        got = {
+            r["event_id"]: r["event_type"]
+            for r in spark.read.parquet(table).collect()
+        }
+        assert got == {k: f"v{round_no}" for k in range(8)}, (
+            f"crash_after={crash_after}"
+        )
+        # recovery left no staging debris behind
+        assert not [
+            d for d in _os.listdir(table)
+            if d.startswith(".old_bucket_") or d.startswith(".tmp_")
+        ]
