@@ -80,7 +80,27 @@ def main() -> None:
     )
     d10.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
-    for t in ("lineitem", "customer", "documents"):
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    max_v = emb.agg(F.max("vec_id")).first()[0] + 1
+    # per-copy deterministic sign flip on dimensions d where d % 10 == copy:
+    # copies keep their norm but land in different SRP buckets, so the
+    # ANN measurements see a genuinely larger vector population, not 10
+    # co-located clones of every point
+    e10 = (
+        emb.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_c") * F.lit(max_v))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, d) ->"
+                " CASE WHEN d % 10 = _c THEN -x ELSE x END)"
+            ),
+        )
+        .drop("_c")
+    )
+    e10.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    for t in ("lineitem", "customer", "documents", "embeddings"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     spark.stop()
