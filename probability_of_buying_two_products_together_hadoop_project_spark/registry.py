@@ -3166,11 +3166,17 @@ _Q11_SUPPLY_CTE = """
     FROM supply
     GROUP BY l_partkey
     HAVING CAST(SUM(v) AS DOUBLE) >
-           (SELECT CAST(SUM(v) AS DOUBLE) * 0.0005 FROM supply)
+           (SELECT CAST(SUM(v) AS DOUBLE) * 2.0 / COUNT(DISTINCT l_partkey)
+            FROM supply)
     """,
     "TPC-H Q11 shape (adapted — see module note): parts whose supply "
-    "value from NATION_9 suppliers exceeds a fraction of that nation's "
-    "total. HAVING against a global scalar of the SAME aggregate "
+    "value from NATION_9 suppliers exceeds TWICE THE AVERAGE part's "
+    "share of that nation's total (reference Q11's fixed fraction "
+    "scales as 1/SF for the same reason: a constant fraction goes "
+    "vacuous as the part domain grows; the data-derived threshold "
+    "stays selective at every scale — 131 of 2,000 parts at sf0.01, "
+    "1,216 of 20,000 at sf0.1). HAVING against a global scalar of the "
+    "SAME aggregate "
     "decorrelates to: one grouped decimal-sum pass, one global decimal "
     "sum (a partial re-aggregation of the first, not a second scan), "
     "broadcast the 1-row scalar and filter. Exact decimal sums on both "
@@ -3195,12 +3201,397 @@ def q_q11(spark, sf_dir):
         F.sum("v").alias("_vd")
     )
     total = per_part.agg(
-        (F.sum("_vd").cast("double") * F.lit(0.0005)).alias("_thresh")
+        (
+            F.sum("_vd").cast("double") * F.lit(2.0) / F.count(F.lit(1))
+        ).alias("_thresh")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("_vd").cast("double") > F.col("_thresh"))
         .select("l_partkey", F.col("_vd").cast("double").alias("total_value"))
+    )
+
+
+# --- r05: the remaining TPC-H shapes (Q8/Q9/Q12/Q14/Q15/Q16/Q19/Q20),
+# completing all 22 query shapes. Adaptations for this schema (no
+# partsupp, no shipmode/commitdate/receiptdate/container columns) keep
+# each query's distinguishing PLAN shape; substitutions are noted per
+# query and stated identically in both engines.
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH x AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'AMERICA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM x GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: NATION_9's yearly share of supplier revenue into "
+    "AMERICA customers — conditional-numerator / total-denominator "
+    "double aggregation over a 6-way join with every dimension "
+    "broadcast (the fact shuffles once, for the year group-by). Share = "
+    "ratio of two exact decimal sums, so the division is bit-identical "
+    "cross-engine.",
+)
+def q_q8(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_am = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_nk2"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_am), o.o_custkey == cust_am.c_custkey, "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return x.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_9", F.col("vol")).otherwise(zero)
+            ).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - (CAST(0.1 AS DOUBLE) * p.p_retailprice) * l.l_quantity
+                  AS DECIMAL(18,6)) AS amount
+      FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ) GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 shape (adapted: no partsupp, so supply cost := 10% of "
+    "p_retailprice — the part join stays load-bearing): profit on red "
+    "parts by supplier nation and order year. 5-way join, dims "
+    "broadcast; the profit expression is one double expression tree "
+    "shared by both engines, cast to exact decimal before the sum.",
+)
+def q_q9(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - (F.lit(0.1) * F.col("p_retailprice")) * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+    "TPC-H Q12 shape (adapted: no shipmode/commitdate/receiptdate — "
+    "'late' = shipped >90 days after the order date, grouped by "
+    "linestatus): join with an inter-column date predicate, then "
+    "priority-class conditional counts. Integer counts are trivially "
+    "cross-engine exact.",
+)
+def q_q12(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(100 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-03-01'
+    """,
+    "TPC-H Q14 shape: promotional revenue share over a two-month ship "
+    "window — conditional/total ratio of exact decimal sums, part dim "
+    "broadcast, ship-date range pushed to the scan.",
+)
+def q_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-03-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(rev.alias("rev"), "p_type")
+        .agg(
+            (
+                F.lit(100).cast("double")
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)
+                ).cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    "TPC-H Q15 shape: the top supplier(s) by quarterly revenue — the "
+    "reference's revenue VIEW consulted twice (rows + global max) "
+    "becomes one grouped decimal aggregate reused for both, the 1-row "
+    "max broadcast back. Equality on exact decimals keeps ties (as the "
+    "spec does) and is bit-identical cross-engine.",
+)
+def q_q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape (adapted: lineitem is the part-supplier relation, "
+    "'complaints' = negative account balance): distinct-supplier counts "
+    "per part attribute with a NOT-IN exclusion — decorrelated to a "
+    "broadcast anti join (s_suppkey is non-null, so NOT IN == anti "
+    "join), dims broadcast, one exchange for the distinct aggregation.",
+)
+def q_q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape (adapted: brand/size/quantity stand in for the "
+    "container/shipmode legs): three disjunctive conjunct groups mixing "
+    "both join sides — the classic pushdown stressor. Catalyst derives "
+    "the single-side implications (quantity 1-30 to the fact scan, "
+    "brand IN (...) to the part scan) while the mixed OR evaluates on "
+    "the joined row; part stays broadcast.",
+)
+def q_q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q20_excess_supply",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 75
+    )
+    """,
+    "TPC-H Q20 shape (adapted: lineitem aggregates stand in for "
+    "partsupp availability; threshold is absolute, not the correlated "
+    "half-of-shipped — that correlated scalar shape is covered by "
+    "q17/q2): a two-level nested IN chain — parts filter SEMI-joins "
+    "into the fact (broadcast), grouped decimal HAVING, then the "
+    "surviving supplier keys SEMI-join the supplier dim. No "
+    "de-duplication pass needed anywhere: semi joins never multiply "
+    "rows.",
+)
+def q_q20(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+        .filter(F.col("_q") > 75)
+        .select("l_suppkey")
+    )
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
     )
 
 
@@ -3451,6 +3842,17 @@ _ROTATION_TAIL = {
     "multimodal_png_roundtrip": "r04",
     "embedding_cosine_near_dup": "r04",
     "embedding_ivf_topk": "r04",
+    # r05 late additions (the 8 remaining TPC-H shapes): window is booked
+    # this round; evidence = the same-session full local oracle pass.
+    # Rotate into the r06 window.
+    "q8_market_share": "r05-local",
+    "q9_product_profit": "r05-local",
+    "q12_late_shipments": "r05-local",
+    "q14_promo_revenue": "r05-local",
+    "q15_top_supplier": "r05-local",
+    "q16_supplier_part_count": "r05-local",
+    "q19_disjunctive_revenue": "r05-local",
+    "q20_excess_supply": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -271,3 +271,31 @@ def test_r05_tpch_query_plan_shapes(spark, sf_smoke):
     # formulation vs the join-back one)
     plan2 = explain.formatted_plan(qs["q2_min_cost_supplier"](spark, sf_smoke))
     assert plan2.count("lineitem.parquet") <= 1
+
+
+def test_r05_full_battery_plan_shapes(spark, sf_smoke):
+    """The 8 queries completing the TPC-H battery: the fact table
+    shuffles at most once for its aggregation (q15's revenue view adds
+    its global-max re-agg + join-back; q16's distinct count is
+    two-phase), every dimension broadcasts, no cartesian products."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    qs = e.queries()
+    cases = [
+        ("q8_market_share", 1),
+        ("q9_product_profit", 1),
+        ("q12_late_shipments", 1),
+        ("q14_promo_revenue", 1),
+        ("q15_top_supplier", 3),
+        ("q16_supplier_part_count", 2),
+        ("q19_disjunctive_revenue", 1),
+        ("q20_excess_supply", 1),
+    ]
+    for name, max_exch in cases:
+        df = qs[name](spark, sf_smoke)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        n = explain.count_exchanges(df)
+        assert n <= max_exch, f"{name}: {n} exchanges > {max_exch}"
