@@ -204,33 +204,125 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
     return bytes(out)
 
 
+def _png_filtered_scanlines(
+    width: int, height: int, body: bytes, bpp: int, filter_mode: str
+) -> bytes:
+    """Filter a flat pixel body into PNG scanline bytes (mixed cycles
+    all five spec filter types; 'none' writes filter 0 throughout)."""
+    stride = width * bpp
+    lines = []
+    prev = bytes(stride)
+    for r in range(height):
+        line = body[r * stride : (r + 1) * stride]
+        ftype = (r % 5) if filter_mode == "mixed" else 0
+        lines.append(
+            bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev, bpp=bpp))
+        )
+        prev = line
+    return b"".join(lines)
+
+
+def _png_interlaced_scanlines(
+    width: int, height: int, body: bytes, bpp: int, filter_mode: str
+) -> bytes:
+    """Split the flat body into the seven Adam7 passes and filter each
+    pass as its own sub-image (each pass restarts prev = zeros, per
+    spec §8.2)."""
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = bytearray()
+        for j in range(ph):
+            yy = y0 + j * dy
+            for i in range(pw):
+                xx = x0 + i * dx
+                src = (yy * width + xx) * bpp
+                sub += body[src : src + bpp]
+        parts.append(_png_filtered_scanlines(pw, ph, bytes(sub), bpp, filter_mode))
+    return b"".join(parts)
+
+
+def _png_pack(
+    width: int,
+    height: int,
+    body: bytes,
+    ctype: int,
+    depth: int,
+    bpp: int,
+    filter_mode: str,
+    interlace: bool,
+    plte: bytes | None = None,
+) -> bytes:
+    scan = (_png_interlaced_scanlines if interlace else _png_filtered_scanlines)(
+        width, height, body, bpp, filter_mode
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte)
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(scan, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png(
-    width: int, height: int, rgb_bytes: bytes, filter_mode: str = "mixed"
+    width: int,
+    height: int,
+    rgb_bytes: bytes,
+    filter_mode: str = "mixed",
+    interlace: bool = False,
 ) -> bytes:
     """Pack RGB pixel bytes (len == width*height*3, row 0 = TOP row) into
-    an 8-bit truecolor non-interlaced PNG using only stdlib ``zlib``.
+    an 8-bit truecolor PNG using only stdlib ``zlib``.
 
     ``filter_mode='mixed'`` cycles scanlines through all five spec filter
     types (None/Sub/Up/Average/Paeth) — deterministic, and it makes the
     encode→decode round-trip exercise every unfilter branch; ``'none'``
-    writes filter 0 throughout."""
+    writes filter 0 throughout. ``interlace=True`` writes Adam7 passes
+    (each pass filtered as its own sub-image)."""
     if len(rgb_bytes) != width * height * 3:
         raise ValueError("rgb_bytes must be width*height*3 RGB bytes")
-    stride = width * 3
-    lines = []
-    prev = bytes(stride)
-    for r in range(height):
-        line = rgb_bytes[r * stride : (r + 1) * stride]
-        ftype = (r % 5) if filter_mode == "mixed" else 0
-        lines.append(bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev)))
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
-        + _png_chunk(b"IEND", b"")
-    )
+    return _png_pack(width, height, rgb_bytes, 2, 8, 3, filter_mode, interlace)
+
+
+def encode_png_rgba(
+    width: int, height: int, rgba_bytes: bytes, interlace: bool = False
+) -> bytes:
+    """Pack RGBA pixel bytes (len == width*height*4) into an 8-bit
+    truecolor-with-alpha PNG (color type 6), mixed scanline filters."""
+    if len(rgba_bytes) != width * height * 4:
+        raise ValueError("rgba_bytes must be width*height*4 RGBA bytes")
+    return _png_pack(width, height, rgba_bytes, 6, 8, 4, "mixed", interlace)
+
+
+def encode_png_gray_alpha(width: int, height: int, ga_bytes: bytes) -> bytes:
+    """Pack gray+alpha byte pairs (len == width*height*2) into a color
+    type 4 PNG, mixed scanline filters."""
+    if len(ga_bytes) != width * height * 2:
+        raise ValueError("ga_bytes must be width*height*2 gray+alpha bytes")
+    return _png_pack(width, height, ga_bytes, 4, 8, 2, "mixed", False)
+
+
+def encode_png16(
+    width: int, height: int, rgb_bytes: bytes, interlace: bool = False
+) -> bytes:
+    """Pack 8-bit RGB pixel bytes into a 16-BIT truecolor PNG: each
+    sample s widens to the big-endian 16-bit value s*257 = (s<<8)|s (the
+    spec's exact 8->16 scaling), so the decoder's MSB extraction
+    round-trips bit-exactly."""
+    if len(rgb_bytes) != width * height * 3:
+        raise ValueError("rgb_bytes must be width*height*3 RGB bytes")
+    wide = bytearray(len(rgb_bytes) * 2)
+    wide[0::2] = rgb_bytes
+    wide[1::2] = rgb_bytes
+    return _png_pack(width, height, bytes(wide), 2, 16, 6, "mixed", interlace)
 
 
 def encode_png_gray(width: int, height: int, gray_bytes: bytes) -> bytes:
@@ -288,21 +380,40 @@ def encode_png_palette(
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse a non-interlaced 8-bit PNG -> (width, height, RGB bytes with
-    row 0 = TOP row): IHDR/PLTE/IDAT walk, zlib inflate, unfilter.
+# Adam7 interlacing pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    REAL for color types 2 (truecolor), 0 (grayscale, expanded to RGB),
-    and 3 (indexed — PLTE lookup). Chunk CRCs are not re-verified
-    (zlib's adler32 already covers the pixel stream). Raises
-    NotImplementedError for alpha/16-bit/interlaced variants — those
-    need only more of the same spec, not a codec library."""
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a PNG -> (width, height, RGB bytes with row 0 = TOP row):
+    IHDR/PLTE/IDAT walk, zlib inflate, unfilter, deinterlace.
+
+    REAL for every color type (0 gray, 2 truecolor, 3 indexed, 4
+    gray+alpha, 6 RGBA), bit depths 8 and 16 (16-bit samples take the
+    most-significant byte — exact for the x*257 encoding convention),
+    and BOTH interlace methods (none + Adam7: each pass is an
+    independently filtered sub-image, reassembled by the pass grid).
+    Alpha is STRIPPED, not composited, so every color type honors the
+    same 3-channel contract. Chunk CRCs are not re-verified (zlib's
+    adler32 already covers the pixel stream). Sub-byte depths (1/2/4,
+    legal only for gray/indexed) remain NotImplementedError — no
+    synthesizer here emits them; more of the same spec if ever needed."""
     if payload is None or not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos = 8
     idat = bytearray()
     palette = None
-    width = height = ctype = None
+    width = height = ctype = depth = interlace = None
     while pos + 8 <= len(payload):
         ln, tag = struct.unpack_from(">I4s", payload, pos)
         pos += 8
@@ -312,14 +423,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in (0, 2, 3) or (comp, filt, interlace) != (
-                0,
-                0,
-                0,
+            if (
+                ctype not in _PNG_CHANNELS
+                or depth not in (8, 16)
+                or (ctype == 3 and depth != 8)
+                or comp != 0
+                or filt != 0
+                or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/truecolor/indexed non-interlaced PNG "
-                    "supported"
+                    "unsupported PNG variant: depth 1/2/4 or nonstandard "
+                    "compression/filter method"
                 )
         elif tag == b"PLTE":
             palette = data
@@ -329,12 +443,48 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS[ctype]
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        flat = _png_unfilter(raw, width, height, bpp=bpp)
+    else:
+        buf = bytearray(width * height * bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub_len = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + sub_len], pw, ph, bpp=bpp)
+            off += sub_len
+            for j in range(ph):
+                for i in range(pw):
+                    src = (j * pw + i) * bpp
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    buf[dst : dst + bpp] = sub[src : src + bpp]
+        if off != len(raw):
+            raise ValueError("interlaced PNG scanline data has wrong length")
+        flat = bytes(buf)
+    if depth == 16:
+        # big-endian samples: byte 0 of each pair is the MSB
+        flat = flat[0::2]
+    n_px = width * height
     if ctype == 2:
-        return width, height, _png_unfilter(raw, width, height)
-    px = _png_unfilter(raw, width, height, bpp=1)
-    if ctype == 0:
-        # grayscale -> RGB expansion (g,g,g): callers get one channel
+        return width, height, bytes(flat)
+    if ctype == 6:
+        out = bytearray(n_px * 3)
+        out[0::3] = flat[0::4]
+        out[1::3] = flat[1::4]
+        out[2::3] = flat[2::4]
+        return width, height, bytes(out)
+    if ctype == 4:
+        px = flat[0::2]
+    else:
+        px = flat
+    if ctype in (0, 4):
+        # gray -> RGB expansion (g,g,g): callers get one channel
         # contract for every color type
         out = bytearray(len(px) * 3)
         out[0::3] = px

@@ -131,16 +131,18 @@ def test_decode_image_swaps_png_to_bgr():
 
 
 def test_png_rejects_unsupported_variants():
+    # alpha/16-bit/Adam7 are now real decode paths (r05); what remains
+    # unsupported is a nonstandard compression method byte
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # color type 6 = RGBA
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 1, 0, 0)  # compression method 1
     chunk = (
         _s.pack(">I", len(ihdr))
         + b"IHDR" + ihdr
         + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="truecolor"):
+    with pytest.raises(NotImplementedError, match="unsupported"):
         multimodal.decode_png(multimodal.PNG_SIG + chunk)
 
 
@@ -235,3 +237,83 @@ def test_verified_features_consistent_with_float_features(spark):
             for k, col in ((2, "b_sum"), (3, "g_sum"), (4, "r_sum")):
                 assert abs(fv[k] - iv[col] / iv["n_px"]) < 1e-6, (mid, col)
             assert 0 <= iv["nonzero_px"] <= iv["n_px"]
+
+
+def _rgb(w, h, seed=0):
+    return bytes((i * 37 + seed * 11) % 256 for i in range(w * h * 3))
+
+
+def test_png_rgba_roundtrip_strips_alpha():
+    w, h = 7, 5
+    rgb = _rgb(w, h)
+    rgba = bytearray()
+    for i in range(w * h):
+        rgba += rgb[3 * i : 3 * i + 3] + bytes([(i * 53) % 256])
+    got = multimodal.decode_png(multimodal.encode_png_rgba(w, h, bytes(rgba)))
+    assert got == (w, h, rgb)
+
+
+def test_png_gray_alpha_roundtrip():
+    w, h = 6, 4
+    gray = bytes((i * 29) % 256 for i in range(w * h))
+    ga = bytearray()
+    for i, g in enumerate(gray):
+        ga += bytes([g, (255 - g) % 256])
+    got_w, got_h, body = multimodal.decode_png(
+        multimodal.encode_png_gray_alpha(w, h, bytes(ga))
+    )
+    assert (got_w, got_h) == (w, h)
+    assert body[0::3] == gray and body[1::3] == gray and body[2::3] == gray
+
+
+def test_png_16bit_roundtrip():
+    w, h = 5, 3
+    rgb = _rgb(w, h, seed=3)
+    got = multimodal.decode_png(multimodal.encode_png16(w, h, rgb))
+    assert got == (w, h, rgb)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (8, 8), (9, 9), (16, 5), (2, 13)])
+def test_png_adam7_roundtrip_matches_noninterlaced(w, h):
+    """Adam7 decode must reproduce the exact pixels of the plain encode,
+    across sizes that exercise empty passes (dims < 8) and uneven pass
+    grids."""
+    rgb = _rgb(w, h, seed=w * 31 + h)
+    plain = multimodal.decode_png(multimodal.encode_png(w, h, rgb))
+    inter = multimodal.decode_png(multimodal.encode_png(w, h, rgb, interlace=True))
+    assert inter == plain == (w, h, rgb)
+
+
+def test_png_16bit_interlaced_roundtrip():
+    w, h = 11, 7
+    rgb = _rgb(w, h, seed=9)
+    got = multimodal.decode_png(multimodal.encode_png16(w, h, rgb, interlace=True))
+    assert got == (w, h, rgb)
+
+
+def test_png_rgba_interlaced_roundtrip():
+    w, h = 10, 9
+    rgb = _rgb(w, h, seed=4)
+    rgba = bytearray()
+    for i in range(w * h):
+        rgba += rgb[3 * i : 3 * i + 3] + bytes([i % 256])
+    got = multimodal.decode_png(
+        multimodal.encode_png_rgba(w, h, bytes(rgba), interlace=True)
+    )
+    assert got == (w, h, rgb)
+
+
+def test_png_subbyte_depth_still_raises():
+    # depth-4 grayscale IHDR: the one remaining honest PNG gap
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    payload = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00\x00"))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(payload)
