@@ -53,6 +53,11 @@ HEADLINE = [
     "q7_nation_volume_shipping",
     "bm25_search",
     "decontaminate_ngrams",
+    # r05 additions
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "cooccurrence_pairs_skewed",
+    "fuzzy_name_pairs_collapsed",
 ]
 
 

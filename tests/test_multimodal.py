@@ -317,3 +317,28 @@ def test_png_subbyte_depth_still_raises():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(payload)
+
+
+def test_png_property_roundtrip_all_variants():
+    """Randomized round-trips across the full supported matrix: sizes
+    (incl. Adam7 edge grids), all five filters in play, every encoder.
+    Hypothesis-style but with a fixed LCG corpus for determinism."""
+    seed = 0x2545F491
+    for trial in range(40):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        w = seed % 13 + 1
+        h = (seed >> 8) % 13 + 1
+        inter = bool((seed >> 16) & 1)
+        rgb = bytes((seed >> (8 * (i % 6))) % 256 for i in range(w * h * 3))
+        assert multimodal.decode_png(
+            multimodal.encode_png(w, h, rgb, interlace=inter)
+        ) == (w, h, rgb), (w, h, inter, "rgb8")
+        assert multimodal.decode_png(
+            multimodal.encode_png16(w, h, rgb, interlace=inter)
+        ) == (w, h, rgb), (w, h, inter, "rgb16")
+        rgba = bytearray()
+        for i in range(w * h):
+            rgba += rgb[3 * i : 3 * i + 3] + bytes([(seed >> 24) % 256])
+        assert multimodal.decode_png(
+            multimodal.encode_png_rgba(w, h, bytes(rgba), interlace=inter)
+        ) == (w, h, rgb), (w, h, inter, "rgba")
