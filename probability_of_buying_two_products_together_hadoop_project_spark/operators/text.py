@@ -200,6 +200,56 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_verified(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """The hash-pinned twin of :func:`winnow_fingerprints` (the repo's
+    minhash/simhash `_verified` pattern): identical winnowing structure,
+    but k-gram hashes are md5 HEX STRINGS, whose lexicographic min both
+    engines compute identically — so a DuckDB oracle regenerates the
+    exact fingerprint sets (substr+md5 per position, sliding list_min)
+    and the driver hash pins the whole selection pipeline cross-engine.
+
+    Docs shorter than ``k + w - 1`` normalized chars are excluded in
+    both engines — below that length the winnowing guarantee is void
+    anyway, and the clamped-slice edge semantics would be the only
+    engine-specific part.
+
+    Same expression-shape rule as the xxhash64 version: every heavy
+    expression is a HOF input, never re-evaluated inside a lambda; the
+    gram strings build from shifted char slices via zip_with concat.
+    """
+
+    def shifted(arr: Column, j: int, length: Column) -> Column:
+        return F.slice(arr, 1 + j, length)
+
+    def zip_fold(arrs: list[Column], combine) -> Column:
+        out = arrs[-1]
+        for a in reversed(arrs[:-1]):
+            out = F.zip_with(a, out, combine)
+        return out
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("_norm")).filter(
+        F.length("_norm") >= k + w - 1
+    )
+    chars = F.filter(F.split(F.col("_norm"), ""), lambda c: c != F.lit(""))
+    glen = F.size(chars) - (k - 1)
+    gram_strs = zip_fold(
+        [shifted(chars, j, glen) for j in range(k)],
+        lambda x, y: F.concat(x, y),
+    )
+    g = d.select(
+        "doc_id", F.transform(gram_strs, lambda s: F.md5(s)).alias("_g")
+    )
+    wlen = F.size(F.col("_g")) - (w - 1)
+    mins = zip_fold(
+        [shifted(F.col("_g"), j, wlen) for j in range(w)],
+        lambda x, y: F.least(x, y),
+    )
+    return g.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
 def top_distinctive_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

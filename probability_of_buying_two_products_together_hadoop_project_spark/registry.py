@@ -2303,6 +2303,43 @@ def q_winnow(spark, sf_dir):
 
 
 @register(
+    "doc_winnow_fingerprint_verified",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(norm) - 5 + 2),
+                            i -> md5(substr(norm, i::INT, 5))) AS hs
+      FROM t WHERE length(norm) >= 8
+    )
+    SELECT doc_id, fp FROM (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(hs) - 4 + 2),
+                                   j -> list_min(hs[j:j+3]))) AS fp
+      FROM g)
+    """,
+    "Hash-pinned winnowing twin (the minhash/simhash _verified "
+    "pattern): same window-min selection structure as "
+    "doc_winnow_fingerprint, but k-gram hashes are md5 hex strings "
+    "whose lexicographic min IS the unsigned numeric min — DuckDB "
+    "regenerates the exact 5-gram hash sequences (substr+md5 per "
+    "position) and sliding 4-window minima, so the driver hash pins "
+    "the whole fingerprint-selection pipeline cross-engine; the "
+    "xxhash64 production variant keeps its independent pure-Python "
+    "parity suite. Docs shorter than k+w-1 normalized chars are "
+    "excluded identically on both sides (below that the winnowing "
+    "guarantee is void).",
+)
+def q_winnow_verified(spark, sf_dir):
+    return text.winnow_fingerprints_verified(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     """
     WITH sh AS (
@@ -3853,6 +3890,7 @@ _ROTATION_TAIL = {
     "q16_supplier_part_count": "r05-local",
     "q19_disjunctive_revenue": "r05-local",
     "q20_excess_supply": "r05-local",
+    "doc_winnow_fingerprint_verified": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -102,3 +102,51 @@ def test_gram_count_exact_no_phantom_char(spark):
     docs = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
     out = text.winnow_fingerprints(docs, k=2, w=1)
     assert out.count() == 5
+
+
+def _fps_verified(spark, rows):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.winnow_fingerprints_verified(docs, k=K, w=W)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    return fps
+
+
+def test_verified_variant_winnowing_properties(spark):
+    """The md5-hex verified twin must satisfy the same winnowing
+    properties as the xxhash64 production variant: identical docs ->
+    identical sets, shared >=k+w-1 substring -> shared fingerprint,
+    disjoint docs -> disjoint sets, local edit -> high overlap."""
+    fps = _fps_verified(
+        spark, [(1, BASE), (2, BASE), (3, EDIT), (4, OTHER)]
+    )
+    assert fps[1] == fps[2]
+    inter, union = len(fps[1] & fps[3]), len(fps[1] | fps[3])
+    assert inter / union > 0.5
+    assert not fps[1] & fps[4]
+    shared = "abcdefghij"
+    f2 = _fps_verified(spark, [(1, f"xxx {shared} yyy"), (2, f"zzz {shared} www")])
+    assert f2[1] & f2[2]
+
+
+def test_verified_variant_matches_python_reference(spark):
+    """Full value equality against an independent pure-Python md5-hex
+    winnow on the same corpus (mirrors the xxhash64 parity suite)."""
+    import hashlib
+    import re
+
+    def py_winnow(txt):
+        norm = re.sub(r"\s+", " ", txt.strip().lower())
+        if len(norm) < K + W - 1:
+            return set()
+        hs = [
+            hashlib.md5(norm[i : i + K].encode()).hexdigest()
+            for i in range(len(norm) - K + 1)
+        ]
+        return {min(hs[j : j + W]) for j in range(len(hs) - W + 1)}
+
+    rows = [(1, BASE), (2, EDIT), (3, OTHER), (4, "tiny"), (5, "  Mixed   CASE  Text with   Spaces  ")]
+    got = _fps_verified(spark, rows)
+    for did, txt in rows:
+        assert got.get(did, set()) == py_winnow(txt), did
