@@ -400,3 +400,48 @@ def salted_collect(
         partial.groupBy(*key_cols)
         .agg(F.sort_array(F.flatten(F.collect_list("_part"))).alias("values"))
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Exact global running sum over ``order_col`` WITHOUT a
+    single-partition window — the parallel prefix-sum.
+
+    A bare ``Window.orderBy(...)`` funnels the entire relation through
+    ONE task (Spark even warns); at 100 TB that is the difference
+    between a plan and an outage. Instead: an order-consistent bucket
+    key (default: the first two chars of ``order_col``) partitions the
+    running-sum window — one full-data exchange; the per-bucket totals
+    (<= n_buckets rows) get their own running offset through a TINY
+    single-partition window whose input is bounded by the bucket count,
+    not the data; the offsets broadcast back onto the bucket.
+
+    Contract: ``bucket_expr`` must be order-consistent with
+    ``order_col`` (x < y implies bucket(x) <= bucket(y) — true for any
+    fixed-length prefix of the key itself) and ``order_col`` must be
+    unique (a total order; otherwise the running sum at ties is
+    engine-dependent). ``out_col`` is the INCLUSIVE running sum.
+    """
+    b = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.substring(F.col(order_col), 1, 2)
+    )
+    d = df.withColumn("_psb", b)
+    w = Window.partitionBy("_psb").orderBy(order_col)
+    local = d.withColumn("_pslocal", F.sum(value_col).over(w))
+    totals = d.groupBy("_psb").agg(F.sum(value_col).alias("_pst"))
+    woff = Window.orderBy("_psb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_psb", F.coalesce(F.sum("_pst").over(woff), F.lit(0)).alias("_psoff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_psb")
+        .withColumn(out_col, (F.col("_pslocal") + F.col("_psoff")).cast("long"))
+        .drop("_psb", "_pslocal", "_psoff")
+    )

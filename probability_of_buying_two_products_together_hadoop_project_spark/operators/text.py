@@ -579,3 +579,38 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def token_shards(
+    docs: DataFrame,
+    budget: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budget sharding — the step that packs a
+    curated corpus into fixed-size training shards: documents are laid
+    out in md5(id) order (rerun-stable, uniformly spread, the repo's
+    reproducible-sampling convention) and cut greedily every ``budget``
+    whitespace tokens: shard_id = (running_tokens - own_tokens) div
+    budget, i.e. the shard where the document's first token lands.
+
+    The running total comes from ``relational.global_prefix_sum`` — a
+    parallel prefix-sum (order-aligned bucket window + broadcast bucket
+    offsets), NOT a single-partition global window, so the layout scales
+    to any corpus size with one full-data exchange. All integer
+    arithmetic: bit-identical cross-engine.
+    """
+    from .relational import global_prefix_sum
+
+    d = docs.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    c = global_prefix_sum(d, "_k", "n_tokens", out_col="_cum")
+    return c.select(
+        id_col,
+        "n_tokens",
+        F.expr(f"(_cum - n_tokens) div {budget}").alias("shard_id"),
+        F.col("_cum").alias("cum_tokens"),
+    )

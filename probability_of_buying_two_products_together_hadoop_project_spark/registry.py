@@ -1912,6 +1912,37 @@ def q_token_counts(spark, sf_dir):
 
 
 @register(
+    "token_shards_4k",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard_id,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c
+    """,
+    "Deterministic token-budget sharding (pack the corpus into 4096-"
+    "token training shards in md5(id) order): the engine computes the "
+    "global running token total with a PARALLEL PREFIX-SUM — an order-"
+    "aligned md5-prefix bucket window (one full-data exchange) plus "
+    "broadcast per-bucket offsets whose own window touches <= 256 rows "
+    "— never a single-partition global window (the plan Spark warns "
+    "about; an outage at 100 TB). The oracle states the straightforward "
+    "global cumsum; all-integer arithmetic makes the equality exact.",
+)
+def q_token_shards(spark, sf_dir):
+    return text.token_shards(_t(spark, sf_dir, "documents"), budget=4096)
+
+
+@register(
     "q4_order_priority_exists",
     """
     SELECT o_orderpriority, count(*) AS order_count
@@ -3891,6 +3922,7 @@ _ROTATION_TAIL = {
     "q19_disjunctive_revenue": "r05-local",
     "q20_excess_supply": "r05-local",
     "doc_winnow_fingerprint_verified": "r05-local",
+    "token_shards_4k": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
