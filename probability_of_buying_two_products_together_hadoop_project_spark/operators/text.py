@@ -11,7 +11,7 @@ pruning (only ``text`` + projected columns are read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny multilingual stopword lists for the language-ID heuristic.
@@ -81,11 +81,9 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]: length band + stopword ratio +
-    low punctuation/digit ratio + token diversity. Deterministic double
-    arithmetic from integer counts (oracle-replicable)."""
-    t = F.col(text_col)
+def quality_expr(t: Column) -> Column:
+    """The quality score as a single column expression (shared by
+    quality_score and curate_corpus)."""
     toks = tokens(t)
     n_tok = F.size(toks).cast("double")
     n_tok_safe = F.greatest(n_tok, F.lit(1.0))
@@ -101,17 +99,39 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(n_tok >= 5, F.lit(0.5))
         .otherwise(F.lit(0.0))
     )
-    score = (
+    return (
         F.lit(0.3) * len_band
         + F.lit(0.2) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 10, F.lit(1.0)))
         + F.lit(0.2) * diversity
     )
+
+
+def lang_pred_expr(t: Column) -> Column:
+    """The language-ID prediction as a single column expression — same
+    hit counting and deterministic tie-break as :func:`lang_id`."""
+    hits = {
+        lang: stopword_hits(t, ws) for lang, ws in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(sorted(hits)):
+        pred = F.when((hits[lang] == best) & (best >= 2), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    low punctuation/digit ratio + token diversity. Deterministic double
+    arithmetic from integer counts (oracle-replicable)."""
+    t = F.col(text_col)
     return docs.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        score.alias("quality"),
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_expr(t).alias("quality"),
     )
 
 
@@ -368,6 +388,19 @@ def repetition_stats(
         # hoisted: referenced by the run-length aggregate's lambda
         F.array_sort(tokens(F.col(text_col))).alias("_srt"),
     )
+    return _repetition_screen(toked, top_token_thresh, dup_bigram_thresh)
+
+
+def _repetition_screen(
+    toked: DataFrame,
+    top_token_thresh: float,
+    dup_bigram_thresh: float,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Repetition ratios over a frame that already carries the hoisted
+    ``_tk`` / ``_srt`` arrays (see the expression-shape note above);
+    ``carry`` columns pass through untouched so a composed pipeline
+    (curate_corpus) can keep this a single scan."""
     n = F.size("_tk")
     # longest run of equal adjacent tokens in the sorted array =
     # multiplicity of the most frequent token; state = (current run,
@@ -395,6 +428,7 @@ def repetition_stats(
     )
     with_cols = toked.select(
         "doc_id",
+        *carry,
         n.cast("long").alias("n_tokens"),
         topc.alias("_topc"),
         F.when(n >= 2, grams).alias("_bg"),
@@ -412,6 +446,7 @@ def repetition_stats(
     )
     return with_cols.select(
         "doc_id",
+        *carry,
         "n_tokens",
         top_frac.alias("top_token_frac"),
         dup_frac.alias("dup_bigram_frac"),
@@ -578,6 +613,60 @@ def ngram_decontaminate(
         corpus_grams.join(F.broadcast(bench_grams), "gram_md5")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.73,
+    top_token_thresh: float = 0.2,
+    dup_bigram_thresh: float = 0.3,
+) -> DataFrame:
+    """The end-to-end corpus curation pipeline as ONE declarative plan:
+    language filter + quality threshold + Gopher repetition screen +
+    exact-dedup survivor selection (min doc_id per normalized-content
+    hash, applied to the FILTERED set — a duplicate of a rejected doc
+    cannot resurrect it).
+
+    Plan shape: every per-row feature (quality score, language
+    prediction, content fingerprint, the hoisted token arrays the
+    repetition ratios fold over) is computed in a SINGLE projection over
+    ONE scan of the corpus — composing the standalone operators through
+    joins would re-scan the table once per feature. The only exchange is
+    the survivor window over the content hash, fed by already-filtered
+    rows. At 100 TB: one pass, one shuffle of the survivors' slice.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        tokens(t).alias("_tk"),
+        F.array_sort(tokens(t)).alias("_srt"),
+        quality_expr(t).alias("quality"),
+        lang_pred_expr(t).alias("_lang"),
+        F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")).alias("fp"),
+    )
+    rep = _repetition_screen(
+        base, top_token_thresh, dup_bigram_thresh, carry=("quality", "_lang", "fp")
+    )
+    passed = rep.filter(
+        (F.col("_lang") == lang)
+        & (F.col("quality") >= min_quality)
+        & ~F.col("is_repetitive")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        passed.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "top_token_frac",
+            "dup_bigram_frac",
+            "fp",
+        )
     )
 
 

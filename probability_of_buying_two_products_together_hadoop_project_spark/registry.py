@@ -1912,6 +1912,112 @@ def q_token_counts(spark, sf_dir):
 
 
 @register(
+    "curate_corpus_deduped",
+    """
+    WITH cc AS (
+      SELECT doc_id * 2 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+    ), qt AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> list_contains(['the','and','of','to','a','in','is'], x))) AS DOUBLE) AS stop_hits,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+      FROM cc
+    ), q AS (
+      SELECT doc_id,
+           0.3 * (CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 1.0
+                       WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+         + 0.2 * least(stop_hits / greatest(n_tok, 1.0) * 4, 1.0)
+         + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0))
+         + 0.1 * (1.0 - least(n_digit / greatest(n_chars, 1.0) * 10, 1.0))
+         + 0.2 * (n_uniq / greatest(n_tok, 1.0)) AS quality
+      FROM qt
+    ), lh AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> list_contains(['the','and','of','to','a','in','is'], x))) AS hits_en,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> list_contains(['el','la','de','y','un','es'], x))) AS hits_es,
+        len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            x -> list_contains(['le','la','de','et','un','est'], x))) AS hits_fr
+      FROM cc
+    ), l AS (
+      SELECT doc_id,
+             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) < 2 THEN 'und'
+                  WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                  WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM lh
+    ), rtk AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+      FROM cc
+    ), rtok AS (
+      SELECT doc_id, unnest(tk) AS t FROM rtk
+    ), rtcnt AS (
+      SELECT doc_id, t, count(*) AS c FROM rtok GROUP BY 1, 2
+    ), rtstat AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS topc
+      FROM rtcnt GROUP BY 1
+    ), rbg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || chr(31) || tk[i + 1])) AS b
+      FROM rtk WHERE len(tk) >= 2
+    ), rbcnt AS (
+      SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY 1, 2
+    ), rbstat AS (
+      SELECT doc_id, SUM(c) AS nb, count(*) AS db FROM rbcnt GROUP BY 1
+    ), r AS (
+      SELECT t.doc_id, t.n_tokens,
+             round(topc / t.n_tokens, 4) AS top_token_frac,
+             round(coalesce(1.0 - db / nb, 0.0), 4) AS dup_bigram_frac,
+             (round(topc / t.n_tokens, 4) > 0.2
+              OR round(coalesce(1.0 - db / nb, 0.0), 4) > 0.3) AS is_repetitive
+      FROM rtstat t LEFT JOIN rbstat b ON t.doc_id = b.doc_id
+    ), f AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM cc
+    ), pass AS (
+      SELECT f.doc_id, r.n_tokens, q.quality,
+             r.top_token_frac, r.dup_bigram_frac, f.fp
+      FROM f JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN r USING (doc_id)
+      WHERE l.pred_lang = 'en' AND q.quality >= 0.73 AND NOT r.is_repetitive
+    )
+    SELECT doc_id, n_tokens, quality, top_token_frac, dup_bigram_frac, fp
+    FROM pass
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+    """,
+    "END-TO-END corpus curation as ONE declarative plan: language "
+    "filter + quality threshold (0.73 ~ the fixture median, so the cut "
+    "is live) + Gopher repetition screen + exact-dedup survivor "
+    "selection, on a self-unioned duplicate-heavy corpus so the "
+    "survivor stage has real work. The engine computes EVERY per-row "
+    "feature in a single projection over one scan (composing the "
+    "standalone operators via joins would re-scan the corpus once per "
+    "feature — the oracle states that join form precisely because "
+    "DuckDB can; the engine plan is the point); the only exchange is "
+    "the survivor window over already-filtered rows.",
+)
+def q_curate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text").unionByName(
+        docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    return text.curate_corpus(dup)
+
+
+@register(
     "token_shards_4k",
     """
     WITH t AS (
@@ -3922,6 +4028,7 @@ _ROTATION_TAIL = {
     "q19_disjunctive_revenue": "r05-local",
     "q20_excess_supply": "r05-local",
     "doc_winnow_fingerprint_verified": "r05-local",
+    "curate_corpus_deduped": "r05-local",
     "token_shards_4k": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",

@@ -299,3 +299,18 @@ def test_r05_full_battery_plan_shapes(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
         n = explain.count_exchanges(df)
         assert n <= max_exch, f"{name}: {n} exchanges > {max_exch}"
+
+
+def test_curate_corpus_single_pass_plan(spark, sf_smoke):
+    """The composed curation pipeline computes every per-row feature in
+    one projection: exactly 2 parquet scans (the self-union's two legs —
+    one per leg, NOT one per feature) and exactly 1 exchange (the
+    survivor window over filtered rows)."""
+    import __spark_entry__ as e
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    df = e.queries()["curate_corpus_deduped"](spark, sf_smoke)
+    plan = explain.formatted_plan(df)
+    assert plan.count("documents.parquet") <= 2
+    assert explain.count_exchanges(df) == 1
