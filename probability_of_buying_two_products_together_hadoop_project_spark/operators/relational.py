@@ -445,3 +445,38 @@ def global_prefix_sum(
         .withColumn(out_col, (F.col("_pslocal") + F.col("_psoff")).cast("long"))
         .drop("_psb", "_pslocal", "_psoff")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights_permille: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_permille: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic source-weighted dataset mixing — the sampling step
+    that rebalances a multi-source corpus to target proportions (e.g.
+    up-weight curated sources, down-sample crawl): keep each row iff its
+    md5 bucket (same construction as :func:`hash_sample`, so mixes are
+    rerun-stable, coordination-free, and composable with any other
+    hash-keyed sample) falls under its SOURCE's permille weight.
+    Unlisted sources get ``default_permille`` (0 = dropped). ``salt``
+    rotates every source's draw together.
+
+    Narrow filter, no shuffle, engine-independent — an ANSI-SQL oracle
+    draws the identical mix. Expected output size is
+    sum_s(n_s * w_s / 1000) with per-source binomial concentration; at
+    100 TB each task decides locally from row content.
+    """
+    key = F.concat_ws("", F.lit(salt), F.col(key_col).cast("string"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
+        F.lit(1000),
+    )
+    w = F.lit(default_permille)
+    for s, p in sorted(weights_permille.items()):
+        if not 0 <= p <= 1000:
+            raise ValueError(f"mix_sources: weight for {s!r} not in [0, 1000]")
+        w = F.when(F.col(source_col) == s, F.lit(p)).otherwise(w)
+    return df.filter(h < w)

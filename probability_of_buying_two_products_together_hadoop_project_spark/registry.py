@@ -1912,6 +1912,34 @@ def q_token_counts(spark, sf_dir):
 
 
 @register(
+    "mix_sources_weighted",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 <
+          CASE source WHEN 'src0' THEN 1000
+                      WHEN 'src1' THEN 500
+                      WHEN 'src2' THEN 250
+                      WHEN 'src3' THEN 125
+                      ELSE 50 END
+    """,
+    "Deterministic source-weighted dataset mixing: rebalance a multi-"
+    "source corpus to target proportions (keep all of src0, half of "
+    "src1, a quarter of src2, an eighth of src3, 5% of the rest) via "
+    "the same md5-bucket draw as hash_sample — rerun-stable, "
+    "coordination-free, no rand(), and the oracle draws the IDENTICAL "
+    "mix. A narrow no-shuffle filter at any scale.",
+)
+def q_mix_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return relational.mix_sources(
+        docs,
+        {"src0": 1000, "src1": 500, "src2": 250, "src3": 125},
+        default_permille=50,
+    )
+
+
+@register(
     "curate_corpus_deduped",
     """
     WITH cc AS (
@@ -4028,6 +4056,7 @@ _ROTATION_TAIL = {
     "q19_disjunctive_revenue": "r05-local",
     "q20_excess_supply": "r05-local",
     "doc_winnow_fingerprint_verified": "r05-local",
+    "mix_sources_weighted": "r05-local",
     "curate_corpus_deduped": "r05-local",
     "token_shards_4k": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session

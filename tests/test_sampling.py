@@ -185,3 +185,38 @@ def test_salted_collect_equals_plain_collect(spark):
         .count()
     )
     assert partials > 1
+
+
+def test_mix_sources_weights_and_consistency(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = relational.mix_sources(
+        df, {"src0": 1000, "src1": 0, "src2": 500}, default_permille=250
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src.get("src0") == 1000  # weight 1000 keeps every row
+    assert "src1" not in by_src  # weight 0 drops the source entirely
+    assert 400 <= by_src.get("src2", 0) <= 600  # ~half of 1000
+    assert 150 <= by_src.get("src3", 0) <= 350  # default 250 permille
+    # the draw is the SAME md5 bucket as hash_sample: a row kept at
+    # permille p is kept at every permille >= p (nested samples)
+    narrow = {
+        r["doc_id"]
+        for r in relational.mix_sources(df, {"src2": 250}).collect()
+    }
+    wide = {
+        r["doc_id"]
+        for r in relational.mix_sources(df, {"src2": 500}).collect()
+    }
+    assert narrow <= wide
+    # rerun-stable
+    again = {
+        r["doc_id"]
+        for r in relational.mix_sources(df, {"src2": 500}).collect()
+    }
+    assert wide == again
