@@ -58,6 +58,8 @@ HEADLINE = [
     "q21_waiting_supplier",
     "cooccurrence_pairs_skewed",
     "fuzzy_name_pairs_collapsed",
+    "curate_corpus_deduped",
+    "token_shards_4k",
 ]
 
 

@@ -650,15 +650,29 @@ def curate_corpus(
     rep = _repetition_screen(
         base, top_token_thresh, dup_bigram_thresh, carry=("quality", "_lang", "fp")
     )
-    passed = rep.filter(
+    # The filter must sit ABOVE the survivor window, not between the
+    # feature projection and the window: a Filter under the projection
+    # gets predicate-pushed with the FULL feature expression trees
+    # substituted in (no cross-operator subexpression elimination), so
+    # quality/language/repetition would each evaluate several times per
+    # row — measured 10x slower. Predicates do NOT push through a
+    # Window (except on partition keys), so folding the pass-decision
+    # into the window input materializes every feature exactly once at
+    # the exchange; the survivor min counts PASSING docs only, which
+    # keeps the filtered-set dedup semantics (a duplicate of a rejected
+    # doc cannot resurrect it).
+    passing = (
         (F.col("_lang") == lang)
         & (F.col("quality") >= min_quality)
         & ~F.col("is_repetitive")
     )
     w = Window.partitionBy("fp")
     return (
-        passed.withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
+        rep.withColumn("_pass", passing)
+        .withColumn(
+            "_keep", F.min(F.when(F.col("_pass"), F.col("doc_id"))).over(w)
+        )
+        .filter(F.col("_pass") & (F.col("doc_id") == F.col("_keep")))
         .select(
             "doc_id",
             "n_tokens",
