@@ -425,3 +425,38 @@ def test_edit_distance_collapsed_null_strings_never_pair(spark):
     assert {(r["id_a"], r["id_b"]) for r in got} == {(3, 4)}
     plain = dedup.edit_distance_pairs(df, "id", "name").collect()
     assert {(r["id_a"], r["id_b"]) for r in plain} == {(3, 4)}
+
+
+def test_edit_distance_collapsed_equals_plain_hypothesis(spark):
+    """Randomized corpora (short alphabet -> natural near-dups and exact
+    dups) through both paths: row-set equality must hold for every draw.
+    Fixed LCG corpus generation keeps the suite deterministic."""
+    seed = 0xC0FFEE
+    for trial in range(6):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        rng_vals = []
+        s = seed
+        for _ in range(400):
+            s = (s * 48271) % 0x7FFFFFFF
+            rng_vals.append(s)
+        rows = []
+        for i in range(60):
+            ln = rng_vals[i] % 5 + 3
+            base = "".join("ab"[(rng_vals[i * 3 + j] >> 2) % 2] for j in range(ln))
+            rows.append((i, base))
+            if rng_vals[i] % 3 == 0:  # exact duplicate under a new id
+                rows.append((1000 + i, base))
+        df = spark.createDataFrame(rows, ["id", "name"])
+        plain = {
+            (r["id_a"], r["id_b"], r["s_a"], r["s_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(df, "id", "name", max_dist=1).collect()
+        }
+        coll = [
+            (r["id_a"], r["id_b"], r["s_a"], r["s_b"], r["dist"])
+            for r in dedup.edit_distance_pairs_collapsed(
+                df, "id", "name", max_dist=1
+            ).collect()
+        ]
+        assert len(coll) == len(set(coll)), f"trial {trial}: duplicate emissions"
+        assert set(coll) == plain, f"trial {trial}"
+        assert plain, f"trial {trial}: vacuous draw"
