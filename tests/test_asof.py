@@ -62,3 +62,53 @@ def test_asof_join_tie_break_and_atomic_row(spark):
     # ties at rts=5: k=9 beats k=7; its null price must NOT fall back to
     # k=7's 70.0 or k=8's 80.0
     assert out["last_k"] == 9 and out["last_price"] is None
+
+
+def test_asof_join_matches_python_reference_randomized(spark):
+    """Randomized draws with FEW distinct timestamps per key (so exact
+    as-of ties are common) against an independent pure-Python as-of:
+    most-recent right row with rts <= ts, ties broken by GREATEST
+    tie_break value — the operator's pinned contract. Deterministic LCG
+    corpus; several trials."""
+    seed = 0xA50F
+    for trial in range(4):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals = []
+        s = seed
+        for _ in range(2000):
+            s = (s * 48271) % 0x7FFFFFFF
+            vals.append(s)
+        lrows = [
+            (i, f"k{vals[i] % 7}", _ts(f"2024-01-{vals[i + 200] % 9 + 1:02d} 00:00:00"))
+            for i in range(150)
+        ]
+        rrows = [
+            (
+                f"k{vals[400 + j] % 7}",
+                _ts(f"2024-01-{vals[600 + j] % 9 + 1:02d} 00:00:00"),
+                1000 + j,  # val
+                vals[800 + j] % 100,  # tie-break
+            )
+            for j in range(60)
+        ]
+        left = spark.createDataFrame(
+            lrows, "event_id bigint, k string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            rrows, "k string, rts timestamp, val bigint, tb bigint"
+        )
+        out = relational.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols={"val": "val", "tb": "tb"}, tie_break="tb",
+        )
+        got = {r["event_id"]: (r["val"], r["tb"]) for r in out.collect()}
+        assert len(got) == len(lrows)
+        for eid, k, ts in lrows:
+            cand = [r for r in rrows if r[0] == k and r[1] <= ts]
+            if not cand:
+                assert got[eid] == (None, None), (trial, eid)
+                continue
+            best_ts = max(c[1] for c in cand)
+            tied = [c for c in cand if c[1] == best_ts]
+            want = max(tied, key=lambda c: c[3])
+            assert got[eid] == (want[2], want[3]), (trial, eid)
