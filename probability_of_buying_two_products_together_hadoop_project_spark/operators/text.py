@@ -569,6 +569,24 @@ def bm25_topk(
     )
 
 
+def _gram_digests(
+    frame: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Distinct-per-doc word n-gram md5 digests: the narrow projection
+    both decontamination variants reduce to (ships 32-hex digests, never
+    gram text)."""
+    tk = normalized_tokens(text_col)
+    return (
+        frame.select(F.col(id_col), tk.alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(ngram_array(F.col("_tk"), n))).alias("_g"),
+        )
+        .select(id_col, F.md5("_g").alias("gram_md5"))
+    )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -591,26 +609,105 @@ def ngram_decontaminate(
     benchmark set are excluded via anti-join on ``id_col``, not text
     equality, so exact-duplicate eval docs still flag).
     """
-    def grams_of(frame: DataFrame) -> DataFrame:
-        tk = normalized_tokens(text_col)
-        return (
-            frame.select(F.col(id_col), tk.alias("_tk"))
-            .filter(F.size("_tk") >= n)
-            .select(
-                id_col,
-                F.explode(F.array_distinct(ngram_array(F.col("_tk"), n))).alias(
-                    "_g"
-                ),
-            )
-            .select(id_col, F.md5("_g").alias("gram_md5"))
-        )
-
-    bench_grams = grams_of(benchmark).select("gram_md5").distinct()
-    corpus_grams = grams_of(
-        docs.join(benchmark.select(id_col), id_col, "left_anti")
+    bench_grams = _gram_digests(benchmark, n, text_col, id_col).select(
+        "gram_md5"
+    ).distinct()
+    corpus_grams = _gram_digests(
+        docs.join(benchmark.select(id_col), id_col, "left_anti"),
+        n,
+        text_col,
+        id_col,
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram_md5")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def ngram_decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``ngram_decontaminate`` for the regime where the benchmark digest
+    set is too large to broadcast as rows (a full eval-suite union can
+    reach 10^8+ distinct grams ≈ tens of GB of digests): identical
+    output, but the corpus side is pre-filtered through a BLOOM FILTER
+    built *as a DataFrame aggregation* before the exact join.
+
+    Engine shape (all built-in expressions, no driver-side bitmap):
+
+    1. each benchmark digest sets ``k_hashes`` bits of an ``m_bits``-bit
+       filter; bit positions are ``pmod(xxhash64(seed_i, digest), m)``,
+       folded into 64-bit words via ``bit_or`` aggregation — the filter
+       is a (word_idx, bits) DataFrame of ``m/64`` rows (32 KiB of longs
+       at the 2^18 default), broadcastable at ANY benchmark size;
+    2. every corpus gram explodes into its k (word_idx, mask) probes,
+       inner-joins the broadcast filter, and survives iff all k bits are
+       set (``count == k``) — false-positive rate (1-e^{-kn/m})^k, so m
+       is sized to the benchmark gram count (n), not the corpus;
+    3. ONLY the surviving candidates (true overlaps + the fp fraction)
+       proceed to the exact digest join, which at this size can shuffle
+       both sides hash-partitioned — its left input is now ∝ true
+       contamination, not ∝ corpus gram count.
+
+    The bloom stage is a pure superset prefilter ahead of an exact
+    verify, so results are bit-identical to ``ngram_decontaminate`` —
+    the oracle is the same SQL. The bloom's own hash choice never
+    affects the answer, only the fp rate.
+    """
+    bench_grams = _gram_digests(benchmark, n, text_col, id_col).select(
+        "gram_md5"
+    ).distinct()
+    corpus_grams = _gram_digests(
+        docs.join(benchmark.select(id_col), id_col, "left_anti"),
+        n,
+        text_col,
+        id_col,
+    )
+
+    def positions(digest: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), digest), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+
+    bloom = (
+        bench_grams.select(F.explode(positions(F.col("gram_md5"))).alias("_p"))
+        .select(
+            F.expr("_p div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+    probes = corpus_grams.select(
+        id_col,
+        "gram_md5",
+        F.explode(positions(F.col("gram_md5"))).alias("_p"),
+    ).select(
+        id_col,
+        "gram_md5",
+        F.expr("_p div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_m"),
+    )
+    candidates = (
+        probes.join(F.broadcast(bloom), "word_idx")
+        .filter(F.col("bits").bitwiseAND(F.col("_m")) == F.col("_m"))
+        .groupBy(id_col, "gram_md5")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k_hashes)
+        .select(id_col, "gram_md5")
+    )
+    return (
+        candidates.join(bench_grams, "gram_md5")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -3878,6 +3878,42 @@ def q_decontaminate(spark, sf_dir):
 
 
 @register(
+    "decontaminate_bloom",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, md5(gram) AS gram_md5 FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               ))) AS gram
+        FROM tk WHERE len(tk) >= 4)
+    )
+    SELECT c.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, gram_md5 FROM g WHERE doc_id % 97 != 0) c
+    JOIN (SELECT DISTINCT gram_md5 FROM g WHERE doc_id % 97 = 0) b
+      USING (gram_md5)
+    GROUP BY c.doc_id
+    """,
+    "Bloom-prefiltered decontamination for un-broadcastable benchmark "
+    "digest sets: the filter is a bit_or-aggregated (word, bits) "
+    "DataFrame (m/64 rows, broadcastable at any benchmark size); only "
+    "bloom-surviving corpus grams reach the exact digest join, whose "
+    "input becomes ∝ true contamination + fp rate instead of ∝ corpus "
+    "grams. Superset-prefilter + exact-verify, so the oracle is the "
+    "SAME SQL as decontaminate_ngrams — results must be bit-identical.",
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return text.ngram_decontaminate_bloom(docs, benchmark, n=4)
+
+
+@register(
     "variant_extract_events",
     """
     SELECT event_type, COUNT(*) AS n,
@@ -4059,6 +4095,9 @@ _ROTATION_TAIL = {
     "mix_sources_weighted": "r05-local",
     "curate_corpus_deduped": "r05-local",
     "token_shards_4k": "r05-local",
+    # r05 continuation session additions: window is booked; evidence =
+    # this session's full local oracle pass. Rotate into the r06 window.
+    "decontaminate_bloom": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -223,3 +223,54 @@ def test_ngram_decontaminate_planted_overlap(spark):
     # only by id (text-equality exclusion would hide it — the bug the
     # anti-join-on-id design avoids)
     assert out == {1: 1, 3: 2}
+
+
+def test_ngram_decontaminate_bloom_matches_exact(spark):
+    """The bloom-prefiltered variant is a superset prefilter + exact
+    verify, so its output must be bit-identical to the exact join — even
+    under heavy false-positive pressure (m_bits=64 crams every gram into
+    one word, so most grams pass the bloom and the exact join does all
+    the work)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "x alpha beta gamma y"),
+            (2, "completely different words here"),
+            (3, "alpha beta gamma delta"),
+            (97, "epsilon zeta eta theta iota"),   # 2nd benchmark doc
+            (5, "zz epsilon zeta eta theta qq"),   # shares 2 of its 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in text.ngram_decontaminate(docs, bench, n=3).collect()
+    }
+    for m_bits in (1 << 18, 64):
+        got = {
+            r["doc_id"]: r["n_shared_grams"]
+            for r in text.ngram_decontaminate_bloom(
+                docs, bench, n=3, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact, m_bits
+    assert exact == {1: 1, 3: 2, 5: 2}
+
+
+def test_ngram_decontaminate_bloom_sf_table(spark):
+    """Full-table equality vs the exact variant on the real documents
+    fixture (the registry configuration: 4-grams, doc_id % 97 benchmark
+    split)."""
+    import os
+
+    sf = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = text.ngram_decontaminate(docs, bench, n=4)
+    bloom = text.ngram_decontaminate_bloom(docs, bench, n=4)
+    a = {(r["doc_id"], r["n_shared_grams"]) for r in exact.collect()}
+    b = {(r["doc_id"], r["n_shared_grams"]) for r in bloom.collect()}
+    assert a == b and len(a) > 0
