@@ -480,3 +480,45 @@ def mix_sources(
             raise ValueError(f"mix_sources: weight for {s!r} not in [0, 1000]")
         w = F.when(F.col(source_col) == s, F.lit(p)).otherwise(w)
     return df.filter(h < w)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tracked: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rebuild a type-2 slowly-changing-dimension history from a CDC-style
+    change log (the warehouse-side MERGE pattern, reconstructed
+    declaratively): per ``key``, order rows by (``ts_col``, ``tiebreak``),
+    drop no-op updates (rows where every ``tracked`` column equals the
+    previous row's, null-safe), then effective-date the survivors —
+    ``valid_from`` = row ts, ``valid_to`` = next survivor's ts (NULL =
+    open/current), ``version`` = 1-based change ordinal.
+
+    Plan shape: ONE hash exchange on ``key``; the change-detection lag
+    window and the effective-dating lead/row_number windows share the
+    same (partition, order) so the sort is reused — at 100 TB the log
+    shuffles once, however many tracked columns there are. ``tiebreak``
+    makes same-timestamp orderings deterministic across engines (pass it
+    whenever the log can carry duplicate (key, ts) rows).
+
+    Output: key, tracked..., valid_from, valid_to, version, is_current.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    surv = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return surv.select(
+        key,
+        *tracked,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -3914,6 +3914,45 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 @register(
+    "scd2_user_event_type",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_t,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), c AS (
+      SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev_t
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           coalesce(lead(ts) OVER w2, TIMESTAMP '2099-12-31 00:00:00')
+             AS valid_to,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "Type-2 SCD history rebuilt from the event log (CDC pattern): per "
+    "user, consecutive duplicate event_types collapse as no-op updates, "
+    "survivors are effective-dated valid_from/valid_to with a version "
+    "ordinal and an is_current flag; ONE exchange on user_id — the "
+    "change-detect lag and the effective-dating lead/row_number windows "
+    "share a sort; event_id tie-break pins duplicate-timestamp order.",
+)
+def q_scd2_user_event_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = relational.scd2_history(
+        ev, "user_id", "ts", ["event_type"], tiebreak="event_id"
+    )
+    # warehouse-idiomatic open-end sentinel instead of NULL, so the
+    # driver's value hash never covers a nullable timestamp column
+    return out.withColumn(
+        "valid_to",
+        F.coalesce(F.col("valid_to"), F.lit("2099-12-31 00:00:00").cast("timestamp")),
+    )
+
+
+@register(
     "variant_extract_events",
     """
     SELECT event_type, COUNT(*) AS n,
@@ -4098,6 +4137,7 @@ _ROTATION_TAIL = {
     # r05 continuation session additions: window is booked; evidence =
     # this session's full local oracle pass. Rotate into the r06 window.
     "decontaminate_bloom": "r05-local",
+    "scd2_user_event_type": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

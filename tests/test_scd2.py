@@ -1,0 +1,95 @@
+"""SCD2 history reconstruction: no-op collapse, null-safe change
+detection, out-of-order input, duplicate-timestamp tie-break, and the
+one-exchange plan contract."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_scd2_semantics(spark):
+    rows = [
+        # key 1: A -> A (no-op) -> B -> B (no-op) -> A ; delivered out of order
+        (1, _ts(3), "B", 30),
+        (1, _ts(1), "A", 10),
+        (1, _ts(2), "A", 20),
+        (1, _ts(4), "B", 40),
+        (1, _ts(5), "A", 50),
+        # key 2: null -> null (no-op, null-safe) -> X
+        (2, _ts(1), None, 60),
+        (2, _ts(2), None, 70),
+        (2, _ts(3), "X", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = relational.scd2_history(
+        df, "user_id", "ts", ["event_type"], tiebreak="event_id"
+    )
+    got = [
+        (r["user_id"], r["event_type"], r["valid_from"].hour,
+         r["valid_to"].hour if r["valid_to"] else None,
+         r["version"], r["is_current"])
+        for r in out.orderBy("user_id", "version").collect()
+    ]
+    assert got == [
+        (1, "A", 1, 3, 1, False),
+        (1, "B", 3, 5, 2, False),
+        (1, "A", 5, None, 3, True),
+        (2, None, 1, 3, 1, False),
+        (2, "X", 3, None, 2, True),
+    ]
+
+
+def test_scd2_duplicate_ts_tiebreak(spark):
+    """Two changes at the same timestamp: event_id orders them, so the
+    higher event_id's value wins as the later version (zero-length
+    validity for the first) — deterministic across engines."""
+    rows = [(1, _ts(1), "A", 1), (1, _ts(1), "B", 2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = relational.scd2_history(
+        df, "user_id", "ts", ["event_type"], tiebreak="event_id"
+    )
+    got = [
+        (r["event_type"], r["version"], r["is_current"])
+        for r in out.orderBy("version").collect()
+    ]
+    assert got == [("A", 1, False), ("B", 2, True)]
+
+
+def test_scd2_multi_tracked_columns(spark):
+    """A change in ANY tracked column opens a new version."""
+    rows = [
+        (1, _ts(1), "A", "x", 1),
+        (1, _ts(2), "A", "y", 2),   # second column changes
+        (1, _ts(3), "A", "y", 3),   # full no-op
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, a string, b string, event_id long"
+    )
+    out = relational.scd2_history(df, "k", "ts", ["a", "b"], tiebreak="event_id")
+    assert [
+        (r["a"], r["b"], r["version"]) for r in out.orderBy("version").collect()
+    ] == [("A", "x", 1), ("A", "y", 2)]
+
+
+def test_scd2_single_exchange_plan(spark):
+    """The change-detect window and the effective-dating windows share
+    one (partition, order): exactly ONE shuffle exchange."""
+    df = spark.createDataFrame(
+        [(1, _ts(1), "A", 1)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = relational.scd2_history(
+        df, "user_id", "ts", ["event_type"], tiebreak="event_id"
+    )
+    assert explain.count_exchanges(out) == 1

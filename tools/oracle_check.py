@@ -61,6 +61,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
             eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+        elif np.issubdtype(av.dtype, np.datetime64) and np.issubdtype(
+            bv.dtype, np.datetime64
+        ):
+            # NaT == NaT is False elementwise (NaN semantics); two nulls agree
+            eq = (av == bv) | (np.isnat(av) & np.isnat(bv))
         else:
             try:
                 eq = av == bv
