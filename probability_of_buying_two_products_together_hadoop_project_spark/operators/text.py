@@ -814,3 +814,50 @@ def token_shards(
         F.expr(f"(_cum - n_tokens) div {budget}").alias("shard_id"),
         F.col("_cum").alias("cum_tokens"),
     )
+
+
+# PII redaction rules: (name, pattern, replacement), applied in order.
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so the DuckDB oracle replicates the chain exactly; order
+# matters (emails first so their digits never half-match as phones, IPs
+# before phones for the same reason) and is part of the contract.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-\s]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholders — the irreversible counterpart to
+    :func:`pseudonymize` (no linkage survives). A chain of built-in
+    ``regexp_replace`` calls: JVM-side, zero shuffle, scan-speed at
+    100 TB."""
+    out = col
+    for _, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-rule match counts on the ORIGINAL text (counted before any
+    replacement so earlier rules can't consume later rules' matches)."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_RULES
+    }
+
+
+def redact_pii_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-level PII screen: redacted text plus per-category match
+    counts (the audit columns a curation pipeline filters/reports on)."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    return docs.select(
+        F.col(id_col),
+        redact_pii(t).alias("redacted"),
+        *[c.cast("long").alias(f"n_{name}") for name, c in counts.items()],
+    )

@@ -3914,6 +3914,57 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 @register(
+    "redact_pii_customers",
+    """
+    WITH pii AS (
+      SELECT c_custkey, concat_ws(' ', c_name,
+               lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+                 || '@example.com',
+               '+1 555-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0'),
+               '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7') AS t
+      FROM customer
+    )
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        '\\+?\\d[\\d\\-\\s]{6,}\\d', '<PHONE>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(t,
+        '\\+?\\d[\\d\\-\\s]{6,}\\d')) AS BIGINT) AS n_phone
+    FROM pii
+    """,
+    "PII redaction battery: emails, IPv4s, and phone-like digit runs "
+    "replaced with typed placeholders over a deterministically "
+    "synthesized PII-laden string (the parquet fixtures carry no real "
+    "PII, so the query builds one from customer rows with the same "
+    "expressions in both engines); patterns live in the Java-regex ∩ "
+    "RE2 common subset and apply in a pinned order (emails before "
+    "phones so digits aren't half-consumed); counts are taken on the "
+    "pre-redaction text. Narrow projection, zero exchanges.",
+)
+def q_redact_pii(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    pii = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.concat(
+            F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ".")),
+            F.lit("@example.com"),
+        ),
+        F.concat(F.lit("+1 555-"), F.lpad(F.col("c_custkey").cast("string"), 4, "0")),
+        F.concat(
+            F.lit("10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".7")
+        ),
+    )
+    base = cust.select("c_custkey", pii.alias("text"))
+    return text.redact_pii_docs(base, text_col="text", id_col="c_custkey")
+
+
+@register(
     "scd2_user_event_type",
     """
     WITH o AS (
@@ -4138,6 +4189,7 @@ _ROTATION_TAIL = {
     # this session's full local oracle pass. Rotate into the r06 window.
     "decontaminate_bloom": "r05-local",
     "scd2_user_event_type": "r05-local",
+    "redact_pii_customers": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -274,3 +274,30 @@ def test_ngram_decontaminate_bloom_sf_table(spark):
     a = {(r["doc_id"], r["n_shared_grams"]) for r in exact.collect()}
     b = {(r["doc_id"], r["n_shared_grams"]) for r in bloom.collect()}
     assert a == b and len(a) > 0
+
+
+def test_redact_pii_rules(spark):
+    """Typed placeholders, pinned rule order (emails before phones, IPs
+    before phones), counts on pre-redaction text, PII-free text passes
+    through unchanged."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.1 answered"),
+            (3, "call +1 555-0100 today"),
+            (4, "clean text with no identifiers"),
+            (5, "a@b.io 10.0.0.7 +44 20-7946-0958"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["redacted"], r["n_email"], r["n_ip"], r["n_phone"])
+        for r in text.redact_pii_docs(docs).collect()
+    }
+    assert out[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert out[2] == ("server <IP> answered", 0, 1, 0)
+    assert out[3] == ("call <PHONE> today", 0, 0, 1)
+    assert out[4] == ("clean text with no identifiers", 0, 0, 0)
+    # dots break the phone charset, so the IP is not double-counted as a
+    # phone; each category matches exactly once
+    assert out[5] == ("<EMAIL> <IP> <PHONE>", 1, 1, 1)
