@@ -442,3 +442,87 @@ def srp_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def grid_cell_coord(
+    vec_col: Column, j: int, lo: float, step: float, g: int
+) -> Column:
+    """Coordinate j of the data-independent grid coarse quantizer:
+    clamp(floor((v[j] - lo) / step), 0, g-1) — pure IEEE-double
+    arithmetic on the float-cast-to-double component, bit-reproducible
+    by any engine."""
+    x = F.element_at(vec_col, j + 1).cast("double")
+    return F.least(
+        F.greatest(F.floor((x - lo) / step).cast("long"), F.lit(0)),
+        F.lit(g - 1),
+    )
+
+
+def ivf_topk_grid(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dims: int = 2,
+    lo: float = -0.6,
+    step: float = 0.3,
+    g: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` with a DETERMINISTIC coarse quantizer — a fixed
+    ``g``-per-axis grid over the first ``dims`` vector components
+    instead of KMeans centroids — so a SQL oracle can regenerate the
+    whole list-assign → probe → exact-re-rank pipeline bit-for-bit
+    (the same evidence pattern as the LCG-hyperplane cosine LSH twin).
+    KMeans adapts lists to the density landscape and stays the quality
+    path; the grid twin pins the IVF *mechanics* cross-engine.
+
+    Probing: each query scans its own cell plus all grid neighbors
+    within Chebyshev distance 1 (clamped at the borders), i.e. 3^dims
+    cell ids built as ONE array expression per query row — no centroid
+    ranking join. Exact cosine re-ranks candidates only; ties break on
+    neighbor id. Same plan posture as the KMeans variant: the corpus is
+    touched once, and a ``cell``-partitioned layout turns probing into
+    directory-level partition pruning (3^dims / g^dims of the data).
+    """
+    import itertools
+
+    v = F.col(vec_col)
+    coords = [grid_cell_coord(v, j, lo, step, g) for j in range(dims)]
+    cell = sum((c * (g**j) for j, c in enumerate(coords)), F.lit(0))
+    cells = embeddings.select(F.col(id_col), v.alias("_vec"), cell.alias("cell"))
+
+    def clamp(c: Column) -> Column:
+        return F.least(F.greatest(c, F.lit(0)), F.lit(g - 1))
+
+    probe_cells = F.array_distinct(
+        F.array(
+            *[
+                sum(
+                    (clamp(c + d) * (g**j) for j, (c, d) in enumerate(zip(coords, off))),
+                    F.lit(0),
+                )
+                for off in itertools.product((-1, 0, 1), repeat=dims)
+            ]
+        )
+    )
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            v.alias("qv"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    cand = cells.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    sims = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("_vec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

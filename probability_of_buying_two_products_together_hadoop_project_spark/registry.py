@@ -3914,6 +3914,62 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 @register(
+    "embedding_ivf_topk_verified",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+        least(greatest(CAST(floor((CAST(embedding[1] AS DOUBLE) + 0.6) / 0.3)
+          AS BIGINT), 0), 3) AS c0,
+        least(greatest(CAST(floor((CAST(embedding[2] AS DOUBLE) + 0.6) / 0.3)
+          AS BIGINT), 0), 3) AS c1
+      FROM embeddings
+    ), cells AS (
+      SELECT vec_id, embedding, c0 + 4 * c1 AS cell FROM e
+    ), probe AS (
+      SELECT DISTINCT vec_id AS query_id,
+             least(greatest(c0 + dx, 0), 3)
+               + 4 * least(greatest(c1 + dy, 0), 3) AS cell
+      FROM e, (VALUES (-1), (0), (1)) ox(dx), (VALUES (-1), (0), (1)) oy(dy)
+      WHERE vec_id < 5
+    ), cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS ev
+      FROM probe p
+      JOIN cells c USING (cell)
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        ON q.vec_id = p.query_id
+      WHERE c.vec_id != p.query_id
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+        round(
+          list_sum(list_transform(list_zip(qv, ev),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ev,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) AS cos_sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM sims
+    ) WHERE rk <= 10
+    """,
+    "IVF ANN with a DETERMINISTIC grid coarse quantizer (4x4 over the "
+    "first two components, Chebyshev-1 probe set as one array "
+    "expression): the oracle regenerates list assignment, probing, and "
+    "exact re-rank bit-for-bit — the hash-pinned twin of the KMeans "
+    "ivf_topk (which stays the adaptive-quality, rows-only path).",
+)
+def q_embedding_ivf_grid(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk_grid(emb, [0, 1, 2, 3, 4], k=10)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+@register(
     "redact_pii_customers",
     """
     WITH pii AS (
@@ -4190,6 +4246,7 @@ _ROTATION_TAIL = {
     "decontaminate_bloom": "r05-local",
     "scd2_user_event_type": "r05-local",
     "redact_pii_customers": "r05-local",
+    "embedding_ivf_topk_verified": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -204,3 +204,75 @@ def test_cosine_near_dup_rejects_bad_band_split():
 
     with pytest.raises(ValueError, match="divisible"):
         similarity.cosine_near_dup_pairs(None, num_planes=24, bands=7)
+
+
+def _spark_round4(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def test_ivf_grid_matches_python_reference(spark):
+    """Full-pipeline equality vs an independent numpy/python replication
+    of the grid quantizer: cell assignment, Chebyshev-1 clamped probe
+    set, exact cosine re-rank, deterministic tie-break — bit-for-bit
+    (the property the DuckDB oracle also pins)."""
+    df, vecs = _emb(spark, n=60, dim=8)
+    queries, k, lo, step, g = [0, 1, 2], 5, -0.6, 0.3, 4
+
+    def cell_coords(v):
+        return [
+            min(max(int(math.floor((float(v[j]) - lo) / step)), 0), g - 1)
+            for j in range(2)
+        ]
+
+    def cell_id(c):
+        return c[0] + g * c[1]
+
+    cells = {i: cell_id(cell_coords(vecs[i])) for i in range(len(vecs))}
+    want = []
+    for q in queries:
+        c = cell_coords(vecs[q])
+        probe = {
+            cell_id(
+                [min(max(c[0] + dx, 0), g - 1), min(max(c[1] + dy, 0), g - 1)]
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        }
+        cand = [i for i in range(len(vecs)) if i != q and cells[i] in probe]
+        sims = []
+        for i in cand:
+            cs = float(
+                np.dot(vecs[q], vecs[i])
+                / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[i]))
+            )
+            sims.append((i, _spark_round4(cs)))
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        want += [(q, nid, cs, rk + 1) for rk, (nid, cs) in enumerate(sims[:k])]
+
+    got = [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in similarity.ivf_topk_grid(
+            df, queries, k=k, dims=2, lo=lo, step=step, g=g
+        )
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_ivf_grid_border_clamp_and_determinism(spark):
+    """Vectors far outside the grid range clamp into border cells (no
+    lost rows, no invalid probe ids); reruns are identical."""
+    rows = [
+        (0, [10.0] * 8, 0),     # clamps to the (3,3) corner
+        (1, [-10.0] * 8, 0),    # clamps to the (0,0) corner
+        (2, [9.0] * 8, 0),      # same corner as 0 -> must be found
+        (3, [0.1] * 8, 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out1 = similarity.ivf_topk_grid(df, [0], k=3).collect()
+    out2 = similarity.ivf_topk_grid(df, [0], k=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert {r["neighbor_id"] for r in out1} >= {2}
