@@ -165,9 +165,13 @@ def _png_filter_line(
     return res
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int = 3) -> bytes:
-    """Reverse the per-scanline filters of decompressed IDAT data."""
-    stride = width * bpp
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int = 3, stride: int | None = None
+) -> bytes:
+    """Reverse the per-scanline filters of decompressed IDAT data.
+    ``stride`` overrides the scanline byte length for sub-byte depths
+    (packed rows, filter unit = 1 byte per spec §9)."""
+    stride = width * bpp if stride is None else stride
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has wrong length")
     out = bytearray()
@@ -380,6 +384,96 @@ def encode_png_palette(
     )
 
 
+def _pack_bits(samples: bytes, width: int, depth: int) -> bytes:
+    """Pack one row of sub-byte samples (one byte per sample, each <
+    2**depth) into MSB-first PNG packed bytes (spec §7.2)."""
+    per = 8 // depth
+    out = bytearray((width * depth + 7) // 8)
+    mask = (1 << depth) - 1
+    for i in range(width):
+        shift = 8 - depth * ((i % per) + 1)
+        out[i // per] |= (samples[i] & mask) << shift
+    return bytes(out)
+
+
+def _unpack_bits(row: bytes, width: int, depth: int) -> bytes:
+    """Inverse of :func:`_pack_bits`: MSB-first packed bytes -> one byte
+    per sample (trailing pad bits of the last byte are ignored)."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for i in range(width):
+        out[i] = (row[i // per] >> (8 - depth * ((i % per) + 1))) & mask
+    return bytes(out)
+
+
+def encode_png_subbyte(
+    width: int,
+    height: int,
+    samples: bytes,
+    depth: int,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Pack sub-byte-depth samples (1/2/4 bits; one byte per sample in
+    ``samples``, row 0 = TOP) into a grayscale PNG, or an indexed-color
+    PNG when ``palette`` (RGB triples) is given — the only two color
+    types the spec allows below 8 bits. Scanlines pack MSB-first; the
+    filter unit for sub-byte depths is ONE BYTE of packed data (spec
+    §9: bpp rounds up to 1), and the mixed filter cycle exercises every
+    filter over packed bytes."""
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte PNG depth must be 1, 2, or 4")
+    if len(samples) != width * height:
+        raise ValueError("samples must be width*height bytes (one per pixel)")
+    if max(samples, default=0) >= (1 << depth):
+        raise ValueError(f"sample out of range for depth {depth}")
+    if palette is not None:
+        if len(palette) % 3 != 0 or not 3 <= len(palette) <= (1 << depth) * 3:
+            raise ValueError("palette must be 1..2**depth RGB triples")
+        if max(samples, default=0) >= len(palette) // 3:
+            raise ValueError("palette index out of range")
+    def pass_lines(pw: int, ph: int, psamples: bytes) -> list[bytes]:
+        stride = (pw * depth + 7) // 8
+        prev = bytes(stride)
+        out = []
+        for r in range(ph):
+            line = _pack_bits(psamples[r * pw : (r + 1) * pw], pw, depth)
+            ftype = r % 5
+            out.append(
+                bytes([ftype]) + bytes(_png_filter_line(ftype, line, prev, bpp=1))
+            )
+            prev = line
+        return out
+
+    lines: list[bytes] = []
+    if not interlace:
+        lines = pass_lines(width, height, samples)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for j in range(ph):
+                for i in range(pw):
+                    sub.append(samples[(y0 + j * dy) * width + (x0 + i * dx)])
+            lines += pass_lines(pw, ph, bytes(sub))
+    ctype = 0 if palette is None else 3
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette)
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # Adam7 interlacing pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
 _ADAM7 = [
     (0, 0, 8, 8),
@@ -399,15 +493,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     IHDR/PLTE/IDAT walk, zlib inflate, unfilter, deinterlace.
 
     REAL for every color type (0 gray, 2 truecolor, 3 indexed, 4
-    gray+alpha, 6 RGBA), bit depths 8 and 16 (16-bit samples take the
-    most-significant byte — exact for the x*257 encoding convention),
-    and BOTH interlace methods (none + Adam7: each pass is an
-    independently filtered sub-image, reassembled by the pass grid).
-    Alpha is STRIPPED, not composited, so every color type honors the
-    same 3-channel contract. Chunk CRCs are not re-verified (zlib's
-    adler32 already covers the pixel stream). Sub-byte depths (1/2/4,
-    legal only for gray/indexed) remain NotImplementedError — no
-    synthesizer here emits them; more of the same spec if ever needed."""
+    gray+alpha, 6 RGBA), EVERY legal bit depth (1/2/4 packed MSB-first
+    for gray/indexed with spec sample scaling x255/x85/x17; 8; 16 where
+    samples take the most-significant byte — exact for the x*257
+    encoding convention), and BOTH interlace methods (none + Adam7:
+    each pass is an independently filtered sub-image, reassembled by
+    the pass grid). Alpha is STRIPPED, not composited, so every color
+    type honors the same 3-channel contract. Chunk CRCs are not
+    re-verified (zlib's adler32 already covers the pixel stream). The
+    PNG static-image spec surface is now complete; JPEG remains the one
+    honest external-codec stub."""
     if payload is None or not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos = 8
@@ -423,17 +518,20 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+            ok_depth = depth in (8, 16) or (
+                depth in (1, 2, 4) and ctype in (0, 3)
+            )
             if (
                 ctype not in _PNG_CHANNELS
-                or depth not in (8, 16)
-                or (ctype == 3 and depth != 8)
+                or not ok_depth
+                or (ctype == 3 and depth == 16)
                 or comp != 0
                 or filt != 0
                 or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
-                    "unsupported PNG variant: depth 1/2/4 or nonstandard "
-                    "compression/filter method"
+                    "unsupported PNG variant: nonstandard compression/"
+                    "filter method or illegal depth/color-type combination"
                 )
         elif tag == b"PLTE":
             palette = data
@@ -444,8 +542,22 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None:
         raise ValueError("PNG missing IHDR")
     channels = _PNG_CHANNELS[ctype]
-    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
+    if depth in (1, 2, 4):
+        # sub-byte gray/indexed: unfilter packed rows (filter unit is one
+        # byte), then bit-unpack MSB-first to one sample per pixel
+        px = _png_subbyte_samples(raw, width, height, depth, interlace)
+        if ctype == 0:
+            # spec sample scaling to 8 bits: 1->x255, 2->x85, 4->x17
+            scale = 255 // ((1 << depth) - 1)
+            px = bytes(v * scale for v in px)
+            out = bytearray(len(px) * 3)
+            out[0::3] = px
+            out[1::3] = px
+            out[2::3] = px
+            return width, height, bytes(out)
+        return _png_palette_expand(width, height, px, palette)
+    bpp = channels * (depth // 8)
     if interlace == 0:
         flat = _png_unfilter(raw, width, height, bpp=bpp)
     else:
@@ -491,6 +603,14 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         out[1::3] = px
         out[2::3] = px
         return width, height, bytes(out)
+    return _png_palette_expand(width, height, px, palette)
+
+
+def _png_palette_expand(
+    width: int, height: int, px: bytes, palette: bytes | None
+) -> tuple[int, int, bytes]:
+    """Indexed-color tail shared by the 8-bit and sub-byte paths: map
+    palette indices to RGB triples."""
     if palette is None or len(palette) % 3 != 0 or not palette:
         raise ValueError("indexed PNG missing or malformed PLTE")
     n_entries = len(palette) // 3
@@ -500,6 +620,39 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     for i, idx in enumerate(px):
         out[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
     return width, height, bytes(out)
+
+
+def _png_subbyte_samples(
+    raw: bytes, width: int, height: int, depth: int, interlace: int
+) -> bytes:
+    """Unfilter + bit-unpack sub-byte scanline data -> one byte per
+    pixel sample, honoring Adam7 pass geometry when interlaced (each
+    pass packs its own rows, so pad bits fall at pass-row ends)."""
+    stride = (width * depth + 7) // 8
+    if interlace == 0:
+        packed = _png_unfilter(raw, width, height, bpp=1, stride=stride)
+        out = bytearray()
+        for r in range(height):
+            out += _unpack_bits(packed[r * stride : (r + 1) * stride], width, depth)
+        return bytes(out)
+    buf = bytearray(width * height)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        ps = (pw * depth + 7) // 8
+        sub_len = ph * (1 + ps)
+        sub = _png_unfilter(raw[off : off + sub_len], pw, ph, bpp=1, stride=ps)
+        off += sub_len
+        for j in range(ph):
+            rowsamp = _unpack_bits(sub[j * ps : (j + 1) * ps], pw, depth)
+            for i in range(pw):
+                buf[(y0 + j * dy) * width + (x0 + i * dx)] = rowsamp[i]
+    if off != len(raw):
+        raise ValueError("interlaced PNG scanline data has wrong length")
+    return bytes(buf)
 
 
 def png_from_text(text: str, width: int = 16) -> bytes:

@@ -303,8 +303,10 @@ def test_png_rgba_interlaced_roundtrip():
     assert got == (w, h, rgb)
 
 
-def test_png_subbyte_depth_still_raises():
-    # depth-4 grayscale IHDR: the one remaining honest PNG gap
+def test_png_subbyte_depth_now_decodes():
+    # depth-4 grayscale was the last internal PNG gap until this round:
+    # a hand-packed 1x1 depth-4 IHDR + one filter-0 scanline must decode
+    # (sample 0xF scales to 255)
     import struct as _s
     import zlib as _z
 
@@ -312,11 +314,10 @@ def test_png_subbyte_depth_still_raises():
     payload = (
         multimodal.PNG_SIG
         + multimodal._png_chunk(b"IHDR", ihdr)
-        + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00\x00"))
+        + multimodal._png_chunk(b"IDAT", _z.compress(b"\x00\xf0"))
         + multimodal._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_png(payload)
+    assert multimodal.decode_png(payload) == (1, 1, b"\xff\xff\xff")
 
 
 def test_png_property_roundtrip_all_variants():
@@ -342,3 +343,57 @@ def test_png_property_roundtrip_all_variants():
         assert multimodal.decode_png(
             multimodal.encode_png_rgba(w, h, bytes(rgba), interlace=inter)
         ) == (w, h, rgb), (w, h, inter, "rgba")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 6), (13, 5), (16, 9)])
+def test_png_subbyte_gray_roundtrip(depth, w, h):
+    """Sub-byte grayscale (1/2/4-bit): widths chosen so rows end with pad
+    bits (7 and 13 are never multiples of 8/depth); decode scales samples
+    by the spec factor (255, 85, 17) and expands gray->RGB."""
+    mx = (1 << depth) - 1
+    samples = bytes((i * 7 + w) % (mx + 1) for i in range(w * h))
+    scale = 255 // mx
+    for interlace in (False, True):
+        got_w, got_h, body = multimodal.decode_png(
+            multimodal.encode_png_subbyte(w, h, samples, depth, interlace=interlace)
+        )
+        assert (got_w, got_h) == (w, h)
+        want = bytes(s * scale for s in samples)
+        assert body[0::3] == want and body[1::3] == want and body[2::3] == want
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_indexed_roundtrip(depth):
+    w, h = 11, 7
+    n_colors = 1 << depth
+    palette = bytes((i * 13 + c * 51) % 256 for i in range(n_colors) for c in range(3))
+    samples = bytes((i * 5) % n_colors for i in range(w * h))
+    for interlace in (False, True):
+        got_w, got_h, body = multimodal.decode_png(
+            multimodal.encode_png_subbyte(
+                w, h, samples, depth, palette=palette, interlace=interlace
+            )
+        )
+        assert (got_w, got_h) == (w, h)
+        want = b"".join(palette[3 * s : 3 * s + 3] for s in samples)
+        assert body == want
+
+
+def test_png_subbyte_validation():
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.encode_png_subbyte(2, 1, bytes([0, 2]), 1)
+    with pytest.raises(ValueError, match="depth"):
+        multimodal.encode_png_subbyte(2, 1, bytes([0, 1]), 3)
+    # depth-16 indexed is illegal per spec and must be rejected
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    chunk = (
+        _s.pack(">I", len(ihdr))
+        + b"IHDR" + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(multimodal.PNG_SIG + chunk)
