@@ -989,3 +989,40 @@ def simhash_near_dup_verified(
     return simhash_candidates_from_signatures(
         simhash_signatures_md5(docs, text_col), max_hamming, n_chunks
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_index: DataFrame,
+    text_col: str = "text",
+    digest_col: str = "h",
+) -> DataFrame:
+    """Deduplicate an INCREMENTAL ingest batch against an already-built
+    corpus without rescanning the corpus — the steady-state shape of a
+    100 TB pipeline, where :func:`exact_dedup` is the one-time bootstrap
+    and every subsequent delivery only touches the (digest) index table.
+
+    ``seen_index`` is the persisted digest set (a ``digest_col`` column
+    of :func:`content_hash` values — what a caller materializes from
+    ``exact_dedup``'s ``h`` output). Survivors are new docs whose content
+    digest is (a) first within the batch (min doc_id, matching
+    exact_dedup's survivor rule) and (b) absent from the index; the
+    output's (doc_id, h) rows are exactly the delta to append back to
+    the index, closing the loop.
+
+    Plan shape: the batch shuffles once on its 16-byte digests (the
+    within-batch min-id agg) and the anti-join against the index is a
+    digest-to-digest join — no document bodies move, and with the index
+    stored bucketed by digest the join side of it needs no exchange at
+    all. Batch-sized work per delivery, never corpus-sized.
+    """
+    batch = (
+        new_docs.select(
+            F.col("doc_id"), content_hash(F.col(text_col)).alias(digest_col)
+        )
+        .groupBy(digest_col)
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_in_batch"))
+    )
+    return batch.join(
+        seen_index.select(digest_col).distinct(), digest_col, "left_anti"
+    ).select("doc_id", digest_col, "n_in_batch")

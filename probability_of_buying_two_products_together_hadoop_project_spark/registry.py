@@ -724,6 +724,38 @@ def q_json_source(spark, sf_dir):
 
 
 @register(
+    "orc_source_supplier_agg",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           count(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "ORC reader in the oracle loop (the third Spark-native columnar/row "
+    "format after parquet/CSV/JSON): write a canonical ORC copy, read it "
+    "back, aggregate — values must match the parquet-derived oracle. "
+    "ORC carries its own schema, so no explicit schema is supplied; the "
+    "decimal-sum cast keeps the double total order-independent.",
+)
+def q_orc_source(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = _export_once(
+        "orc",
+        sf_dir,
+        lambda p: supplier.coalesce(1).write.mode("overwrite").orc(p),
+    )
+    back = spark.read.orc(path)
+    return back.groupBy(F.col("s_nationkey").cast("long").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@register(
     "having_big_customers",
     """
     SELECT o_custkey, count(*) AS n_orders,
@@ -2318,6 +2350,34 @@ def q_events_window_bounds(spark, sf_dir):
 )
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ), batch AS (
+      SELECT h, min(doc_id) AS doc_id, count(*) AS n_in_batch
+      FROM d WHERE doc_id % 5 != 0 GROUP BY h
+    )
+    SELECT doc_id, h, n_in_batch FROM batch
+    WHERE h NOT IN (SELECT h FROM d WHERE doc_id % 5 = 0)
+    """,
+    "Incremental-ingest dedup: the doc_id % 5 == 0 slice plays the "
+    "already-built corpus (as its digest index), the rest is the new "
+    "delivery; survivors dedupe within-batch (min doc_id) AND against "
+    "the index via a digest anti-join — no corpus rescan, only 16-byte "
+    "digests move; output = the exact index delta.",
+)
+def q_dedup_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    index = dedup.exact_dedup(corpus).select("h")
+    return dedup.incremental_dedup(batch, index)
 
 
 @register(
@@ -4247,6 +4307,8 @@ _ROTATION_TAIL = {
     "scd2_user_event_type": "r05-local",
     "redact_pii_customers": "r05-local",
     "embedding_ivf_topk_verified": "r05-local",
+    "orc_source_supplier_agg": "r05-local",
+    "dedup_incremental_batch": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -460,3 +460,30 @@ def test_edit_distance_collapsed_equals_plain_hypothesis(spark):
         assert len(coll) == len(set(coll)), f"trial {trial}: duplicate emissions"
         assert set(coll) == plain, f"trial {trial}"
         assert plain, f"trial {trial}: vacuous draw"
+
+
+def test_incremental_dedup_matches_bootstrap(spark):
+    """Incremental semantics: survivors dedupe within-batch (min id) and
+    against the index; appending the returned delta to the index gives
+    exactly the digest set a full exact_dedup over corpus+batch would."""
+    corpus = spark.createDataFrame(
+        [(0, "seen text one"), (5, "seen text two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "SEEN   text one"),   # dup of corpus after normalization
+            (12, "fresh text"),
+            (13, "fresh text"),        # within-batch dup of 12
+            (14, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = dedup.exact_dedup(corpus).select("h")
+    out = dedup.incremental_dedup(batch, index)
+    got = {(r["doc_id"], r["n_in_batch"]) for r in out.collect()}
+    assert got == {(12, 2), (14, 1)}
+    # closing the loop: index + delta == bootstrap digests over the union
+    delta = out.select("h")
+    merged = {r["h"] for r in index.union(delta).collect()}
+    full = {r["h"] for r in dedup.exact_dedup(corpus.union(batch)).collect()}
+    assert merged == full
