@@ -4030,6 +4030,59 @@ def q_embedding_ivf_grid(spark, sf_dir):
 
 
 @register(
+    "zorder_locality_orders",
+    """
+    WITH d AS (
+      SELECT o_custkey % 1024 AS a, o_orderkey % 1024 AS b FROM orders
+    ), s0 AS (
+      SELECT a, b, (a & 65535) AS xa, (b & 65535) AS xb FROM d
+    ), s1 AS (
+      SELECT a, b, ((xa | (xa << 8)) & 16711935) AS xa,
+                   ((xb | (xb << 8)) & 16711935) AS xb FROM s0
+    ), s2 AS (
+      SELECT a, b, ((xa | (xa << 4)) & 252645135) AS xa,
+                   ((xb | (xb << 4)) & 252645135) AS xb FROM s1
+    ), s3 AS (
+      SELECT a, b, ((xa | (xa << 2)) & 858993459) AS xa,
+                   ((xb | (xb << 2)) & 858993459) AS xb FROM s2
+    ), s4 AS (
+      SELECT a, b, ((xa | (xa << 1)) & 1431655765) AS xa,
+                   ((xb | (xb << 1)) & 1431655765) AS xb FROM s3
+    ), z AS (
+      SELECT a, b, (xa | (xb << 1)) AS zkey FROM s4
+    )
+    SELECT zkey >> 14 AS zbucket, count(*) AS n,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b
+    FROM z GROUP BY 1
+    """,
+    "Z-order (Morton) layout key over two independent dimensions "
+    "(custkey mod 1024, orderkey mod 1024): per coarse z-bucket, both "
+    "dims' min/max spans stay narrow — the property that makes parquet "
+    "row-group stats prune on EITHER predicate after a zkey-sorted "
+    "write; the bit-spread arithmetic is replicated literally by the "
+    "oracle.",
+)
+def q_zorder_locality(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 1024).alias("a")
+    b = (F.col("o_orderkey") % 1024).alias("b")
+    z = orders.select(a, b).select(
+        "a", "b", relational.zorder_key(F.col("a"), F.col("b")).alias("zkey")
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("zkey"), 14).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+    )
+
+
+@register(
     "redact_pii_customers",
     """
     WITH pii AS (
@@ -4309,6 +4362,7 @@ _ROTATION_TAIL = {
     "embedding_ivf_topk_verified": "r05-local",
     "orc_source_supplier_agg": "r05-local",
     "dedup_incremental_batch": "r05-local",
+    "zorder_locality_orders": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
