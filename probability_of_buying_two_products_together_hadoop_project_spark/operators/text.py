@@ -861,3 +861,50 @@ def redact_pii_docs(
         redact_pii(t).alias("redacted"),
         *[c.cast("long").alias(f"n_{name}") for name, c in counts.items()],
     )
+
+
+def build_vocab(
+    docs: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Frequency-ranked vocabulary construction — the tokenizer-training
+    step of an LLM data pipeline: count normalized tokens corpus-wide,
+    keep those with ``count >= min_count``, and assign dense
+    ``vocab_id`` 1..V in (count desc, token) order.
+
+    The ranking is the classic scale trap: ``row_number() OVER (ORDER BY
+    n DESC)`` funnels the whole vocabulary through one task. Instead the
+    rank is computed as :func:`relational.global_prefix_sum` of 1 over a
+    SORTABLE KEY that encodes the ordering — ``(10^12 - count)``
+    zero-padded to 12 digits, then the token — so the bucketed parallel
+    prefix-sum machinery (one exchange + broadcast bucket offsets)
+    yields exactly row_number. Integer arithmetic end to end;
+    cross-engine exact.
+    """
+    from .relational import global_prefix_sum
+
+    tok = docs.select(F.explode(normalized_tokens(text_col)).alias("token"))
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    keyed = counts.select(
+        "token",
+        "n",
+        F.concat(
+            F.lpad((F.lit(999999999999) - F.col("n")).cast("string"), 12, "0"),
+            F.lit("|"),
+            F.col("token"),
+        ).alias("_k"),
+        F.lit(1).alias("_one"),
+    )
+    # bucket on a 16-char prefix (full inverse-count digits + 3 token
+    # chars): the default 2-char prefix would put every common count in
+    # one bucket and re-create the single-partition funnel
+    return global_prefix_sum(
+        keyed,
+        "_k",
+        "_one",
+        out_col="vocab_id",
+        bucket_expr=F.substring(F.col("_k"), 1, 16),
+    ).select("token", "n", "vocab_id")

@@ -4030,6 +4030,142 @@ def q_embedding_ivf_grid(spark, sf_dir):
 
 
 @register(
+    "vocab_build_min5",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY token
+      HAVING count(*) >= 5
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+             AS vocab_id
+    FROM c
+    """,
+    "Tokenizer-training vocabulary: corpus-wide token counts filtered "
+    "at min_count=5, dense vocab ids in (count desc, token) order — "
+    "ranked via the PARALLEL prefix-sum over an order-encoding key "
+    "(never a single-partition row_number window); the oracle states "
+    "the same ranking as the naive window.",
+)
+def q_vocab_build(spark, sf_dir):
+    return text.build_vocab(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
+    "table_stats_orders",
+    """
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS ndv,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    """,
+    "ANALYZE-style per-column statistics (rows, nulls, exact NDV, "
+    "min/max) for four orders columns in ONE scan + one reduce: a "
+    "single agg row of 4x4 metrics unpivoted via stack() — the stats a "
+    "cost-based optimizer ingests; doubles stringify through a "
+    "DECIMAL(18,2) cast so both engines format identically.",
+)
+def q_table_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn = mn.cast("decimal(18,2)")
+            mx = mx.cast("decimal(18,2)")
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            mn.cast("string").alias(f"mn_{c}"),
+            mx.cast("string").alias(f"mx_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, nn_{c}, ndv_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, ndv, min_s, max_s)"
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substring(
+               md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS h
+      FROM documents
+    )
+    SELECT CASE WHEN h < 800 THEN 'train'
+                WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM d GROUP BY 1
+    """,
+    "Reproducible 80/10/10 train/val/test assignment: the md5 permille "
+    "draw (hash_sample construction, salted 'split') is rerun-stable, "
+    "coordination-free, and leak-proof under re-partitioning — the "
+    "oracle draws the identical split; narrow no-shuffle assignment + "
+    "one agg exchange.",
+)
+def q_train_val_test(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000),
+    )
+    split = (
+        F.when(h < 800, F.lit("train")).when(h < 900, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
     "zorder_locality_orders",
     """
     WITH d AS (
@@ -4363,6 +4499,9 @@ _ROTATION_TAIL = {
     "orc_source_supplier_agg": "r05-local",
     "dedup_incremental_batch": "r05-local",
     "zorder_locality_orders": "r05-local",
+    "vocab_build_min5": "r05-local",
+    "table_stats_orders": "r05-local",
+    "train_val_test_split": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -301,3 +301,23 @@ def test_redact_pii_rules(spark):
     # dots break the phone charset, so the IP is not double-counted as a
     # phone; each category matches exactly once
     assert out[5] == ("<EMAIL> <IP> <PHONE>", 1, 1, 1)
+
+
+def test_build_vocab_ranking(spark):
+    """Dense ids in (count desc, token) order; min_count filter; the
+    prefix-sum rank must equal the naive row_number semantics exactly,
+    including count ties broken lexicographically."""
+    docs = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),
+            (2, "a b z z"),
+            (3, "c a z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: (r["n"], r["vocab_id"])
+        for r in text.build_vocab(docs, min_count=2).collect()
+    }
+    # counts: a=4, b=4, z=3, c=2 -> tie a/b broken lexicographically
+    assert out == {"a": (4, 1), "b": (4, 2), "z": (3, 3), "c": (2, 4)}
