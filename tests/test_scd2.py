@@ -93,3 +93,53 @@ def test_scd2_single_exchange_plan(spark):
         df, "user_id", "ts", ["event_type"], tiebreak="event_id"
     )
     assert explain.count_exchanges(out) == 1
+
+
+def test_scd2_matches_python_reference_randomized(spark):
+    """Randomized CDC logs (heavy ts ties, nulls, no-op runs, many keys)
+    against an independent pure-python SCD2 reference."""
+    import random
+
+    rng = random.Random(20240814)
+    rows = []
+    eid = 0
+    for key in range(12):
+        for _ in range(rng.randrange(0, 25)):
+            eid += 1
+            rows.append(
+                (
+                    key,
+                    _ts(1 + rng.randrange(0, 8)),   # only 8 hours -> many ties
+                    rng.choice(["A", "B", "C", None]),
+                    eid,
+                )
+            )
+    if not rows:
+        rows = [(0, _ts(1), "A", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = [
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+         r["version"], r["is_current"])
+        for r in relational.scd2_history(
+            df, "user_id", "ts", ["event_type"], tiebreak="event_id"
+        ).orderBy("user_id", "version").collect()
+    ]
+
+    want = []
+    by_key = {}
+    for k, ts, v, e in rows:
+        by_key.setdefault(k, []).append((ts, e, v))
+    for k in sorted(by_key):
+        ordered = sorted(by_key[k], key=lambda t: (t[0], t[1]))
+        surv = []
+        prev = object()
+        for ts, e, v in ordered:
+            if v != prev:
+                surv.append((ts, v))
+            prev = v
+        for i, (ts, v) in enumerate(surv):
+            nxt = surv[i + 1][0] if i + 1 < len(surv) else None
+            want.append((k, v, ts, nxt, i + 1, nxt is None))
+    assert got == want
