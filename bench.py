@@ -60,6 +60,11 @@ HEADLINE = [
     "fuzzy_name_pairs_collapsed",
     "curate_corpus_deduped",
     "token_shards_4k",
+    # r05 continuation additions
+    "scd2_user_event_type",
+    "vocab_build_min5",
+    "dedup_incremental_batch",
+    "zorder_locality_orders",
 ]
 
 
