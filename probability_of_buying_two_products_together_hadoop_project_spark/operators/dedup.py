@@ -554,6 +554,69 @@ def near_dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _md5_shingles_and_bands(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The oracle-replicable md5 MinHash front half, shared by the batch
+    and incremental variants: returns (g, bandk) where g = (_id, _g
+    distinct-shingle array) and bandk = (_id, band, bk) exploded band
+    keys. Lexicographic min over md5 hex is a valid min-hash (hex is
+    order-isomorphic to the 128-bit integer)."""
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    tk = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(_norm_tokens_sql(text_col)).alias("_tk"),
+    ).filter(F.size("_tk") >= shingle_n)
+    ln = F.size("_tk") - (shingle_n - 1)
+    grams: Column = F.slice(F.col("_tk"), 1, ln)
+    for j in range(1, shingle_n):
+        grams = F.zip_with(
+            grams,
+            F.slice(F.col("_tk"), 1 + j, ln),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    # hoist the distinct-shingle array: it is referenced num_hashes times
+    # below and once by the verify join-back (HOF-lambda hoisting rule)
+    g = tk.select("_id", F.array_distinct(grams).alias("_g"))
+    # the per-seed hasher MUST be a one-parameter lambda: a second
+    # parameter (even a defaulted `i=i` closure trick) makes PySpark
+    # treat it as transform's (element, index) form, silently binding
+    # the "constant" to the index lambda-variable — the md5 prefix then
+    # stringifies a Column (with a session-global variable counter in
+    # its name), i.e. a wrong AND session-order-dependent hash family
+    def _seed_hasher(i: int):
+        prefix = F.lit(f"{i}:")
+        return lambda x: F.md5(F.concat(prefix, x))
+
+    sigs = [
+        F.array_min(F.transform(F.col("_g"), _seed_hasher(i))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = g.select("_id", "_g", *sigs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"_s{b * rows + r}") for r in range(rows)])
+                ).alias("bk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bandk = sig.select("_id", F.explode(band_structs).alias("bs")).select(
+        "_id", "bs.band", "bs.bk"
+    )
+    return g, bandk
+
+
 def minhash_near_dup_verified(
     docs: DataFrame,
     text_col: str = "text",
@@ -581,45 +644,11 @@ def minhash_near_dup_verified(
 
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounding.
     """
-    rows = num_hashes // bands
-    if rows * bands != num_hashes:
-        raise ValueError("num_hashes must be divisible by bands")
-    tk = docs.select(
-        F.col(id_col).alias("_id"),
-        F.expr(_norm_tokens_sql(text_col)).alias("_tk"),
-    ).filter(F.size("_tk") >= shingle_n)
-    ln = F.size("_tk") - (shingle_n - 1)
-    grams: Column = F.slice(F.col("_tk"), 1, ln)
-    for j in range(1, shingle_n):
-        grams = F.zip_with(
-            grams,
-            F.slice(F.col("_tk"), 1 + j, ln),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    # hoist the distinct-shingle array: it is referenced num_hashes times
-    # below and once by the verify join-back (HOF-lambda hoisting rule)
-    g = tk.select("_id", F.array_distinct(grams).alias("_g"))
-    sigs = [
-        F.array_min(
-            F.transform(F.col("_g"), lambda x, i=i: F.md5(F.concat(F.lit(f"{i}:"), x)))
-        ).alias(f"_s{i}")
-        for i in range(num_hashes)
-    ]
-    sig = g.select("_id", "_g", *sigs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(*[F.col(f"_s{b * rows + r}") for r in range(rows)])
-                ).alias("bk"),
-            )
-            for b in range(bands)
-        ]
+    g, bandk = _md5_shingles_and_bands(
+        docs, text_col, id_col, shingle_n, num_hashes, bands
     )
     buckets = (
-        sig.select("_id", F.explode(band_structs).alias("bs"))
-        .select("_id", "bs.band", "bs.bk")
+        bandk
         .groupBy("band", "bk")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
@@ -1026,3 +1055,102 @@ def incremental_dedup(
     return batch.join(
         seen_index.select(digest_col).distinct(), digest_col, "left_anti"
     ).select("doc_id", digest_col, "n_in_batch")
+
+
+def minhash_index_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted halves of an incremental near-dup index over the
+    md5-verified hash family: ``(band_index, shingle_store)`` =
+    ((doc_id, band, bk), (doc_id, sh)). At 100 TB both are written once
+    at bootstrap — the band index bucketed by (band, bk) so batch
+    probes co-locate, the shingle store bucketed by doc_id so the
+    exact-verify fetch is a point lookup per candidate."""
+    g, bandk = _md5_shingles_and_bands(
+        docs, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    return (
+        bandk.select(F.col("_id").alias("doc_id"), "band", "bk"),
+        g.select(F.col("_id").alias("doc_id"), F.col("_g").alias("sh")),
+    )
+
+
+def minhash_incremental_verified(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    shingle_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup detection for an INCREMENTAL ingest batch against the
+    persisted :func:`minhash_index_verified` — the LSH analogue of
+    :func:`incremental_dedup`: band keys are per-document, so banding a
+    batch alone and probing the stored index finds EXACTLY the pairs a
+    full-corpus rerun would find that touch the batch (batch x batch
+    plus batch x corpus); corpus-internal pairs were already known at
+    bootstrap. Work per delivery ∝ batch bands + candidates, never
+    corpus-sized; the corpus contributes only index probes and
+    per-candidate shingle fetches.
+
+    Emits (doc_a, doc_b, jaccard >= threshold), doc_a < doc_b, the
+    exact-Jaccard-verified contract of ``minhash_near_dup_verified`` —
+    and because the md5 family is oracle-replicable, the driver hash
+    pins the whole incremental pipeline too. Assumes batch and corpus
+    ids are disjoint (ingest ids are)."""
+    g_new, bandk_new = _md5_shingles_and_bands(
+        new_docs, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    new_bands = bandk_new.select(F.col("_id").alias("doc_id"), "band", "bk")
+    # batch x corpus probes
+    cross = (
+        new_bands.alias("n")
+        .join(
+            band_index.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.bk") == F.col("i.bk")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("a"),
+            F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("b"),
+        )
+    )
+    # batch x batch
+    within = (
+        new_bands.alias("x")
+        .join(
+            new_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    cand = cross.union(within).dropDuplicates(["a", "b"])
+    shingles = shingle_store.unionByName(
+        g_new.select(F.col("_id").alias("doc_id"), F.col("_g").alias("sh"))
+    )
+    ga = shingles.select(F.col("doc_id").alias("a"), F.col("sh").alias("ga"))
+    gb = shingles.select(F.col("doc_id").alias("b"), F.col("sh").alias("gb"))
+    jac = F.round(
+        F.size(F.array_intersect("ga", "gb"))
+        / F.size(F.array_union("ga", "gb")).cast("double"),
+        4,
+    )
+    return (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

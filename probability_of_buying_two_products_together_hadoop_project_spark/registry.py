@@ -1189,6 +1189,53 @@ def q_minhash_verified(spark, sf_dir):
 
 
 @register(
+    "minhash_incremental_verified",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS grams
+      FROM tk WHERE len(tk) >= 3
+    ), sig AS (
+      SELECT doc_id, grams,
+           [{_MH_SIGS}] AS s
+      FROM g
+    ), band AS (
+      SELECT doc_id, grams,
+           [{_MH_BANDS}] AS bands
+      FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_MH_JACCARD} AS jaccard
+    FROM band a JOIN band b ON a.doc_id < b.doc_id
+     AND ({_MH_BAND_MATCH})
+    WHERE {_MH_JACCARD} >= 0.3
+      AND NOT (a.doc_id % 5 = 0 AND b.doc_id % 5 = 0)
+    """,
+    "Incremental near-dup over the persisted LSH index (the md5 family, "
+    "so the driver hash pins the whole pipeline): the doc_id % 5 == 0 "
+    "slice bootstraps (band_index, shingle_store); the batch is banded "
+    "alone and probes the stored index — band keys are per-document, so "
+    "this finds EXACTLY the full-rerun pairs touching the batch "
+    "(oracle: the full quadratic statement minus corpus-internal "
+    "pairs); per-delivery work ∝ batch bands + candidates, never "
+    "corpus-sized.",
+)
+def q_minhash_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    idx, store = dedup.minhash_index_verified(corpus)
+    return dedup.minhash_incremental_verified(batch, idx, store)
+
+
+@register(
     "repetition_screen",
     """
     WITH tk AS (
@@ -4502,6 +4549,7 @@ _ROTATION_TAIL = {
     "vocab_build_min5": "r05-local",
     "table_stats_orders": "r05-local",
     "train_val_test_split": "r05-local",
+    "minhash_incremental_verified": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",

@@ -487,3 +487,68 @@ def test_incremental_dedup_matches_bootstrap(spark):
     merged = {r["h"] for r in index.union(delta).collect()}
     full = {r["h"] for r in dedup.exact_dedup(corpus.union(batch)).collect()}
     assert merged == full
+
+
+def test_md5_minhash_family_matches_python_and_is_stable(spark):
+    """Regression for the transform-lambda arity bug: a two-parameter
+    lambda (even via the `i=i` default trick) binds as transform's
+    (element, index) form, silently replacing the seed prefix with the
+    index lambda-variable's repr — a wrong AND session-order-dependent
+    hash family. The fix pins: (a) band keys equal the true python md5
+    family bit-for-bit, (b) two invocations in one session agree."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    runs = []
+    for _ in range(2):
+        g, b = dedup._md5_shingles_and_bands(docs, "text", "doc_id", 3, 16, 8)
+        runs.append(sorted((r["band"], r["bk"]) for r in b.collect()))
+    assert runs[0] == runs[1]
+    grams = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
+    sigs = [
+        min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in grams)
+        for i in range(16)
+    ]
+    want = sorted(
+        (band, hashlib.md5((sigs[2 * band] + sigs[2 * band + 1]).encode()).hexdigest())
+        for band in range(8)
+    )
+    assert runs[0] == want
+
+
+def test_minhash_incremental_equals_full_rerun(spark):
+    """Band keys are per-document, so banding a batch alone and probing
+    the stored index finds exactly the full-rerun pairs touching the
+    batch — corpus-internal pairs excluded."""
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),                             # corpus
+        (5, "totally unrelated words here ok"),  # corpus
+        (10, base + " tail"),                  # corpus near-dup of 0
+        (1, base + " extra"),                  # batch near-dup of 0/10
+        (2, "nothing in common with others"),  # batch
+        (3, base + " extra"),                  # batch dup of 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_near_dup_verified(docs).collect()
+    }
+    touching = {
+        (a, b, j) for a, b, j in full if not (a % 5 == 0 and b % 5 == 0)
+    }
+    idx, store = dedup.minhash_index_verified(corpus)
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.minhash_incremental_verified(batch, idx, store).collect()
+    }
+    assert inc == touching
+    assert len(inc) >= 3  # 1-3 dup pair plus cross pairs to 0/10
+    assert any(a % 5 == 0 or b % 5 == 0 for a, b, _ in inc)  # cross pairs exist
