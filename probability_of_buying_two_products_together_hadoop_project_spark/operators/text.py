@@ -661,6 +661,10 @@ def ngram_decontaminate_bloom(
     the oracle is the same SQL. The bloom's own hash choice never
     affects the answer, only the fp rate.
     """
+    if k_hashes < 1:
+        raise ValueError("ngram_decontaminate_bloom: k_hashes must be >= 1")
+    if m_bits < 64:
+        raise ValueError("ngram_decontaminate_bloom: m_bits must be >= 64")
     bench_grams = _gram_digests(benchmark, n, text_col, id_col).select(
         "gram_md5"
     ).distinct()

@@ -122,3 +122,28 @@ def test_bm25_rounding_tie_regression(spark):
     want = py_bm25(docs, set(terms))
     assert got == want, (got, want)
     assert got[2] == 1.4008  # the tie rounds half-UP, not to the binary double
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.sampled_from([64, 256, 1 << 12]))
+def test_bloom_decontaminate_equals_exact(spark, doc_lists, m_bits):
+    """Superset-prefilter + exact-verify: the bloom variant must equal
+    the exact join on random corpora at ANY filter size, including
+    pathologically tiny filters where almost every gram is a false
+    positive."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doc_lists)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 3 == 0)
+    exact = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in text.ngram_decontaminate(docs, bench, n=2).collect()
+    }
+    got = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in text.ngram_decontaminate_bloom(
+            docs, bench, n=2, m_bits=m_bits
+        ).collect()
+    }
+    assert got == exact
