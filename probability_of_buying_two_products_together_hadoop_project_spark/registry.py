@@ -4077,6 +4077,75 @@ def q_embedding_ivf_grid(spark, sf_dir):
 
 
 @register(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    "Correlated LATERAL subquery join (Spark 4 lateral join support): "
+    "top-2 orders per BUILDING-segment customer via a per-row "
+    "correlated LIMIT — the SQL-surface twin of the rank-window top-k "
+    "(Catalyst decorrelates it to a partitioned rank under the hood); "
+    "identical syntax runs on both engines.",
+)
+def q_lateral_top2(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+@register(
+    "recursive_cte_doc_ancestry",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, node // 2 AS node, depth + 1
+      FROM walk WHERE node > 0
+    )
+    SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS chain_len
+    FROM walk GROUP BY doc_id
+    """,
+    "Spark 4 RECURSIVE CTE (iterative plans expressed declaratively): "
+    "walk each doc's halving ancestry chain to the root — strictly "
+    "decreasing, so the UNION ALL recursion terminates. NOTE the "
+    "honest engine limit this query documents: Spark 4.1 recursive "
+    "CTEs support UNION ALL only, so CYCLIC transitive closure (the "
+    "dedup_clusters oracle's UNION-distinct reachability) is not yet "
+    "expressible recursively — the engine's iterative min-label / "
+    "star-contraction operators remain the closure mechanism.",
+)
+def q_recursive_ancestry(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+          UNION ALL
+          SELECT doc_id, node div 2 AS node, depth + 1
+          FROM walk WHERE node > 0
+        )
+        SELECT doc_id, CAST(max(depth) AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS chain_len
+        FROM walk GROUP BY doc_id
+        """
+    )
+
+
+@register(
     "vocab_build_min5",
     """
     WITH tok AS (
@@ -4550,6 +4619,8 @@ _ROTATION_TAIL = {
     "table_stats_orders": "r05-local",
     "train_val_test_split": "r05-local",
     "minhash_incremental_verified": "r05-local",
+    "lateral_top2_orders": "r05-local",
+    "recursive_cte_doc_ancestry": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
