@@ -379,6 +379,53 @@ def upsert_sink_parquet(
     )
 
 
+def dedup_index_sink(
+    stream_docs: DataFrame,
+    survivors_path: str,
+    text_col: str = "text",
+):
+    """UNBOUNDED-horizon streaming exact dedup via ``foreachBatch`` +
+    the persisted digest index — the streaming face of
+    ``dedup.incremental_dedup``. Where :func:`dedup_stream` bounds its
+    state by the WATERMARK (duplicates outside the horizon pass), this
+    sink dedups against every document ever ingested: state is the
+    parquet survivors table itself (16-byte digests + ids), not the
+    state store.
+
+    Single-table design for exactly-once semantics: the survivors table
+    IS the digest index (each batch reads ``h`` back from it), so one
+    append per batch is the only side effect. Replay of a committed
+    batch recomputes survivors against an index that already contains
+    its digests — an empty delta — so crash/replay converges without a
+    two-table commit protocol. Within-batch duplicates collapse to the
+    min id (``exact_dedup``'s survivor rule).
+
+    At scale: per-batch cost is the batch digest shuffle + a digest
+    anti-join against the index (16 B/doc — 100 TB of documents ≈ a
+    few hundred GB of index, bucketable by digest for a shuffle-free
+    probe side). The stream must carry (doc_id, ``text_col``) columns.
+    Returns the started query (availableNow)."""
+    from ..operators.dedup import incremental_dedup
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.isdir(survivors_path) and any(
+            f.endswith(".parquet") for f in os.listdir(survivors_path)
+        ):
+            idx = s.read.parquet(survivors_path).select("h")
+        else:
+            idx = s.createDataFrame([], "h string")
+        surv = incremental_dedup(batch_df, idx, text_col=text_col)
+        surv.write.mode("append").parquet(survivors_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", survivors_path + "._checkpoint")
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (

@@ -565,3 +565,48 @@ def test_upsert_sink_survives_injected_midswap_kill(spark, tmp_path):
             d for d in _os.listdir(table)
             if d.startswith(".old_bucket_") or d.startswith(".tmp_")
         ]
+
+
+def test_dedup_index_sink_unbounded_horizon(spark, tmp_path):
+    """Streaming dedup against the persisted digest index: within-batch
+    dups collapse to min id, cross-RUN dups are dropped no matter how
+    old (no watermark horizon), and replaying all input against an
+    existing index adds nothing (idempotent recovery)."""
+    src = str(tmp_path / "docs")
+    table = str(tmp_path / "survivors")
+
+    def docs_stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        )
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write_docs([(1, "first text"), (2, "first  TEXT"), (3, "other")])
+    streams.dedup_index_sink(docs_stream(), table).awaitTermination()
+    got1 = {
+        (r["doc_id"], r["n_in_batch"]) for r in spark.read.parquet(table).collect()
+    }
+    assert got1 == {(1, 2), (3, 1)}  # 2 is a normalized dup of 1
+
+    # a later run delivers an old duplicate plus fresh content
+    write_docs([(10, "FIRST text"), (11, "brand new")])
+    streams.dedup_index_sink(docs_stream(), table).awaitTermination()
+    got2 = {
+        (r["doc_id"], r["n_in_batch"]) for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == got1 | {(11, 1)}  # 10 dropped: index horizon is forever
+
+    # full-replay idempotency: fresh checkpoint, same source -> every
+    # batch recomputes an empty delta against the existing index
+    import shutil as _sh
+
+    _sh.rmtree(table + "._checkpoint")
+    streams.dedup_index_sink(docs_stream(), table).awaitTermination()
+    got3 = {
+        (r["doc_id"], r["n_in_batch"]) for r in spark.read.parquet(table).collect()
+    }
+    assert got3 == got2
