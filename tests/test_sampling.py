@@ -220,3 +220,39 @@ def test_mix_sources_weights_and_consistency(spark):
         for r in relational.mix_sources(df, {"src2": 500}).collect()
     }
     assert wide == again
+
+
+def test_train_val_test_split_determinism_and_coverage(spark):
+    """The salted-md5 split: every row lands in exactly one split, the
+    assignment is rerun-stable, and proportions track 80/10/10."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000),
+    )
+    split = (
+        F.when(h < 800, F.lit("train"))
+        .when(h < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    runs = []
+    for _ in range(2):
+        runs.append(
+            {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+        )
+    assert runs[0] == runs[1]
+    assert len(runs[0]) == 2000  # exactly one split per row
+    from collections import Counter
+
+    c = Counter(runs[0].values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
