@@ -1418,6 +1418,53 @@ def q_scalar_string_math(spark, sf_dir):
 
 
 @register(
+    "scalar_try_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice / NULLIF(l_quantity - l_quantity, 0) AS DOUBLE)
+             AS div_by_zero_null,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS BIGINT)
+             AS qty_as_int,
+           CASE WHEN CAST(l_linenumber AS BIGINT)
+                     <= CAST(len(string_split(
+                          CAST(l_shipdate AS VARCHAR), '-')) AS BIGINT)
+                THEN string_split(CAST(l_shipdate AS VARCHAR), '-')[l_linenumber]
+                ELSE NULL END AS nth_date_part
+    FROM lineitem
+    """,
+    "Error-safe (try_*) scalar battery — the ANSI-mode escape hatches a "
+    "migrating SQL workload leans on: try_divide (NULL instead of "
+    "DIVIDE_BY_ZERO), try_cast for non-numeric and numeric strings, "
+    "try_element_at past the array end; the oracle states the same "
+    "semantics with NULLIF/TRY_CAST/bounds-checked indexing.",
+)
+def q_scalar_try(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    words = F.split(F.col("l_shipdate").cast("string"), "-")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        )
+        .cast("double")
+        .alias("div_by_zero_null"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999"))
+        .cast("bigint")
+        .alias("flag_as_int"),
+        F.col("l_quantity")
+        .cast("bigint")
+        .cast("string")
+        .try_cast("bigint")
+        .alias("qty_as_int"),
+        F.try_element_at(words, F.col("l_linenumber").cast("int")).alias(
+            "nth_date_part"
+        ),
+    )
+
+
+@register(
     "scalar_conditional_funcs",
     """
     SELECT l_orderkey, l_linenumber,
@@ -4621,6 +4668,7 @@ _ROTATION_TAIL = {
     "minhash_incremental_verified": "r05-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
+    "scalar_try_funcs": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
