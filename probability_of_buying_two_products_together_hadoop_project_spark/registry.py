@@ -1418,6 +1418,46 @@ def q_scalar_string_math(spark, sf_dir):
 
 
 @register(
+    "collation_case_insensitive",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT count(*) AS n_rows,
+           count(DISTINCT seg) AS n_binary_distinct,
+           count(DISTINCT lower(seg)) AS n_lcase_distinct,
+           CAST(SUM(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM mixed
+    """,
+    "Spark 4 string collations: COUNT(DISTINCT x COLLATE UTF8_LCASE) and "
+    "a collated equality filter over a deliberately case-mixed column — "
+    "binary-distinct sees both case forms, the collated distinct "
+    "collapses them; the oracle states the same semantics via lower() "
+    "(equivalent for this ASCII fixture). Outputs are counts, never "
+    "collated group representatives (engines may pick different "
+    "representatives).",
+)
+def q_collation_ci(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+    ).otherwise(F.lower(F.col("c_mktsegment")))
+    m = cust.select(mixed.alias("seg"))
+    ci = F.collate(F.col("seg"), "UTF8_LCASE")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("seg")).alias("n_binary_distinct"),
+        F.count_distinct(ci).alias("n_lcase_distinct"),
+        F.sum(F.when(ci == F.lit("building"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_building_ci"),
+    )
+
+
+@register(
     "scalar_try_funcs",
     """
     SELECT l_orderkey, l_linenumber,
@@ -4669,6 +4709,7 @@ _ROTATION_TAIL = {
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
+    "collation_case_insensitive": "r05-local",
     # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
