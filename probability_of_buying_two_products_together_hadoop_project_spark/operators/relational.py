@@ -524,6 +524,29 @@ def scd2_history(
     )
 
 
+def zorder_key_n(*cols: Column, bits: int = 16) -> Column:
+    """Morton key for 2-4 dimensions: bit ``i`` of column ``j`` lands at
+    position ``i * d + j``. The general form pays ``bits`` shift/or
+    terms per dimension (pure codegen integer ops — still cheap);
+    :func:`zorder_key` remains the 5-step mask-spread fast path for the
+    common 2-D case."""
+    d = len(cols)
+    if not 2 <= d <= 4:
+        raise ValueError("zorder_key_n supports 2-4 dimensions")
+    if not 1 <= bits * d <= 62:
+        raise ValueError("bits * dims must stay within a signed long")
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        x = c.cast("long")
+        for i in range(bits):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(x, i).bitwiseAND(F.lit(1)), i * d + j
+                )
+            )
+    return out
+
+
 def zorder_key(a: Column, b: Column) -> Column:
     """Morton (Z-order) key interleaving the low 16 bits of two
     non-negative dimension columns — the multi-dimensional LAYOUT lever:

@@ -74,3 +74,33 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     # the other dim cannot meaningfully prune (only a trailing remainder
     # group can ever miss the range)
     assert bh / bt >= 0.9
+
+
+def test_zorder_key_n_matches_reference_and_2d_fast_path(spark):
+    """The general n-dim key: bit i of col j at position i*d + j; the
+    2-D case must equal the mask-spread fast path exactly."""
+
+    def morton_n(vals, bits=16):
+        out = 0
+        for j, v in enumerate(vals):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * len(vals) + j)
+        return out
+
+    rows = [(a, b, c) for a in (0, 3, 255, 65535) for b in (0, 7, 1024)
+            for c in (0, 5, 4095)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got3 = {
+        (r["a"], r["b"], r["c"]): r["z"]
+        for r in df.select(
+            "a", "b", "c",
+            relational.zorder_key_n(F.col("a"), F.col("b"), F.col("c")).alias("z"),
+        ).collect()
+    }
+    for a, b, c in rows:
+        assert got3[(a, b, c)] == morton_n([a, b, c]), (a, b, c)
+    eq = df.select(
+        (relational.zorder_key_n(F.col("a"), F.col("b"))
+         == relational.zorder_key(F.col("a"), F.col("b"))).alias("e")
+    ).collect()
+    assert all(r["e"] for r in eq)
