@@ -11,6 +11,9 @@ the three tables the heavy queries read:
   key (TPC-H's own Customer#%09d scheme), so the name space grows like
   a real sf1 instead of creating 10 exact copies of every name (which
   would measure duplicate-pair output volume, not blocking).
+- events: 10 user/event-id-shifted copies with timestamps unchanged —
+  10x the users at the same per-user activity, the regime where keyed
+  window/SCD2/sessionize costs must scale with users, not blow up.
 - documents: 10 id-shifted copies, each passed through a per-copy
   letter permutation (translate over the most frequent letters) so the
   copies are NOT near-duplicates of each other: an appended-suffix
@@ -100,7 +103,32 @@ def main() -> None:
     )
     e10.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-    for t in ("lineitem", "customer", "documents", "embeddings"):
+    # events.ts physical type varies across testdata generations (see
+    # registry._t); normalize before copying so the synth table always
+    # carries a plain timestamp column
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    max_u = ev.agg(F.max("user_id")).first()[0] + 1
+    max_e = ev.agg(F.max("event_id")).first()[0] + 1
+    # user_id shifts per copy (10x the users, same per-user event count —
+    # the regime where per-key window ops must stay flat), event ids stay
+    # unique, timestamps unchanged (same time range, 10x the density —
+    # what a busier deployment looks like)
+    e_ev = (
+        ev.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
+        .withColumn("user_id", F.col("user_id") + F.col("_c") * F.lit(max_u))
+        .withColumn("event_id", F.col("event_id") + F.col("_c") * F.lit(max_e))
+        .drop("_c")
+    )
+    e_ev.repartition(8).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    for t in ("lineitem", "customer", "documents", "embeddings", "events"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     spark.stop()
