@@ -1,0 +1,197 @@
+"""Time-series resampling operators (hypertable-style bucketing).
+
+The reference engine has no time-series surface; this module supplies the
+two operations a metrics/feature pipeline needs on top of the relational
+core (SURVEY.md §2.3 extension surface):
+
+- ``resample_gapfill``: TimescaleDB-style ``time_bucket`` + gap-filling —
+  a dense per-key bucket spine with last-observation-carried-forward and
+  linear interpolation for empty buckets.
+- ``reaggregate``: continuous-aggregate composition — coarser rollups
+  computed FROM finer rollups (mergeable partial aggregates), never from
+  the raw table.
+
+Scale posture: everything is keyed by the series key. The bucket
+aggregation shuffles once on (key, bucket); the spine is generated
+DISTRIBUTED, per key, via ``sequence()`` — a key's spine length is its
+own time span, so there is no driver-side loop and no global range
+materialization. The gap-fill windows partition by key (same shuffle
+key, one exchange under AQE reuse). At 100 TB the dominant cost is the
+single bucket aggregation over the raw table; everything after runs on
+(keys x buckets) rows, which is the REDUCED cardinality.
+
+Determinism: bucket averages use the exact decimal-sum rule
+(``functions.scalar``); LOCF/interpolation are pure double expressions
+over those deterministic inputs, written with the same parenthesization
+the DuckDB oracle uses, so results are bit-equal cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import davg
+
+# date_trunc units accepted for bucketing (a subset both engines share).
+_UNITS = {"minute", "hour", "day", "week", "month"}
+
+
+def bucket_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    scale: int = 4,
+) -> DataFrame:
+    """Per (key, time bucket) count + deterministic average of value."""
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}, got {unit!r}")
+    return (
+        df.select(
+            F.col(key_col).alias("series_key"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series_key", "bucket_ts")
+        .agg(
+            F.count("_v").alias("n_events"),
+            davg("_v", scale).alias("avg_value"),
+        )
+    )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    scale: int = 4,
+) -> DataFrame:
+    """Dense per-key resample: one row per (key, bucket) from the key's
+    first to last observed bucket, empty buckets filled two ways.
+
+    Output columns:
+      series_key, bucket_ts, n_events (0 for gaps), avg_value (null for
+      gaps), locf_value (last observed average at-or-before the bucket),
+      interp_value (linear interpolation between the surrounding observed
+      buckets; null before the first / after the last observation),
+      is_gap.
+
+    The spine is built per key with ``sequence(min, max, interval)`` —
+    distributed, span-proportional, no driver loop. Both the bucket agg
+    and the fill windows hash on the series key, so the whole operator
+    is: scan -> 1 shuffle (bucket agg) -> 1 shuffle (spine join + two
+    windows, same key).
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}, got {unit!r}")
+    b = bucket_agg(df, key_col, ts_col, value_col, unit, scale)
+    spine = (
+        b.groupBy("series_key")
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            "series_key",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"interval 1 {unit}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    j = spine.join(b, ["series_key", "bucket_ts"], "left")
+
+    w = Window.partitionBy("series_key").orderBy("bucket_ts")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # (epoch, value) of the nearest OBSERVED bucket at-or-before /
+    # at-or-after each row; for observed rows both are the row itself.
+    obs = F.when(
+        F.col("avg_value").isNotNull(),
+        F.struct(
+            F.unix_timestamp("bucket_ts").alias("e"),
+            F.col("avg_value").alias("v"),
+        ),
+    )
+    prev_s = F.last(obs, ignorenulls=True).over(w_back)
+    next_s = F.first(obs, ignorenulls=True).over(w_fwd)
+    t = F.unix_timestamp("bucket_ts").cast("double")
+    tp = prev_s["e"].cast("double")
+    tn = next_s["e"].cast("double")
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(
+            prev_s.isNotNull() & next_s.isNotNull(),
+            prev_s["v"] + (next_s["v"] - prev_s["v"]) * ((t - tp) / (tn - tp)),
+        )
+    )
+    return j.select(
+        "series_key",
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.last(F.col("avg_value"), ignorenulls=True).over(w_back).alias("locf_value"),
+        interp.alias("interp_value"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
+def reaggregate(
+    hourly: DataFrame,
+    unit: str = "day",
+    sum_col: str = "sum_value",
+    cnt_col: str = "n_events",
+) -> DataFrame:
+    """Roll a finer bucket table up to a coarser unit FROM ITS PARTIALS
+    (sum-of-sums, sum-of-counts) — the continuous-aggregate pattern:
+    at 100 TB the raw table is scanned once to build the finest rollup,
+    and every coarser granularity composes from the previous one without
+    touching raw data again. Requires the finer table to carry MERGEABLE
+    partials (sum + count, not avg); the average is re-derived at the end.
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}, got {unit!r}")
+    return (
+        hourly.groupBy(
+            "series_key", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.sum(cnt_col).cast("bigint").alias("n_events"),
+            F.sum(F.col(sum_col).cast("decimal(18,4)")).alias("_s"),
+        )
+        .select(
+            "series_key",
+            "bucket_ts",
+            "n_events",
+            (F.col("_s").cast("double") / F.col("n_events").cast("double")).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def bucket_partials(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+    scale: int = 4,
+) -> DataFrame:
+    """Finest-granularity rollup carrying MERGEABLE partials (decimal sum
+    + count) for ``reaggregate`` composition."""
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}, got {unit!r}")
+    return (
+        df.select(
+            F.col(key_col).alias("series_key"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("series_key", "bucket_ts")
+        .agg(
+            F.count("_v").alias("n_events"),
+            F.sum(F.col("_v").cast(f"decimal(18,{scale})"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
