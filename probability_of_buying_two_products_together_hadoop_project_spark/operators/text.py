@@ -912,3 +912,126 @@ def build_vocab(
         out_col="vocab_id",
         bucket_expr=F.substring(F.col("_k"), 1, 16),
     ).select("token", "n", "vocab_id")
+
+
+def duplicate_gram_screen(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-corpus repeated-substring screen (the C4 boilerplate rule /
+    Lee et al. 2021 dedup insight, expressed at n-gram granularity): for
+    every document, the fraction of its DISTINCT word n-grams that occur
+    in >= ``min_docs`` distinct documents — boilerplate (headers, nav
+    bars, license blurbs, templated spam) scores high, organic text low.
+
+    Engine shape: one explode->distinct reduces each side to 16-byte
+    md5(gram) digests (:func:`_gram_digests` — the decontamination
+    projection reused); one digest aggregation finds the HOT set
+    (df >= min_docs), which is the boilerplate vocabulary — tiny next
+    to the corpus by construction (it grows with the amount of shared
+    text, not with corpus size) — and broadcasts back onto the per-doc
+    digests. Per-doc totals and hot-hits then reduce in ONE aggregation
+    over a shared scan: no self-join of the corpus, no pairwise term.
+
+    Output: one row per document (short docs with no n-gram included):
+    n_grams, n_dup_grams, dup_frac (null when n_grams = 0), keep.
+    """
+    grams = _gram_digests(docs, n, text_col, id_col)
+    hot = (
+        grams.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram_md5")
+    )
+    per_doc = (
+        grams.join(F.broadcast(hot).withColumn("_hot", F.lit(1)), "gram_md5", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hot").alias("n_dup_grams"),
+        )
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left")
+    n_g = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_d = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint")
+    frac = F.when(n_g > 0, F.round(n_d.cast("double") / n_g.cast("double"), 6))
+    return out.select(
+        id_col,
+        n_g.alias("n_grams"),
+        n_d.alias("n_dup_grams"),
+        frac.alias("dup_frac"),
+        F.coalesce(frac <= max_dup_frac, F.lit(True)).alias("keep"),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one
+    smoothed bigram LM on the corpus itself, then score every document
+    by its average per-bigram negative log-likelihood (low = typical
+    text, high = gibberish/outlier — the perplexity filter of a
+    training-data pipeline, with the corpus standing in for the
+    reference LM since no external model ships with the engine).
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with c(w1 ·) the
+    bigram-context count and V the corpus unigram vocabulary size.
+    Self-trained, so every document bigram exists in the model — no OOV
+    branch.
+
+    Engine shape: document bigrams aggregate to (doc, bigram, cnt)
+    multiplicities FIRST, so the model join processes distinct
+    (doc, bigram) rows, not corpus tokens; the model table (bigram ->
+    c12 with its context count c1 attached) joins on the bigram string;
+    V broadcasts as a 1-row scalar. Determinism: each bigram's nll
+    term rounds to 6dp and multiplies by its integer count BEFORE the
+    exact decimal sum (the BM25 rule), so ranking is engine-independent.
+    """
+    tk = normalized_tokens(text_col)
+    doc_bi = (
+        docs.select(F.col(id_col), tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(id_col, F.explode(ngram_array(F.col("_tk"), 2)).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c12 = doc_bi.groupBy("bigram").agg(F.sum("cnt").alias("c12"))
+    c1 = (
+        c12.withColumn("_w1", F.split(F.col("bigram"), " ")[0])
+        .groupBy("_w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = c12.withColumn("_w1", F.split(F.col("bigram"), " ")[0]).join(c1, "_w1")
+    vocab = docs.select(F.explode(tk).alias("_t")).agg(
+        F.countDistinct("_t").alias("v")
+    )
+    scored = (
+        doc_bi.join(model.select("bigram", "c12", "c1"), "bigram")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "cnt",
+            (
+                F.col("cnt")
+                * F.round(
+                    -F.log(
+                        (F.col("c12").cast("double") + F.lit(1.0))
+                        / (F.col("c1").cast("double") + F.col("v").cast("double"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("_p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("_p").cast("double") / F.sum("cnt").cast("double"), 4
+        ).alias("avg_nll"),
+    )

@@ -4692,6 +4692,97 @@ def q_rollup_compose(spark, sf_dir):
     return timeseries.reaggregate(hourly, unit="day")
 
 
+@register(
+    "boilerplate_gram_screen",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, md5(gram) AS gram_md5 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM tk WHERE len(tk) >= 3)
+    ), hot AS (
+      SELECT gram_md5 FROM g GROUP BY gram_md5 HAVING COUNT(*) >= 3
+    ), per_doc AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(h.gram_md5) AS n_dup_grams
+      FROM g LEFT JOIN hot h USING (gram_md5) GROUP BY g.doc_id
+    ), j AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+      FROM documents d LEFT JOIN per_doc USING (doc_id)
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           CASE WHEN n_grams > 0 THEN
+             round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+           END AS dup_frac,
+           COALESCE(CASE WHEN n_grams > 0 THEN
+             round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+               <= 0.3 END, TRUE) AS keep
+    FROM j
+    """,
+    "Within-corpus repeated-substring screen (C4 boilerplate rule / "
+    "Lee et al. 2021 at 3-gram granularity): per doc, the fraction of "
+    "its distinct 3-grams occurring in >= 3 documents. Both sides "
+    "reduce to md5 digests; the hot set (∝ shared boilerplate, not "
+    "corpus size) broadcasts back — no corpus self-join",
+)
+def q_boilerplate_screen(spark, sf_dir):
+    return text.duplicate_gram_screen(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=3, max_dup_frac=0.3
+    )
+
+
+@register(
+    "bigram_lm_score",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), db AS (
+      SELECT doc_id, gram AS bigram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM tk WHERE len(tk) >= 2)
+      GROUP BY doc_id, gram
+    ), c12 AS (
+      SELECT bigram, SUM(cnt) AS c12 FROM db GROUP BY bigram
+    ), c1 AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM c12 GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM tk)
+    ), sc AS (
+      SELECT db.doc_id, db.cnt,
+        CAST(db.cnt AS DECIMAL(10,0)) * CAST(round(
+          -ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+              / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))), 6)
+          AS DECIMAL(18,6)) AS p
+      FROM db JOIN c12 USING (bigram)
+      JOIN c1 ON split_part(db.bigram, ' ', 1) = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(p) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 4)
+             AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+    "CCNet-style LM quality score: corpus-trained add-one bigram LM, "
+    "per-doc average negative log-likelihood (the perplexity filter). "
+    "Doc bigrams aggregate to multiplicities before the model join; "
+    "per-term nll rounds to 6dp and decimal-sums (the BM25 rule) so "
+    "scores are engine-independent",
+)
+def q_bigram_lm(spark, sf_dir):
+    return text.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries

@@ -1,0 +1,124 @@
+"""Unit tests for the repeated-n-gram boilerplate screen and the
+corpus-trained bigram-LM quality score (r05 continuation operators)."""
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_duplicate_gram_screen_flags_boilerplate(spark):
+    # docs 1-3 share the boilerplate trigram run; doc 4 is organic;
+    # doc 5 is too short for any trigram.
+    boiler = "all rights reserved by corp"
+    rows = [
+        (1, boiler + " unique one here"),
+        (2, boiler + " second tail words"),
+        (3, boiler),
+        (4, "totally organic text with no repeats at all"),
+        (5, "too short"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in text.duplicate_gram_screen(
+            _docs(spark, rows), n=3, min_docs=3, max_dup_frac=0.5
+        ).collect()
+    }
+    assert len(out) == 5
+    # boilerplate has 3 trigrams, each in docs 1..3
+    assert out[3].n_grams == 3 and out[3].n_dup_grams == 3
+    assert out[3].dup_frac == 1.0 and not out[3].keep
+    assert out[1].n_dup_grams == 3 and out[1].n_grams == 6
+    assert out[1].dup_frac == 0.5 and out[1].keep  # <= threshold keeps
+    assert out[4].n_dup_grams == 0 and out[4].keep
+    # short doc: no grams, null frac, kept by default
+    assert out[5].n_grams == 0 and out[5].dup_frac is None and out[5].keep
+
+
+def test_duplicate_gram_screen_distinct_grams_within_doc(spark):
+    # a gram repeated WITHIN one doc counts once (distinct per doc), so
+    # min_docs counts documents, not occurrences.
+    rows = [(1, "a b c a b c"), (2, "z z z z")]
+    out = {
+        r.doc_id: r
+        for r in text.duplicate_gram_screen(
+            _docs(spark, rows), n=3, min_docs=2
+        ).collect()
+    }
+    # doc 1 grams: "a b c","b c a","c a b","a b c" -> 3 distinct; none
+    # appear in doc 2, so nothing is hot.
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 0
+    assert out[2].n_grams == 1 and out[2].n_dup_grams == 0
+
+
+def _py_bigram_lm(corpus: dict[int, list[str]]):
+    """Independent reference with the engine's rounding contract."""
+    bigrams = {
+        did: Counter(zip(toks, toks[1:]))
+        for did, toks in corpus.items()
+        if len(toks) >= 2
+    }
+    c12 = Counter()
+    for c in bigrams.values():
+        c12.update(c)
+    c1 = Counter()
+    for (w1, _), n in c12.items():
+        c1[w1] += n
+    vocab = len({t for toks in corpus.values() for t in toks})
+    out = {}
+    for did, c in bigrams.items():
+        s, n = Decimal(0), 0
+        for bg, cnt in c.items():
+            nll = -math.log((c12[bg] + 1.0) / (c1[bg[0]] + float(vocab)))
+            s += cnt * Decimal(repr(nll)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            n += cnt
+        out[did] = (
+            n,
+            float(
+                Decimal(repr(float(s) / n)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    corpus = {
+        1: "the cat sat on the mat".split(),
+        2: "the cat sat on the hat".split(),
+        3: "the dog sat on the mat".split(),
+        4: "zx qw er ty ui op".split(),
+        5: ["solo"],  # no bigram -> no output row
+    }
+    rows = [(k, " ".join(v)) for k, v in corpus.items()]
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in text.bigram_lm_score(_docs(spark, rows)).collect()
+    }
+    want = _py_bigram_lm(corpus)
+    assert got == want
+    assert 5 not in got
+
+
+def test_bigram_lm_ranks_gibberish_above_typical(spark):
+    # many docs of the same typical phrase; one outlier of unique words.
+    rows = [(i, "spark runs fast") for i in range(20)]
+    rows.append((99, "qq ww ee rr"))
+    got = {
+        r.doc_id: r.avg_nll
+        for r in text.bigram_lm_score(_docs(spark, rows)).collect()
+    }
+    typical = got[0]
+    assert all(got[i] == typical for i in range(20))
+    assert got[99] > typical  # rarer transitions -> higher nll
