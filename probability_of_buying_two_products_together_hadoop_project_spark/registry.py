@@ -4783,6 +4783,71 @@ def q_bigram_lm(spark, sf_dir):
     return text.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs over the shared
+    co-occurrence pair CTE — the oracle runs the IDENTICAL five rounds
+    the engine's dataflow loop runs. All arithmetic is fixed-point
+    integer (1e-12 units, floor division — see operators/graph.py: a
+    float formulation hit systematic decimal-half rounding-tie
+    divergence between the engines), so every rank bit matches by
+    construction."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    s{k} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank_units // d.deg) AS BIGINT) AS s
+      FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r{k} AS (
+      SELECT r0.node,
+             CAST((15 * 1000000000000) // (100 * nn.n)
+                  + (85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT) AS rank_units
+      FROM r0 LEFT JOIN s{k} USING (node) CROSS JOIN nn
+    )""")
+        prev = f"r{k}"
+    return f"""
+    {_COOC_CTE}, e AS (
+      SELECT DISTINCT item AS src, neighbor AS dst FROM pairs
+        WHERE item != neighbor
+      UNION
+      SELECT DISTINCT neighbor AS src, item AS dst FROM pairs
+        WHERE item != neighbor
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node,
+             CAST(1000000000000 // nn.n AS BIGINT) AS rank_units
+      FROM deg CROSS JOIN nn
+    ),{",".join(steps)}
+    SELECT node, rank_units,
+           CAST(rank_units AS DOUBLE) / 1000000000000.0 AS rank
+    FROM {prev}
+    """
+
+
+@register(
+    "pagerank_cooccurrence",
+    _pagerank_oracle(iters=5),
+    "Fixed-iteration (5-round) PageRank over the symmetrized "
+    "co-occurrence item graph — 'which item is central to the catalog', "
+    "the eigenvector companion to the reference's conditional "
+    "probabilities. Pure dataflow (each round = join on src + per-dst "
+    "agg; state is 16-byte (node, rank) rows; edges partitioned by src "
+    "once); fixed-point 1e-12-unit integer arithmetic end to end — "
+    "float rounding hits engine-divergent decimal-half ties, floor "
+    "division cannot",
+)
+def q_pagerank(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    edges = graph.symmetric_edges(basket.basket_pairs(baskets))
+    return graph.pagerank(edges, iters=5)
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries

@@ -1,0 +1,94 @@
+"""Tests for the fixed-point PageRank operator: an independent pure-Python
+simulation of the integer contract drives randomized graphs, plus shape
+assertions on a hand-built hub graph."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import graph
+
+UNITS = graph.UNITS
+
+
+def py_pagerank(edges, iters=5, damping_pct=85):
+    """Pure-python mirror of the fixed-point contract (floor division)."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    nodes = sorted(out)
+    n = len(nodes)
+    deg = {s: len(ds) for s, ds in out.items()}
+    teleport = (100 - damping_pct) * UNITS // (100 * n)
+    r = {v: UNITS // n for v in nodes}
+    for _ in range(iters):
+        sums = {v: 0 for v in nodes}
+        for s, ds in out.items():
+            c = r[s] // deg[s]
+            for d in ds:
+                sums[d] += c
+        r = {v: teleport + (damping_pct * sums[v]) // 100 for v in nodes}
+    return r
+
+
+def _spark_pr(spark, edges, iters=5):
+    df = spark.createDataFrame(sorted(set(edges)), "src string, dst string")
+    got = graph.pagerank(df, iters=iters).collect()
+    return {r.node: r.rank_units for r in got}, got
+
+
+def test_pagerank_matches_python_reference_random(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = {
+        (a, b)
+        for _ in range(120)
+        for a, b in [rng.sample(nodes, 2)]
+    }
+    edges = sorted(pairs | {(b, a) for a, b in pairs})  # symmetric
+    got, rows = _spark_pr(spark, edges)
+    assert got == py_pagerank(edges)
+    for r in rows:  # derived double is the exact unit division
+        assert r.rank == r.rank_units / float(UNITS)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: hub connected to 8 spokes (symmetric) -> hub rank dominates
+    edges = [("hub", f"s{i}") for i in range(8)] + [
+        (f"s{i}", "hub") for i in range(8)
+    ]
+    got, _ = _spark_pr(spark, edges)
+    hub = got.pop("hub")
+    assert all(hub > v for v in got.values())
+    spoke_vals = set(got.values())
+    assert len(spoke_vals) == 1  # symmetric spokes tie exactly
+    # mass is conserved up to floor-division loss: total <= UNITS,
+    # and the loss is bounded by one unit per node per round
+    total = hub + sum(got.values())
+    assert UNITS - 9 * 2 * 5 <= total <= UNITS
+
+
+def test_symmetric_edges_dedup_and_no_self_loops(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("c", "c")],
+        "item string, neighbor string",
+    )
+    got = {(r.src, r.dst) for r in graph.symmetric_edges(pairs).collect()}
+    assert got == {("a", "b"), ("b", "a")}
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # a 4-cycle (2-regular): uniform distribution is the fixed point
+    cyc = ["a", "b", "c", "d"]
+    edges = [(cyc[i], cyc[(i + 1) % 4]) for i in range(4)] + [
+        (cyc[(i + 1) % 4], cyc[i]) for i in range(4)
+    ]
+    got, _ = _spark_pr(spark, edges)
+    assert len(set(got.values())) == 1
+
+
+def test_pagerank_bad_damping_raises(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        graph.pagerank(df, damping_pct=101)
