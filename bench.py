@@ -65,6 +65,11 @@ HEADLINE = [
     "vocab_build_min5",
     "dedup_incremental_batch",
     "zorder_locality_orders",
+    # r05 third-session additions
+    "resample_gapfill_events",
+    "bigram_lm_score",
+    "boilerplate_gram_screen",
+    "pagerank_cooccurrence",
 ]
 
 

@@ -4966,6 +4966,13 @@ _ROTATION_TAIL = {
     "scalar_map_funcs": "r05-local",
     "scalar_regexp_funcs": "r05-local",
     "scalar_conditional_funcs": "r05-local",
+    # r05 third-session additions: window still booked; evidence = this
+    # session's oracle pass at sf0.01 AND sf0.1. Rotate into the r06 window.
+    "resample_gapfill_events": "r05-local",
+    "rollup_hour_day_compose": "r05-local",
+    "boilerplate_gram_screen": "r05-local",
+    "bigram_lm_score": "r05-local",
+    "pagerank_cooccurrence": "r05-local",
 }
 
 
