@@ -1035,3 +1035,63 @@ def bigram_lm_score(
             F.sum("_p").cast("double") / F.sum("cnt").cast("double"), 4
         ).alias("avg_nll"),
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: lay the corpus out
+    as one token stream in md5(id) order (rerun-stable, the repo's
+    reproducible-sampling convention) and cut it into fixed
+    ``seq_len``-token training sequences; documents crossing a boundary
+    SPLIT across sequences. One output row per (document, sequence)
+    piece — the index a training loader needs to assemble each sequence
+    without ever materializing the token stream.
+
+    Complements :func:`token_shards` (which assigns WHOLE documents to
+    budget-sized shards): packing is the zero-padding-free layout used
+    for pretraining batches.
+
+    Engine shape: the global token offset is
+    :func:`relational.global_prefix_sum` (parallel prefix-sum — one
+    full-data exchange, never a single-partition window); the spanned
+    sequence ids explode per document (span-proportional, almost always
+    1). All integer arithmetic: bit-identical cross-engine.
+    """
+    from .relational import global_prefix_sum
+
+    d = docs.select(
+        F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    c = global_prefix_sum(d, "_k", "n_tokens", out_col="_cum")
+    c = c.select(
+        id_col,
+        "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("_start"),
+        (F.col("_cum") - 1).alias("_end"),
+    )
+    pieces = c.select(
+        id_col,
+        "n_tokens",
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {seq_len}"), F.expr(f"_end div {seq_len}")
+            )
+        ).alias("seq_id"),
+    )
+    piece_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    piece_end = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len - 1)
+    return pieces.select(
+        id_col,
+        "seq_id",
+        (piece_start - F.col("_start")).cast("long").alias("doc_offset"),
+        (piece_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (piece_end - piece_start + 1).cast("long").alias("piece_len"),
+    )
