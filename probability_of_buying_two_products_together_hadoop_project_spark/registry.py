@@ -4848,6 +4848,159 @@ def q_pagerank(spark, sf_dir):
     return graph.pagerank(edges, iters=5)
 
 
+@register(
+    "sequence_pack_512",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t WHERE n_tokens >= 1
+    ), s AS (
+      SELECT doc_id, CAST(cum - n_tokens AS BIGINT) AS st,
+             CAST(cum - 1 AS BIGINT) AS en FROM c
+    ), p AS (
+      SELECT doc_id, st, en,
+             unnest(generate_series(st // 512, en // 512)) AS seq_id
+      FROM s
+    )
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(st, seq_id * 512) - st AS BIGINT) AS doc_offset,
+           CAST(greatest(st, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_offset,
+           CAST(least(en, (seq_id + 1) * 512 - 1)
+                - greatest(st, seq_id * 512) + 1 AS BIGINT) AS piece_len
+    FROM p
+    """,
+    "GPT-style concat-and-chunk sequence packing: the corpus token "
+    "stream (md5(id) order) cut into 512-token training sequences, one "
+    "row per (document, sequence) piece with doc/seq offsets — the "
+    "padding-free pretraining layout, computed via the parallel "
+    "prefix-sum (never a single-partition window) + span explode; "
+    "all-integer, bit-exact cross-engine",
+)
+def q_sequence_pack(spark, sf_dir):
+    return text.sequence_pack(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "value_histogram_events",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bin,
+           bin * 50.0 AS bin_lo, (bin + 1) * 50.0 AS bin_hi, cnt,
+           CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (
+             PARTITION BY event_type) AS DOUBLE) AS share
+    FROM b
+    """,
+    "Fixed-width value histogram per event type (profiling primitive): "
+    "floor-arithmetic binning (no width_bucket dependency — identical "
+    "expression both engines), per-bin share via a window over the "
+    "REDUCED per-(type, bin) rows; raw events never shuffle (map-side "
+    "partial agg)",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    return b.select(
+        "event_type",
+        "bin",
+        (F.col("bin") * 50.0).alias("bin_lo"),
+        ((F.col("bin") + 1) * 50.0).alias("bin_hi"),
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "agg_corr_regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             -- products cast to DECIMAL(19,4): (19,4)x(19,4) -> (38,8)
+             -- forces int128 storage (DuckDB's int64 DECIMAL(18) path
+             -- overflows in the raw multiply); same rationals as the
+             -- engine's (18,4) products. Every decimal-to-double goes
+             -- VIA VARCHAR: DuckDB's direct int128-decimal cast is NOT
+             -- correctly rounded (off by 1 ulp on 2/3 groups here),
+             -- while parsing the exact decimal string is — matching
+             -- Spark's BigDecimal.doubleValue. The 1-ulp input error
+             -- would otherwise amplify through the cancellation in
+             -- (n*sxy - sx*sy).
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+               AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+               AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+               AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR)
+               AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+               AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * n) AS covar_pop,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+    FROM s ORDER BY l_returnflag
+    """,
+    "Correlation / covariance / regression slope per group WITHOUT the "
+    "builtin corr() (whose double accumulation is partitioning-"
+    "dependent): all five moments are exact decimal sums (products of "
+    "4dp decimals are exact 8dp decimals), combined in one deterministic "
+    "double expression at the end — the engine-independent formulation "
+    "of Pearson r; oracle states the identical formula",
+)
+def q_agg_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        (num / (n * n)).alias("covar_pop"),
+        (num / (n * sxx - sx * sx)).alias("beta"),
+    ).orderBy("l_returnflag")
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -4973,6 +5126,9 @@ _ROTATION_TAIL = {
     "boilerplate_gram_screen": "r05-local",
     "bigram_lm_score": "r05-local",
     "pagerank_cooccurrence": "r05-local",
+    "sequence_pack_512": "r05-local",
+    "value_histogram_events": "r05-local",
+    "agg_corr_regression": "r05-local",
 }
 
 
