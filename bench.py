@@ -70,6 +70,8 @@ HEADLINE = [
     "bigram_lm_score",
     "boilerplate_gram_screen",
     "pagerank_cooccurrence",
+    "cooccurrence_sessions",
+    "sequence_pack_512",
 ]
 
 
