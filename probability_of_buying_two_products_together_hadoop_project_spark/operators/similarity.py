@@ -526,3 +526,45 @@ def ivf_topk_grid(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semantic_diverse_sample(
+    embeddings: DataFrame,
+    per_cell: int = 5,
+    dims: int = 2,
+    lo: float = -0.6,
+    step: float = 0.3,
+    g: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware sampling over the embedding space (the
+    SemDeDup-adjacent curation step): assign every vector its
+    deterministic grid cell (:func:`grid_cell_coord` — the same
+    quantizer the verified IVF twin pins cross-engine) and keep the
+    first ``per_cell`` vectors per cell in md5(id) order. Dense regions
+    downsample hard, sparse regions are preserved — coverage-uniform
+    instead of density-proportional, which is what a diversity pass
+    wants (a plain hash-sample keeps near-duplicate clusters in
+    proportion to their redundancy).
+
+    Both the cell assignment (pure IEEE double arithmetic) and the draw
+    (md5 order, the repo's reproducible-sampling convention) are
+    engine-reproducible, so the sample is bit-stable across reruns,
+    partitionings, and engines. Plan: one narrow projection (cell), one
+    exchange on cell shared by the occupancy window and the rank — the
+    stratified-sample shape. Output carries ``cell_n`` (pre-sample
+    occupancy) so the consumer sees each region's downsampling ratio.
+    """
+    from .relational import deterministic_stratified_sample
+
+    v = F.col(vec_col)
+    coords = [grid_cell_coord(v, j, lo, step, g) for j in range(dims)]
+    cell = sum((c * (g**j) for j, c in enumerate(coords)), F.lit(0))
+    cells = embeddings.select(F.col(id_col), cell.alias("cell")).withColumn(
+        "cell_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    )
+    out = deterministic_stratified_sample(cells, ["cell"], id_col, per_cell)
+    return out.select(
+        id_col, "cell", F.col("cell_n").cast("bigint").alias("cell_n")
+    )

@@ -276,3 +276,23 @@ def test_ivf_grid_border_clamp_and_determinism(spark):
     out2 = similarity.ivf_topk_grid(df, [0], k=3).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     assert {r["neighbor_id"] for r in out1} >= {2}
+
+
+def test_semantic_diverse_sample_caps_dense_cells(spark):
+    # 20 vectors piled into one grid cell (all coords ~0.0 -> cell of
+    # (0.0+0.6)/0.3 = 2 on both axes) and 2 lone vectors in other cells:
+    # the dense cell caps at per_cell, the sparse ones all survive.
+    dense = [(i, [0.01 * (i % 3), 0.01 * (i % 2), 0.0], 0) for i in range(20)]
+    sparse = [(100, [-0.55, -0.55, 0.0], 0), (101, [0.55, -0.55, 0.0], 0)]
+    df = spark.createDataFrame(dense + sparse, ["vec_id", "embedding", "label"])
+    out = similarity.semantic_diverse_sample(df, per_cell=5).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    dense_cell = [rs for rs in by_cell.values() if rs[0].cell_n == 20]
+    assert len(dense_cell) == 1 and len(dense_cell[0]) == 5
+    lone = [r for r in out if r.cell_n == 1]
+    assert {r.vec_id for r in lone} == {100, 101}
+    # the draw is deterministic: rerun picks the identical ids
+    again = {r.vec_id for r in similarity.semantic_diverse_sample(df, per_cell=5).collect()}
+    assert again == {r.vec_id for r in out}
