@@ -281,6 +281,114 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def merge_batch_into_bucketed_parquet(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+    batch_id: int | str = 0,
+    delete_col: str | None = None,
+) -> None:
+    """One crash-safe merge of ``batch_df`` into the ``path/bucket=<b>``
+    state table — the shared engine behind the streaming
+    :func:`upsert_sink_parquet` (which calls it per micro-batch) and the
+    batch :func:`merge_into_parquet` (one CDC batch applied directly).
+    Layout, only-touched-bucket rewrites, and the two-phase
+    live/.old/tmp swap protocol are documented on the sink.
+
+    ``delete_col``: optional boolean tombstone column on the batch.
+    Rows where it is true compete in the same latest-version-wins
+    compaction; when a tombstone WINS its key, the key is dropped from
+    the table (and the tombstone itself is not persisted — the state
+    table never carries the column). An out-of-order tombstone older
+    than the live row loses and is a no-op, which is the CDC-correct
+    semantics. Idempotent under replay like the upsert path.
+    """
+    from ..operators.relational import keep_latest
+
+    spark = batch_df.sparkSession
+
+    def bucket_dir(b: int) -> str:
+        return os.path.join(path, f"bucket={b}")
+
+    def old_dir(b: int) -> str:
+        return os.path.join(path, f".old_bucket_{b}")
+
+    def recover(b: int) -> None:
+        if os.path.isdir(old_dir(b)):
+            if not os.path.isdir(bucket_dir(b)):
+                # crash between "live -> .old" and "tmp -> live": .old
+                # holds the pre-swap data — restore it
+                os.replace(old_dir(b), bucket_dir(b))
+            else:
+                # crash between "tmp -> live" and dropping .old: live is
+                # already the post-merge data, .old is superseded
+                shutil.rmtree(old_dir(b))
+
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    batch = batch_df.withColumn("_b", bucket)
+    touched = sorted(r["_b"] for r in batch.select("_b").distinct().collect())
+    os.makedirs(path, exist_ok=True)
+    # sweep staging debris from crashed batches (dot-prefixed, so
+    # readers never saw it) and recover EVERY leftover .old bucket —
+    # not just touched ones: a crashed bucket the current batch does
+    # not touch would otherwise stay invisible to readers until some
+    # future batch happens to hit it
+    for name in os.listdir(path):
+        if name.startswith(".tmp_"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        elif name.startswith(".old_bucket_"):
+            recover(int(name.removeprefix(".old_bucket_")))
+    for b in touched:
+        cur = batch.filter(F.col("_b") == b).drop("_b")
+        if os.path.isdir(bucket_dir(b)):
+            existing = spark.read.parquet(bucket_dir(b))
+            if delete_col is not None:
+                # state rows never carry the tombstone column; they
+                # re-enter the compaction as plain (non-delete) versions
+                existing = existing.withColumn(delete_col, F.lit(False))
+            cur = existing.unionByName(cur)
+        compacted = keep_latest(cur, list(key_cols), order_col, tiebreak_col)
+        if delete_col is not None:
+            compacted = compacted.filter(~F.col(delete_col)).drop(delete_col)
+        tmp = os.path.join(path, f".tmp_{batch_id}_bucket_{b}")
+        compacted.write.mode("overwrite").parquet(tmp)
+        # swap: live (if any) -> .old, tmp -> live, drop .old; the
+        # bucket's data is present under one of the two names at
+        # every instant
+        if os.path.isdir(old_dir(b)):
+            shutil.rmtree(old_dir(b))  # stale garbage: live exists
+        if os.path.isdir(bucket_dir(b)):
+            os.replace(bucket_dir(b), old_dir(b))
+        os.replace(tmp, bucket_dir(b))
+        shutil.rmtree(old_dir(b), ignore_errors=True)
+
+
+def merge_into_parquet(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    tiebreak_col: str,
+    delete_col: str | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Batch MERGE INTO for the plain-parquet bucketed state table: apply
+    one CDC batch (upserts, and — with ``delete_col`` — tombstone
+    deletes) with latest-version-wins semantics. The batch face of
+    :func:`upsert_sink_parquet`, sharing its layout, only-touched-bucket
+    cost, and crash-safe swap via
+    :func:`merge_batch_into_bucketed_parquet`; use the sink for a
+    continuous stream and this for scheduled CDC loads.
+    """
+    merge_batch_into_bucketed_parquet(
+        batch_df, path, key_cols, order_col, tiebreak_col,
+        n_buckets=n_buckets, batch_id="batch", delete_col=delete_col,
+    )
+
+
 def upsert_sink_parquet(
     stream_df: DataFrame,
     path: str,
@@ -317,59 +425,11 @@ def upsert_sink_parquet(
     them. Returns the started StreamingQuery (caller awaits
     termination).
     """
-    spark = stream_df.sparkSession
-    from ..operators.relational import keep_latest
-
-    def bucket_dir(b: int) -> str:
-        return os.path.join(path, f"bucket={b}")
-
-    def old_dir(b: int) -> str:
-        return os.path.join(path, f".old_bucket_{b}")
-
-    def recover(b: int) -> None:
-        if os.path.isdir(old_dir(b)):
-            if not os.path.isdir(bucket_dir(b)):
-                # crash between "live -> .old" and "tmp -> live": .old
-                # holds the pre-swap data — restore it
-                os.replace(old_dir(b), bucket_dir(b))
-            else:
-                # crash between "tmp -> live" and dropping .old: live is
-                # already the post-merge data, .old is superseded
-                shutil.rmtree(old_dir(b))
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
-        batch = batch_df.withColumn("_b", bucket)
-        touched = sorted(
-            r["_b"] for r in batch.select("_b").distinct().collect()
+        merge_batch_into_bucketed_parquet(
+            batch_df, path, key_cols, order_col, tiebreak_col,
+            n_buckets=n_buckets, batch_id=batch_id,
         )
-        os.makedirs(path, exist_ok=True)
-        # sweep staging debris from crashed batches (dot-prefixed, so
-        # readers never saw it) and recover EVERY leftover .old bucket —
-        # not just touched ones: a crashed bucket the current batch does
-        # not touch would otherwise stay invisible to readers until some
-        # future batch happens to hit it
-        for name in os.listdir(path):
-            if name.startswith(".tmp_"):
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            elif name.startswith(".old_bucket_"):
-                recover(int(name.removeprefix(".old_bucket_")))
-        for b in touched:
-            cur = batch.filter(F.col("_b") == b).drop("_b")
-            if os.path.isdir(bucket_dir(b)):
-                cur = spark.read.parquet(bucket_dir(b)).unionByName(cur)
-            compacted = keep_latest(cur, list(key_cols), order_col, tiebreak_col)
-            tmp = os.path.join(path, f".tmp_{batch_id}_bucket_{b}")
-            compacted.write.mode("overwrite").parquet(tmp)
-            # swap: live (if any) -> .old, tmp -> live, drop .old; the
-            # bucket's data is present under one of the two names at
-            # every instant
-            if os.path.isdir(old_dir(b)):
-                shutil.rmtree(old_dir(b))  # stale garbage: live exists
-            if os.path.isdir(bucket_dir(b)):
-                os.replace(bucket_dir(b), old_dir(b))
-            os.replace(tmp, bucket_dir(b))
-            shutil.rmtree(old_dir(b), ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge)
