@@ -123,3 +123,43 @@ def write_reference_pairs_layout(pairs: DataFrame, out_dir: str) -> list[str]:
                 f.write(r["line"] + "\n")
         paths.append(p)
     return paths
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: Sequence[str],
+    n_files: int = 8,
+    max_records_per_file: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write: range-partition and sort by the
+    Morton key of ``dims`` (``relational.zorder_key_n``), so parquet
+    row-group min/max statistics prune scans on ANY of the dimensions —
+    the write-path counterpart to the layout study in SCALING.md
+    (single-column sort clusters only itself; the z-layout trades a
+    little per-dim locality for locality on every dim).
+
+    ``repartitionByRange`` on the key gives globally disjoint key ranges
+    per file (directory-level pruning via file stats), and the
+    within-partition sort gives row-group-level pruning inside each
+    file. The key column itself is not persisted — it is derivable, and
+    readers prune on the DIMENSION columns' stats. At 100 TB, size
+    ``n_files``/``max_records_per_file`` so a row group ≈ the scan
+    granularity you want to skip at.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import zorder_key_n
+
+    key = zorder_key_n(*[F.col(c) for c in dims], bits=bits)
+    out = (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    w = out.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

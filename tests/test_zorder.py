@@ -104,3 +104,37 @@ def test_zorder_key_n_matches_reference_and_2d_fast_path(spark):
          == relational.zorder_key(F.col("a"), F.col("b"))).alias("e")
     ).collect()
     assert all(r["e"] for r in eq)
+
+
+def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
+    """The write-path helper must reproduce the layout study's pruning
+    asymmetry: a z-ordered table prunes row groups for range predicates
+    on EITHER dimension; a single-key sort prunes only its own column."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import io as eio
+
+    n = 64
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    zp = str(tmp_path / "z")
+    ap = str(tmp_path / "a")
+    eio.write_zordered(df.coalesce(1), zp, ["a", "b"], n_files=1,
+                       max_records_per_file=128)
+    (df.coalesce(1).sortWithinPartitions("a")
+       .write.mode("overwrite").option("maxRecordsPerFile", 128).parquet(ap))
+    lo, hi = 8, 15  # 1/8 of the domain
+    za = _overlap_fraction(zp, "a", lo, hi)
+    zb = _overlap_fraction(zp, "b", lo, hi)
+    aa = _overlap_fraction(ap, "a", lo, hi)
+    ab = _overlap_fraction(ap, "b", lo, hi)
+    # z layout prunes meaningfully on BOTH dims
+    assert za[0] < za[1] and zb[0] < zb[1]
+    # a-sorted layout prunes hard on a but cannot prune b at all
+    assert aa[0] < aa[1]
+    assert ab[0] == ab[1]
+    # the key column must not be persisted
+    import pyarrow.parquet as pq
+    import glob
+    f = glob.glob(zp + "/*.parquet")[0]
+    names = [pq.ParquetFile(f).metadata.schema.column(i).name
+             for i in range(pq.ParquetFile(f).metadata.num_columns)]
+    assert names == ["a", "b"]
