@@ -4,6 +4,7 @@ SRP-LSH returns well-formed, deterministic approximate results."""
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql.functions import col as F_col
 
 from probability_of_buying_two_products_together_hadoop_project_spark.operators import similarity
@@ -296,3 +297,70 @@ def test_semantic_diverse_sample_caps_dense_cells(spark):
     # the draw is deterministic: rerun picks the identical ids
     again = {r.vec_id for r in similarity.semantic_diverse_sample(df, per_cell=5).collect()}
     assert again == {r.vec_id for r in out}
+
+
+def test_tfidf_cosine_pairs_matches_python_bruteforce(spark):
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # tiny corpus where every 3-gram has df <= 3 -> blocking is total
+    # recall, so the operator must equal the brute-force cosine.
+    corpus = {
+        1: "spark joins the window over a sorted frame quickly",
+        2: "spark joins the window over a sorted frame slowly",
+        3: "ducks prefer exact decimal sums in every engine",
+        4: "ducks prefer exact decimal sums in some engine",
+        5: "completely unrelated text about graph iteration rounds",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in similarity.tfidf_cosine_pairs(
+            df, n=3, rare_df_min=1, rare_df_max=5, threshold=0.0
+        ).collect()
+    }
+
+    def grams(s):
+        t = s.split()
+        return Counter(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+
+    gs = {k: grams(v) for k, v in corpus.items()}
+    dfreq = Counter(g for c in gs.values() for g in c)
+    n = len(corpus)
+
+    def w(tf, d):
+        idf = Decimal(repr(math.log(1.0 + n / d))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return tf * idf
+
+    want = {}
+    for a in corpus:
+        for b in corpus:
+            if a >= b:
+                continue
+            shared = set(gs[a]) & set(gs[b])
+            if not shared:
+                continue
+            dot = float(sum(w(gs[a][g], dfreq[g]) * w(gs[b][g], dfreq[g]) for g in shared))
+            na = math.sqrt(float(sum(w(tf, dfreq[g]) ** 2 for g, tf in gs[a].items())))
+            nb = math.sqrt(float(sum(w(tf, dfreq[g]) ** 2 for g, tf in gs[b].items())))
+            want[(a, b)] = dot / (na * nb)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # the near-duplicate pairs outscore every unrelated pair
+    others = [v for k, v in got.items() if k not in {(1, 2), (3, 4)}]
+    assert min(got[(1, 2)], got[(3, 4)]) > max(others, default=0.0)
+
+
+def test_tfidf_cosine_blocking_contract(spark):
+    # a gram above rare_df_max generates no candidates: three identical
+    # docs (df=3 for every gram) with rare_df_max=2 -> empty output.
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(3)],
+        "doc_id bigint, text string",
+    )
+    out = similarity.tfidf_cosine_pairs(df, rare_df_min=2, rare_df_max=2)
+    assert out.count() == 0
