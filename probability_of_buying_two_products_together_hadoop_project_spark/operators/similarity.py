@@ -664,3 +664,55 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / mean pooling — the
+    reduction behind nearest-centroid classification, IVF list training,
+    and cluster summaries), in LONG form: one row per (label, component
+    position) with the component mean.
+
+    Determinism is the PageRank lesson applied to float reduction:
+    averaging floats by decimal-casting hits engine-divergent
+    rounding-tie cases (a float whose exact decimal expansion ends in
+    …5 exactly at the cast scale — ~0.02% of uniform floats, certain at
+    corpus scale). So components are FIXED-POINT quantized first —
+    ``floor(v * unit)`` is the same bigint in every engine because v
+    (float→double, exact) and v*unit (one IEEE multiply) are — then
+    integer-summed exactly, and the mean is one double division at the
+    end. Quantization costs < 1/unit of precision, bought:
+    bit-identical centroids under any partitioning or engine.
+
+    Plan: posexplode (components ∝ corpus x dim) -> one hash agg on
+    (label, pos). Shuffle carries only the partial integer sums —
+    (labels x dims x partitions) rows, constant in corpus size.
+    """
+    e = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("_u"),
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("_u").alias("_s"))
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (
+                F.col("_s").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(float(unit))
+            ).alias("component_mean"),
+        )
+    )

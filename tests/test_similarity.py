@@ -364,3 +364,27 @@ def test_tfidf_cosine_blocking_contract(spark):
     )
     out = similarity.tfidf_cosine_pairs(df, rare_df_min=2, rare_df_max=2)
     assert out.count() == 0
+
+
+def test_embedding_centroids_match_numpy(spark):
+    df, vecs = _emb(spark, n=30, dim=4)
+    got = {
+        (r.label, r.pos): (r.n_vecs, r.component_mean)
+        for r in similarity.embedding_centroids(df).collect()
+    }
+    import numpy as np
+
+    labels = [i % 3 for i in range(30)]
+    for lab in range(3):
+        sel = np.float32(vecs[[i for i in range(30) if labels[i] == lab]])
+        # the quantized mean is within 1/unit of the float mean
+        for pos in range(4):
+            n, cm = got[(lab, pos)]
+            assert n == len(sel)
+            assert abs(cm - float(np.float64(sel[:, pos]).mean())) < 1e-6
+    # determinism: a different partitioning yields identical bits
+    again = {
+        (r.label, r.pos): r.component_mean
+        for r in similarity.embedding_centroids(df.repartition(7)).collect()
+    }
+    assert again == {k: v[1] for k, v in got.items()}
