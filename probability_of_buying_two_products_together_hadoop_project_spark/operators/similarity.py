@@ -716,3 +716,53 @@ def embedding_centroids(
             ).alias("component_mean"),
         )
     )
+
+
+def nearest_centroid_assign(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+    d2_unit: int = 10**12,
+) -> DataFrame:
+    """Nearest-centroid classification closed loop: assign every vector
+    to its closest class centroid (squared L2) and return the confusion
+    matrix (true_label, assigned_label, n) — the evaluation reduction
+    behind centroid classifiers and cluster-quality checks.
+
+    Determinism end to end: centroids come from
+    :func:`embedding_centroids` (fixed-point means); each distance term
+    (v - c)^2 is a deterministic double, FIXED-POINT quantized
+    (floor(term * d2_unit)) before the per-(vector, candidate) integer
+    sum so the 64-term reduction is order-independent; argmin breaks
+    ties on the smaller label. The centroid table (labels x dims rows)
+    broadcasts onto the exploded vectors — one scan, one shuffle for
+    the per-pair sums, one for the confusion counts.
+    """
+    cent = embedding_centroids(embeddings, label_col, vec_col, unit).select(
+        F.col("label").alias("_cand"), "pos", "component_mean"
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    term = F.col("_v").cast("double") - F.col("component_mean")
+    d = (
+        e.join(F.broadcast(cent), "pos")
+        .select(
+            "_id",
+            "true_label",
+            "_cand",
+            F.floor(term * term * F.lit(float(d2_unit))).cast("long").alias("_t"),
+        )
+        .groupBy("_id", "true_label", "_cand")
+        .agg(F.sum("_t").alias("_d2u"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d2u").asc(), F.col("_cand").asc())
+    best = d.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        best.groupBy("true_label", F.col("_cand").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

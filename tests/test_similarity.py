@@ -388,3 +388,21 @@ def test_embedding_centroids_match_numpy(spark):
         for r in similarity.embedding_centroids(df.repartition(7)).collect()
     }
     assert again == {k: v[1] for k, v in got.items()}
+
+
+def test_nearest_centroid_assign_separable_clusters(spark):
+    import numpy as np
+
+    # three well-separated clusters -> the confusion matrix is diagonal
+    rng = np.random.default_rng(3)
+    rows = []
+    for lab, center in [(0, 0.0), (1, 10.0), (2, -10.0)]:
+        for i in range(12):
+            v = (center + rng.normal(scale=0.1, size=4)).astype("float32")
+            rows.append((lab * 100 + i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r.true_label, r.assigned_label): r.n
+        for r in similarity.nearest_centroid_assign(df).collect()
+    }
+    assert got == {(0, 0): 12, (1, 1): 12, (2, 2): 12}
