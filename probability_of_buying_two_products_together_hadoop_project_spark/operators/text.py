@@ -1061,6 +1061,8 @@ def sequence_pack(
     sequence ids explode per document (span-proportional, almost always
     1). All integer arithmetic: bit-identical cross-engine.
     """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     from .relational import global_prefix_sum
 
     d = docs.select(

@@ -163,3 +163,50 @@ def write_zordered(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def export_jsonl_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: Sequence[str] = (),
+) -> None:
+    """Training-data export: write the corpus as sharded JSONL — one
+    directory per token-budget shard (``shard_id=<n>/part-*.txt``, one
+    JSON object per line), the layout data loaders consume. Shard
+    assignment is :func:`operators.text.token_shards` (deterministic
+    md5-order layout, parallel prefix-sum), so every rerun produces the
+    IDENTICAL shard membership; within a shard, line order is not part
+    of the contract (loaders shuffle anyway).
+
+    The JSON encoding is an explicit ``to_json(struct(...))`` with a
+    fixed field order — stable output, no schema inference on read-back.
+    Writing goes through ``partitionBy(shard_id)``: each shard lands in
+    its own directory, and at 100 TB the write parallelism is the
+    upstream partitioning (repartition by shard first if shards must be
+    single files).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text import token_shards
+
+    shards = token_shards(docs, budget=budget, text_col=text_col, id_col=id_col)
+    joined = docs.join(
+        shards.select(id_col, "shard_id", "n_tokens"), id_col
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col(id_col),
+            F.col("n_tokens"),
+            *[F.col(c) for c in extra_cols],
+            F.col(text_col),
+        )
+    )
+    (
+        joined.select(F.col("shard_id"), payload.alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .text(path)
+    )

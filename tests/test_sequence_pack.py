@@ -88,3 +88,47 @@ def test_histogram_shares_sum_to_one(spark, sf_oracle):
         assert r.bin_lo <= r.bin_hi and r.cnt > 0
     for t, rs in by_type.items():
         assert math.isclose(sum(r.share for r in rs), 1.0, rel_tol=1e-12)
+
+
+def test_export_jsonl_shards_roundtrip(spark, tmp_path, sf_oracle):
+    import json
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import text as text_ops
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import io as eio
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(100)
+    out = str(tmp_path / "shards")
+    eio.export_jsonl_shards(docs, out, budget=1000, extra_cols=("lang",))
+    # directory-per-shard layout
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard_id=")]
+    assert len(shard_dirs) >= 2
+    # read back: every doc present exactly once, fields faithful
+    back = spark.read.text(out).collect()
+    rows = [json.loads(r.value) for r in back]
+    assert len(rows) == 100
+    src = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    for r in rows:
+        assert (r["text"], r["lang"]) == src[r["doc_id"]]
+    # shard assignment matches the operator (deterministic layout)
+    want = {
+        r.doc_id: r.shard_id
+        for r in text_ops.token_shards(docs, budget=1000).collect()
+    }
+    got_shards = {
+        json.loads(r.value)["doc_id"]: int(r.shard_id)
+        for r in spark.read.format("text").load(out).selectExpr(
+            "value", "shard_id"
+        ).collect()
+    }
+    assert got_shards == want
+
+
+def test_sequence_pack_bad_len_raises(spark):
+    import pytest as _pytest
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        text_ops.sequence_pack(df, seq_len=0)
