@@ -5408,6 +5408,133 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), u AS (
+      SELECT DISTINCT user_id FROM events
+    ), depth AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+    FROM depth GROUP BY stage
+    """,
+    "Ordered funnel analysis (view -> click -> purchase, 24h max gap "
+    "per step): each stage's timestamp is the min AFTER the previous "
+    "stage's and within the conversion window (strict ordering, not "
+    "mere presence); per-user depth aggregates to stage counts. Three "
+    "chained min-aggregations on user_id — AQE reuses the user_id "
+    "partitioning; all timestamp/integer logic, deterministic",
+)
+def q_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("interval 24 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("interval 24 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = e.select("user_id").distinct()
+    depth = (
+        u.join(t1.select("user_id", F.lit(1).alias("_s1")), "user_id", "left")
+        .join(t2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .select(
+            F.when(F.col("_s3").isNotNull(), 3)
+            .when(F.col("_s2").isNotNull(), 2)
+            .when(F.col("_s1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("stage")
+        )
+    )
+    return depth.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "cohort_retention_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+    "Cohort retention: users grouped by first-seen day, counted on "
+    "each later active day offset — the retention-curve input. Two "
+    "aggregations + one distinct, all sharing the user_id hash; pure "
+    "date arithmetic, deterministic",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -5544,6 +5671,8 @@ _ROTATION_TAIL = {
     "embedding_centroids": "r05-local",
     "nearest_centroid_confusion": "r05-local",
     "split_leakage_near_dup": "r05-local",
+    "funnel_view_click_purchase": "r05-local",
+    "cohort_retention_events": "r05-local",
 }
 
 
