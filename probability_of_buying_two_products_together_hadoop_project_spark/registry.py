@@ -5632,6 +5632,34 @@ def q_countmin(spark, sf_dir):
     )
 
 
+@register(
+    "schema_evolution_union",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    "Schema-evolution union (the ingestion reality of long-lived "
+    "datasets: an old shard without a column meets a new shard with "
+    "one): unionByName(allowMissingColumns=True) aligns by NAME and "
+    "null-fills — positional UNION would silently mis-bind columns; "
+    "the oracle states the explicit null-padded form",
+)
+def q_schema_evolution(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    old_shard = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_shard = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return old_shard.unionByName(new_shard, allowMissingColumns=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -5771,6 +5799,7 @@ _ROTATION_TAIL = {
     "funnel_view_click_purchase": "r05-local",
     "cohort_retention_events": "r05-local",
     "countmin_word_freq": "r05-local",
+    "schema_evolution_union": "r05-local",
 }
 
 
