@@ -72,6 +72,10 @@ HEADLINE = [
     "pagerank_cooccurrence",
     "cooccurrence_sessions",
     "sequence_pack_512",
+    "tfidf_cosine_pairs",
+    "split_leakage_near_dup",
+    "countmin_word_freq",
+    "funnel_view_click_purchase",
 ]
 
 
@@ -112,7 +116,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     # UI on so the status REST API can report per-query shuffle volume
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    # retainedStages must exceed the suite's total stage count: the
+    # before/after shuffle totals are differences of RETAINED-stage sums,
+    # and eviction mid-suite makes a later total smaller than an earlier
+    # one (observed as a negative per-query delta at ~40 queries)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     ui_url = spark.sparkContext.uiWebUrl or "http://localhost:4040"
     # warm the JVM (codegen, ICU case tables, parquet reader) so the first
     # measured query isn't charged for one-time init
@@ -141,8 +156,10 @@ def main() -> None:
         # totals cover all repeats; divide for a per-run figure
         reps = max(args.repeat, 1)
         shuffle[name] = {
-            "read_bytes": (r1 - r0) // reps,
-            "write_bytes": (w1 - w0) // reps,
+            # floor at 0: a negative difference can only be a UI
+            # stage-eviction artifact, never real shuffle volume
+            "read_bytes": max(r1 - r0, 0) // reps,
+            "write_bytes": max(w1 - w0, 0) // reps,
         }
         print(f"# {name}: {best:.3f}s shuffleW={shuffle[name]['write_bytes']}",
               file=sys.stderr)
