@@ -130,3 +130,93 @@ def pagerank(
         "rank_units",
         (F.col("rank_units").cast("double") / F.lit(float(UNITS))).alias("rank"),
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "item", b_col: str = "neighbor"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    undirected graph induced by pair evidence — the standard
+    graph-density summary (transitivity = 3*triangles / wedges) used to
+    characterize a co-purchase graph before community/motif work.
+
+    Algorithm: DEGREE-ORIENTED wedge counting (the MapReduce-era
+    Suri-Vassilvitskii / Cohen scheme, the one that scales): orient each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one — a DAG in which every out-neighborhood has size O(sqrt(m)) on
+    graphs of bounded arboricity — then a triangle {x<y<z} (in that
+    total order) is counted EXACTLY once, as the wedge (x->y, x->z)
+    closed by the oriented edge y->z. A hub of degree d generates no
+    wedges at the hub itself (its edges all point IN), which is what
+    kills the d^2 blow-up a naive neighbor self-join suffers at 100 TB.
+
+    Dataflow: one distinct over canonical (least, greatest) pairs, one
+    endpoint-explode degree agg, a self-join on src (wedge build), and a
+    semi-join closure check — every join on graph keys, shuffle
+    proportional to edges + wedges, never nodes^2. All-integer counts;
+    the single transitivity division is one exact-input double op (
+    correctly rounded identically in both engines).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    canon = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .unionAll(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d_lo = deg.select(F.col("node").alias("lo"), F.col("deg").alias("_dlo"))
+    d_hi = deg.select(F.col("node").alias("hi"), F.col("deg").alias("_dhi"))
+    lo_first = F.col("_dlo") <= F.col("_dhi")  # lo < hi already: ties keep lo
+    e = (
+        canon.join(d_lo, "lo")
+        .join(d_hi, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            F.when(lo_first, F.col("_dhi")).otherwise(F.col("_dlo")).alias("ddeg"),
+        )
+    )
+    ea = e.select(
+        F.col("src"), F.col("dst").alias("x"), F.col("ddeg").alias("dx")
+    )
+    eb = e.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("ddeg").alias("dy")
+    )
+    wedge = ea.join(eb, "src").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedge.join(
+        e.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    wcnt = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    mm = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nn.crossJoin(mm)
+        .crossJoin(wcnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("transitivity"),
+        )
+    )

@@ -1097,3 +1097,149 @@ def sequence_pack(
         (piece_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
         (piece_end - piece_start + 1).cast("long").alias("piece_len"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: cut each document into
+    ``chunk_chars``-character windows advancing by ``stride`` (overlap =
+    ``chunk_chars - stride``), the retrieval-index preparation step that
+    sits between corpus curation and embedding. One row per chunk with
+    its 0-based ``chunk_id``, 1-based character ``chunk_start``, the
+    chunk text, and its exact length.
+
+    Chunk-count contract (shared with the SQL oracle): a document of
+    ``n`` characters yields ``1 + ceil((n - chunk_chars) / stride)``
+    chunks when ``n > chunk_chars`` else exactly one (n >= 1) — i.e.
+    chunking stops as soon as a window reaches the end of the document,
+    so no tail chunk is fully contained in its predecessor. Empty
+    documents yield no chunks. The ceiling is computed with integer
+    arithmetic (``(n - chunk_chars + stride - 1) div stride``) so both
+    engines agree bit-for-bit.
+
+    Engine shape: pure narrow projection + span-proportional explode
+    (sum(len)/stride output rows) — ZERO exchanges; at 100 TB this is a
+    map-only pass whose output feeds the embedding stage. ``substring``
+    is JVM whole-stage codegen; no UDF.
+    """
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if not (1 <= stride <= chunk_chars):
+        raise ValueError(
+            f"stride must be in [1, chunk_chars], got {stride}"
+        )
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= chunk_chars, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(length({text_col}) - {chunk_chars} + {stride - 1}) div {stride}")
+    )
+    d = docs.filter(n >= 1).select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    piece = F.col("_txt").substr(start, F.lit(chunk_chars))
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        piece.alias("chunk_text"),
+        F.length(piece).cast("long").alias("chunk_len"),
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    pool: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse two independent rankers' top-``pool`` lists with
+    ``score = sum_r 1/(rrf_k + rank_r)`` — the standard way modern RAG
+    stacks combine lexical and secondary signals without score
+    calibration. Ranker A is :func:`bm25_topk`; ranker B is a
+    term-coverage ranker (distinct query terms present desc, doc length
+    asc — "short focused docs first", an integer-only signal). Docs
+    absent from a list contribute nothing for it.
+
+    Determinism (the iterated-float lesson, see operators/graph.py
+    PageRank): RRF contributions are computed in FIXED-POINT 1e-12
+    units via integer floor division ``10^12 div (rrf_k + rank)`` and
+    summed as bigints — float reciprocals summed then rounded hit
+    engine-divergent decimal-half ties; integer division cannot. The
+    final ``rrf_score`` double is one exact-input division at the end.
+    Both ranks carry full deterministic tie-breaks (BM25's 4dp rounded
+    score is itself engine-exact, see bm25_topk).
+
+    Scale: both rankers reduce to per-(doc, term) rows proportional to
+    query-term MATCHES (filter-before-explode); the fusion joins two
+    ``pool``-row lists — driver-free, broadcast-sized.
+    """
+    a = bm25_topk(
+        docs, terms, k=pool, text_col=text_col, id_col=id_col
+    ).select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    tk = normalized_tokens(text_col)
+    lowered = [t.lower() for t in terms]
+    cov = (
+        docs.select(F.col(id_col), tk.alias("_tk"))
+        .select(
+            id_col,
+            F.size("_tk").cast("long").alias("_dl"),
+            F.size(
+                F.array_distinct(F.filter(F.col("_tk"), lambda t: t.isin(lowered)))
+            )
+            .cast("long")
+            .alias("_cov"),
+        )
+        .filter(F.col("_cov") >= 1)
+        .select(
+            id_col,
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("_cov").desc(), F.col("_dl").asc(), F.col(id_col)
+                )
+            )
+            .cast("long")
+            .alias("rank_cov"),
+        )
+        .filter(F.col("rank_cov") <= pool)
+    )
+    unit = 10**12
+    contrib_a = F.when(
+        F.col("rank_bm25").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.expr(f"CAST({unit} div ({rrf_k} + rank_bm25) AS BIGINT)"))
+    contrib_b = F.when(
+        F.col("rank_cov").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.expr(f"CAST({unit} div ({rrf_k} + rank_cov) AS BIGINT)"))
+    return (
+        a.join(cov, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_bm25",
+            "rank_cov",
+            (contrib_a + contrib_b).alias("rrf_units"),
+        )
+        .withColumn(
+            "rrf_score", F.col("rrf_units").cast("double") / F.lit(float(unit))
+        )
+        .orderBy(F.col("rrf_units").desc(), F.col(id_col))
+        .limit(k)
+    )

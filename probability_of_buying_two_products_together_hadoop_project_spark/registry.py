@@ -5660,6 +5660,164 @@ def q_schema_evolution(spark, sf_dir):
     )
 
 
+@register(
+    "chunk_documents_200",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) >= 1
+    ), c AS (
+      SELECT doc_id, text,
+             unnest(range(0, CASE WHEN n <= 200 THEN 1
+                                  ELSE 1 + (n - 200 + 149) // 150 END))
+               AS chunk_id
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 150 + 1 AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+             AS BIGINT) AS chunk_len
+    FROM c
+    """,
+    "RAG sliding-window chunking (200-char windows, stride 150): the "
+    "retrieval-index prep step between curation and embedding; chunking "
+    "stops once a window reaches end-of-document (integer-ceiling chunk "
+    "count, shared with the oracle). Pure narrow projection + "
+    "span-proportional explode — ZERO exchanges, map-only at 100 TB",
+)
+def q_chunk_documents(spark, sf_dir):
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=200, stride=150
+    )
+
+
+@register(
+    "triangle_count_items",
+    _COOC_CTE
+    + """, canon AS (
+      SELECT DISTINCT least(item, neighbor) AS lo,
+                      greatest(item, neighbor) AS hi
+      FROM pairs WHERE item != neighbor
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM canon
+        UNION ALL SELECT hi AS node FROM canon)
+      GROUP BY node
+    ), e AS (
+      SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
+             CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
+             CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
+      FROM canon c JOIN deg dl ON c.lo = dl.node JOIN deg dh ON c.hi = dh.node
+    ), wedge AS (
+      SELECT a.dst AS x, b.dst AS y
+      FROM e a JOIN e b ON a.src = b.src
+       AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles FROM wedge w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.x AND e.dst = w.y)
+    ), wcnt AS (
+      SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    ), nn AS (SELECT COUNT(*) AS n_nodes FROM deg
+    ), mm AS (SELECT COUNT(*) AS n_edges FROM canon)
+    SELECT nn.n_nodes, mm.n_edges, wcnt.n_wedges, tri.n_triangles,
+           CASE WHEN wcnt.n_wedges = 0 THEN 0.0
+                ELSE 3.0 * tri.n_triangles / wcnt.n_wedges
+           END AS transitivity
+    FROM nn CROSS JOIN mm CROSS JOIN wcnt CROSS JOIN tri
+    """,
+    "Exact triangle count + transitivity of the co-occurrence item "
+    "graph via DEGREE-ORIENTED wedge counting (Suri-Vassilvitskii): "
+    "edges point low-(deg,id) -> high, so each triangle is one wedge "
+    "closed by one oriented edge and hubs generate no wedges — the "
+    "orientation that kills the deg^2 neighbor self-join blow-up at "
+    "scale. All-integer counts; the one transitivity division is an "
+    "exact-input double op",
+)
+def q_triangle_count(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.triangle_stats(basket.basket_pairs(baskets))
+
+
+_RRF_TERMS = _BM25_TERMS
+_RRF_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _RRF_TERMS) + "]"
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(tk) AS dl FROM tk
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(list_filter(tk, x -> list_contains({_RRF_TERMS_SQL}, x))) AS t
+        FROM tk)
+      GROUP BY doc_id, t
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), sc AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               6) AS DECIMAL(18,6)) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ), bmfull AS (
+      SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 4) AS score
+      FROM sc GROUP BY doc_id
+    ), bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank_bm25
+      FROM bmfull ORDER BY score DESC, doc_id LIMIT 50
+    ), cov0 AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl2,
+             CAST(len(list_distinct(list_filter(tk,
+               x -> list_contains({_RRF_TERMS_SQL}, x)))) AS BIGINT) AS cov
+      FROM tk
+    ), cv AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cov DESC, dl2 ASC, doc_id)
+               AS BIGINT) AS rank_cov
+      FROM cov0 WHERE cov >= 1
+      ORDER BY cov DESC, dl2 ASC, doc_id LIMIT 50
+    )
+    SELECT COALESCE(bm.doc_id, cv.doc_id) AS doc_id,
+           bm.rank_bm25, cv.rank_cov,
+           CAST(COALESCE(1000000000000 // (60 + bm.rank_bm25), 0)
+              + COALESCE(1000000000000 // (60 + cv.rank_cov), 0) AS BIGINT)
+             AS rrf_units,
+           CAST(CAST(COALESCE(1000000000000 // (60 + bm.rank_bm25), 0)
+              + COALESCE(1000000000000 // (60 + cv.rank_cov), 0) AS BIGINT)
+             AS DOUBLE) / 1000000000000.0 AS rrf_score
+    FROM bm FULL OUTER JOIN cv ON bm.doc_id = cv.doc_id
+    ORDER BY rrf_units DESC, doc_id LIMIT 15
+    """,
+    "Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009): BM25 "
+    "top-50 fused with an integer-only term-coverage ranker (distinct "
+    "query terms desc, doc length asc) as 1/(60+rank) — how RAG stacks "
+    "combine rankers without score calibration. RRF contributions in "
+    "FIXED-POINT 1e-12 units (floor division — the PageRank lesson: "
+    "never iterate/round floats across engines); fusion joins two "
+    "50-row broadcast-sized lists",
+)
+def q_hybrid_rrf(spark, sf_dir):
+    return text.hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"), _RRF_TERMS, k=15, pool=50
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -5800,6 +5958,9 @@ _ROTATION_TAIL = {
     "cohort_retention_events": "r05-local",
     "countmin_word_freq": "r05-local",
     "schema_evolution_union": "r05-local",
+    "chunk_documents_200": "r05-local",
+    "triangle_count_items": "r05-local",
+    "hybrid_rrf_search": "r05-local",
 }
 
 

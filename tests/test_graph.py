@@ -92,3 +92,79 @@ def test_pagerank_bad_damping_raises(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         graph.pagerank(df, damping_pct=101)
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+
+def py_triangles(edges):
+    """Brute-force undirected triangle count + wedge count from a pair list
+    (directions/duplicates/self-loops tolerated, like the operator)."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    tri = sum(
+        1
+        for i, x in enumerate(nodes)
+        for y in nodes[i + 1 :]
+        if y in adj[x]
+        for z in nodes
+        if z > y and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    return len(nodes), len(und), wedges, tri
+
+
+def _spark_tri(spark, edges):
+    df = spark.createDataFrame(sorted(set(edges)), "item string, neighbor string")
+    [row] = graph.triangle_stats(df).collect()
+    return row
+
+
+def test_triangle_k4_complete(spark):
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x != y]  # both dirs
+    row = _spark_tri(spark, edges)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 6, 12, 4)
+    assert row.transitivity == 1.0
+
+
+def test_triangle_path_has_none(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    row = _spark_tri(spark, edges)
+    assert row.n_triangles == 0 and row.n_wedges == 2
+    assert row.transitivity == 0.0
+
+
+def test_triangle_matches_python_reference_random(spark):
+    rng = random.Random(13)
+    nodes = [f"v{i:02d}" for i in range(24)]
+    for seed in range(3):
+        rng.seed(seed * 101 + 7)
+        edges = {
+            tuple(rng.sample(nodes, 2))
+            for _ in range(140)
+        }
+        row = _spark_tri(spark, sorted(edges))
+        n, m, w, t = py_triangles(edges)
+        assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+            n,
+            m,
+            w,
+            t,
+        )
+        want = 0.0 if w == 0 else 3.0 * t / w
+        assert row.transitivity == want
+
+
+def test_triangle_hub_star_no_blowup_semantics(spark):
+    # star graph: hub-deg 10, no triangles, wedges = C(10,2) at the hub
+    edges = [("hub", f"s{i}") for i in range(10)]
+    row = _spark_tri(spark, edges)
+    assert row.n_triangles == 0
+    assert row.n_wedges == 45
