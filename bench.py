@@ -76,6 +76,13 @@ HEADLINE = [
     "split_leakage_near_dup",
     "countmin_word_freq",
     "funnel_view_click_purchase",
+    # r05 fourth-session additions
+    "chunk_documents_200",
+    "triangle_count_items",
+    "triangle_count_sampled",
+    "hybrid_rrf_search",
+    "dedup_cluster_canonical",
+    "source_kl_divergence",
 ]
 
 

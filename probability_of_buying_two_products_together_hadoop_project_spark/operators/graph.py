@@ -133,7 +133,10 @@ def pagerank(
 
 
 def triangle_stats(
-    pairs: DataFrame, a_col: str = "item", b_col: str = "neighbor"
+    pairs: DataFrame,
+    a_col: str = "item",
+    b_col: str = "neighbor",
+    edge_sample_pct: int | None = None,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     undirected graph induced by pair evidence — the standard
@@ -156,6 +159,24 @@ def triangle_stats(
     proportional to edges + wedges, never nodes^2. All-integer counts;
     the single transitivity division is one exact-input double op (
     correctly rounded identically in both engines).
+
+    ``edge_sample_pct``: on dense graphs the wedge set is the
+    irreducible cost of EXACT counting (measured sf0.1 co-occurrence:
+    20k nodes / 1.2M edges / 41M oriented wedges — orientation already
+    3.6x below the raw 148M). The sampled mode is the 100 TB path:
+    DOULION (Tsourakakis et al., KDD 2009) — keep each edge by a
+    DETERMINISTIC md5 draw, count triangles in the sparsified graph,
+    scale by (100/pct)^3. Sampling EDGES (not wedges) shrinks the
+    self-join itself: wedges drop by (pct/100)^2 and every downstream
+    stage shrinks with them, whereas a wedge-side draw still pays the
+    full wedge enumeration (measured: no win — the closure join
+    broadcasts, so wedges pipeline without shuffling and the draw is
+    pure added CPU). Because the draw is content-hashed, both engines
+    sparsify identically: the estimate is oracle-exact, not
+    bounds-checked. ``pct`` must divide 100 so the inverse-probability
+    scale-up stays integer-exact. Output switches to
+    (n_edges_sampled, n_closed_sampled, est_triangles); n_nodes /
+    n_edges keep describing the FULL graph.
     """
     a, b = F.col(a_col), F.col(b_col)
     canon = (
@@ -163,6 +184,24 @@ def triangle_stats(
         .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
         .distinct()
     )
+    full_edges = canon
+    if edge_sample_pct is not None:
+        if not (1 <= edge_sample_pct <= 100) or 100 % edge_sample_pct != 0:
+            raise ValueError(
+                "edge_sample_pct must be in [1, 100] and divide 100, got "
+                f"{edge_sample_pct}"
+            )
+        draw = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("tri"), "lo", "hi")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        canon = canon.filter(draw < edge_sample_pct)
     deg = (
         canon.select(F.col("lo").alias("node"))
         .unionAll(canon.select(F.col("hi").alias("node")))
@@ -202,21 +241,42 @@ def triangle_stats(
     )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     mm = canon.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        nn.crossJoin(mm)
-        .crossJoin(wcnt)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.when(F.col("n_wedges") == 0, F.lit(0.0))
-            .otherwise(
-                F.lit(3.0)
-                * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double")
-            )
-            .alias("transitivity"),
+    if edge_sample_pct is not None:
+        scale = (100 // edge_sample_pct) ** 3
+        nn_full = (
+            full_edges.select(F.col("lo").alias("node"))
+            .unionAll(full_edges.select(F.col("hi").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
         )
+        mm_full = full_edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        ms = canon.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+        return (
+            nn_full.crossJoin(mm_full)
+            .crossJoin(ms)
+            .crossJoin(tri)
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_edges_sampled",
+                F.col("n_triangles").alias("n_closed_sampled"),
+                # inverse-probability scale-up, integer-exact by construction
+                (F.col("n_triangles") * F.lit(scale))
+                .cast("long")
+                .alias("est_triangles"),
+            )
+        )
+    base = nn.crossJoin(mm).crossJoin(wcnt).crossJoin(tri)
+    return base.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        )
+        .alias("transitivity"),
     )

@@ -5696,9 +5696,12 @@ def q_chunk_documents(spark, sf_dir):
     "triangle_count_items",
     _COOC_CTE
     + """, canon AS (
+      -- counts (not raw pairs): the map-side-combined per-(item, neighbor)
+      -- aggregate is the cheapest distinct-directed-pair relation available,
+      -- so the canonical dedup shuffles edge-count rows, not occurrences
       SELECT DISTINCT least(item, neighbor) AS lo,
                       greatest(item, neighbor) AS hi
-      FROM pairs WHERE item != neighbor
+      FROM counts WHERE item != neighbor
     ), deg AS (
       SELECT node, COUNT(*) AS deg FROM (
         SELECT lo AS node FROM canon
@@ -5738,7 +5741,69 @@ def q_triangle_count(spark, sf_dir):
     from .operators import graph
 
     baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    return graph.triangle_stats(basket.basket_pairs(baskets))
+    # feed the aggregated pair counts, not raw pair occurrences: the
+    # map-side-combined groupBy is the cheapest distinct-directed-pair
+    # relation, so triangle_stats' canonical dedup shuffles edges, not
+    # occurrences (measured 105 MB -> ~30 MB shuffle write at sf0.1)
+    return graph.triangle_stats(basket.cooccurrence_pairs(baskets))
+
+
+@register(
+    "triangle_count_sampled",
+    _COOC_CTE
+    + """, canon_full AS (
+      SELECT DISTINCT least(item, neighbor) AS lo,
+                      greatest(item, neighbor) AS hi
+      FROM counts WHERE item != neighbor
+    ), canon AS (
+      SELECT lo, hi FROM canon_full
+      WHERE CAST(('0x' || substring(
+              md5('tri' || '|' || lo || '|' || hi), 1, 8)) AS BIGINT)
+            % 100 < 20
+    ), deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM canon
+        UNION ALL SELECT hi AS node FROM canon)
+      GROUP BY node
+    ), e AS (
+      SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
+             CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
+             CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
+      FROM canon c JOIN deg dl ON c.lo = dl.node JOIN deg dh ON c.hi = dh.node
+    ), wedge AS (
+      SELECT a.dst AS x, b.dst AS y
+      FROM e a JOIN e b ON a.src = b.src
+       AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+    ), tri AS (
+      SELECT COUNT(*) AS n_closed_sampled FROM wedge w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.x AND e.dst = w.y)
+    ), nn AS (
+      SELECT COUNT(*) AS n_nodes FROM (
+        SELECT lo AS node FROM canon_full
+        UNION SELECT hi AS node FROM canon_full)
+    ), mm AS (SELECT COUNT(*) AS n_edges FROM canon_full
+    ), ms AS (SELECT COUNT(*) AS n_edges_sampled FROM canon)
+    SELECT nn.n_nodes, mm.n_edges, ms.n_edges_sampled,
+           tri.n_closed_sampled,
+           CAST(tri.n_closed_sampled * 125 AS BIGINT) AS est_triangles
+    FROM nn CROSS JOIN mm CROSS JOIN ms CROSS JOIN tri
+    """,
+    "DOULION sampled triangle count (Tsourakakis KDD'09) — the 100 TB "
+    "path when the wedge set (the exact count's irreducible cost; 41M "
+    "at sf0.1 on this dense graph) outgrows the cluster: keep each "
+    "edge by a DETERMINISTIC md5 draw (20%), count triangles in the "
+    "sparsified graph, scale by 5^3. Edge (not wedge) sampling shrinks "
+    "the wedge self-join itself by 25x. Content-hashed sampling means "
+    "both engines sparsify IDENTICALLY, so the estimate is "
+    "oracle-exact, not bounds-checked",
+)
+def q_triangle_count_sampled(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.triangle_stats(
+        basket.cooccurrence_pairs(baskets), edge_sample_pct=20
+    )
 
 
 _RRF_TERMS = _BM25_TERMS
@@ -6163,6 +6228,7 @@ _ROTATION_TAIL = {
     "dedup_cluster_canonical": "r05-local",
     "source_kl_divergence": "r05-local",
     "window_distinct_running_events": "r05-local",
+    "triangle_count_sampled": "r05-local",
 }
 
 

@@ -168,3 +168,35 @@ def test_triangle_hub_star_no_blowup_semantics(spark):
     row = _spark_tri(spark, edges)
     assert row.n_triangles == 0
     assert row.n_wedges == 45
+
+
+def test_triangle_edge_sampled_matches_python_doulion(spark):
+    import hashlib
+
+    rng = random.Random(99)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    edges = sorted({tuple(rng.sample(nodes, 2)) for _ in range(260)})
+    df = spark.createDataFrame(edges, "item string, neighbor string")
+    pct = 50
+    [row] = graph.triangle_stats(df, edge_sample_pct=pct).collect()
+    # python mirror: same md5 draw over canonical edges, brute count after
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def keep(lo, hi):
+        h = hashlib.md5(f"tri|{lo}|{hi}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100 < pct
+
+    sampled = {e for e in und if keep(*e)}
+    n, m, w, t = py_triangles(sampled)
+    n_full, m_full, _, _ = py_triangles(und)
+    assert row.n_nodes == n_full and row.n_edges == m_full
+    assert row.n_edges_sampled == len(sampled)
+    assert row.n_closed_sampled == t
+    assert row.est_triangles == t * (100 // pct) ** 3
+
+
+def test_triangle_edge_sample_pct_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "item string, neighbor string")
+    for bad in (0, 101, 30, 7):
+        with pytest.raises(ValueError):
+            graph.triangle_stats(df, edge_sample_pct=bad)
