@@ -6082,6 +6082,45 @@ def q_window_distinct_running(spark, sf_dir):
     )
 
 
+@register(
+    "window_running_median_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           median(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) AS run_median
+    FROM orders
+    """,
+    "Running EXACT median over a trailing 6-row window — the second "
+    "holistic-aggregate window gap (with running COUNT(DISTINCT)): "
+    "Spark has no median window function, so it is composed as "
+    "element_at(array_sort(collect_list() OVER frame)) with the "
+    "even/odd interpolation inlined; per-row state is the 6-row frame, "
+    "not the partition history. Unique (date, key) ordering; one "
+    "custkey exchange. Oracle states the native median window",
+)
+def q_window_running_median(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return o.select("o_orderkey", "o_custkey", med.alias("run_median"))
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -6229,6 +6268,7 @@ _ROTATION_TAIL = {
     "source_kl_divergence": "r05-local",
     "window_distinct_running_events": "r05-local",
     "triangle_count_sampled": "r05-local",
+    "window_running_median_orders": "r05-local",
 }
 
 

@@ -119,3 +119,43 @@ def test_cluster_canonical_partitions_and_picks_best(spark, sf_smoke):
         best = min(members, key=lambda d: (-quality[d], d))
         assert r.canonical_doc == best
         assert r.quality == quality[best]
+
+
+def test_window_running_median_matches_python(spark, tmp_path):
+    import datetime
+
+    rng = random.Random(21)
+    rows = [
+        (i, rng.randint(0, 15),
+         datetime.date(1995, 1, 1) + datetime.timedelta(days=rng.randint(0, 400)),
+         round(rng.uniform(10, 1000), 2), "O", "p", 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_totalprice double, o_orderstatus string, o_orderpriority string, "
+        "o_shippriority int",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"), mode="overwrite")
+    got = {
+        r.o_orderkey: r.run_median
+        for r in registry.REGISTRY["window_running_median_orders"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    per_cust = {}
+    for k, c, d, p, *_ in rows:
+        per_cust.setdefault(c, []).append((d, k, p))
+    want = {}
+    for c, evs in per_cust.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = sorted(p for _, _, p in evs[max(0, i - 5) : i + 1])
+            n = len(frame)
+            want[evs[i][1]] = (
+                frame[n // 2]
+                if n % 2 == 1
+                else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
+            )
+    assert got == want
