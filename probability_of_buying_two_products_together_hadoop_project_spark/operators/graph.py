@@ -280,3 +280,64 @@ def triangle_stats(
         )
         .alias("transitivity"),
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int,
+    rounds: int = 4,
+    a_col: str = "item",
+    b_col: str = "neighbor",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes of degree < k
+    and take the induced subgraph — the classic "dense cohesive core"
+    extraction (k-core decomposition, one fixed k) used to separate a
+    graph's stable center from its sparse fringe. One row per round:
+    (round, n_nodes_before, n_survivors).
+
+    Fixed iteration count, not run-to-convergence — the PageRank design
+    rule (operators/graph.py module docstring): a bounded unrolled
+    dataflow stays pure ANSI SQL, so the DuckDB oracle replays the
+    IDENTICAL rounds and the driver hash-pins every count. When the
+    peel converges early the remaining rounds are no-ops (dropped = 0),
+    which the output rows make visible.
+
+    Dataflow per round: one endpoint-explode degree agg + two
+    semi-joins to induce the surviving edge set — all keyed on node
+    ids, shuffle ∝ current edges (monotonically shrinking). Isolated
+    nodes leave the graph with their last edge, matching the induced-
+    subgraph semantics. All-integer; deterministic at any k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (1 <= rounds <= 16):
+        raise ValueError(f"rounds must be in [1, 16], got {rounds}")
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        deg = (
+            edges.select(F.col("lo").alias("node"))
+            .unionAll(edges.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        survivors = deg.filter(F.col("deg") >= k).select("node")
+        row = (
+            deg.agg(F.count(F.lit(1)).alias("n_nodes_before"))
+            .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_survivors")))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("n_nodes_before").cast("long"),
+                F.col("n_survivors").cast("long"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+        edges = edges.join(
+            survivors.withColumnRenamed("node", "lo"), "lo", "left_semi"
+        ).join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+    return out

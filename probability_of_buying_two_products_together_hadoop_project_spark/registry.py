@@ -6121,6 +6121,123 @@ def q_window_running_median(spark, sf_dir):
     return o.select("o_orderkey", "o_custkey", med.alias("run_median"))
 
 
+def _kcore_oracle(k: int = 100, rounds: int = 4) -> str:
+    """Unrolled fixed-round k-core peel as chained CTEs over the shared
+    co-occurrence pair CTE — the oracle replays the identical rounds
+    (the PageRank oracle pattern); all-integer, every count hash-pins."""
+    parts = []
+    selects = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round's relations are referenced 2-3 times by
+        # the next; without it DuckDB inlines the chain and the re-planned
+        # tree grows exponentially with rounds (observed OOM at 4 rounds)
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM {prev} UNION ALL SELECT hi AS node FROM {prev})
+      GROUP BY node
+    ), s{r} AS MATERIALIZED (
+      SELECT node FROM d{r} WHERE deg >= {k}
+    ), e{r} AS MATERIALIZED (
+      SELECT lo, hi FROM {prev}
+      WHERE lo IN (SELECT node FROM s{r}) AND hi IN (SELECT node FROM s{r})
+    )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" (SELECT COUNT(*) FROM d{r}) AS n_nodes_before,"
+            f" (SELECT COUNT(*) FROM s{r}) AS n_survivors"
+        )
+        prev = f"e{r}"
+    return (
+        _COOC_CTE
+        + """, e0 AS MATERIALIZED (
+      SELECT DISTINCT least(item, neighbor) AS lo,
+                      greatest(item, neighbor) AS hi
+      FROM counts WHERE item != neighbor
+    ),"""
+        + ",".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "kcore_peel_items",
+    _kcore_oracle(k=80, rounds=4),
+    "Fixed-round k-core peeling (k=80, 4 rounds) of the co-occurrence "
+    "item graph: repeatedly drop degree<k nodes and induce the "
+    "subgraph — the dense-core extraction that separates the catalog's "
+    "cohesive center from its fringe. One (round, nodes_before, "
+    "survivors) row per round; converged rounds show dropped=0. Each "
+    "round = one endpoint degree agg + two semi-joins, shuffle ∝ "
+    "current (shrinking) edges; fixed unrolled rounds keep it pure "
+    "ANSI SQL (the PageRank design rule) so every count hash-pins",
+)
+def q_kcore_peel(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.kcore_peel(basket.cooccurrence_pairs(baskets), k=80, rounds=4)
+
+
+@register(
+    "inverted_index_terms",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(tk) AS t FROM tk)
+      GROUP BY doc_id, t
+    ), agg AS (
+      SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM tf GROUP BY term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+           CAST(total_tf AS BIGINT) AS total_tf, postings
+    FROM agg WHERE df BETWEEN 20 AND 5000
+    """,
+    "Inverted-index construction — the index-build step BM25 retrieval "
+    "reads from: per-term document-frequency, total term-frequency, "
+    "and the sorted posting list (string-joined, the repo's "
+    "representation-independent array convention). Posting lists are "
+    "BOUNDED by the df ceiling (stop-like terms dropped by df — the "
+    "practice that caps hot-key lists at 100 TB); one (doc, term) "
+    "reduce then one term reduce",
+)
+def q_inverted_index(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(text.normalized_tokens("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter((F.col("df") >= 20) & (F.col("df") <= 5000))
+        .select("term", F.col("df").cast("bigint").alias("df"), "total_tf", "postings")
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -6269,6 +6386,8 @@ _ROTATION_TAIL = {
     "window_distinct_running_events": "r05-local",
     "triangle_count_sampled": "r05-local",
     "window_running_median_orders": "r05-local",
+    "kcore_peel_items": "r05-local",
+    "inverted_index_terms": "r05-local",
 }
 
 

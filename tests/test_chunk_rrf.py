@@ -176,3 +176,22 @@ def test_rrf_doc_in_both_lists_beats_single_list_peer(spark):
     by_id = {r.doc_id: r for r in out}
     assert 3 not in by_id
     assert by_id[1].rrf_units > by_id[2].rrf_units
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_terms (registry composition)
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_postings_consistent(spark, sf_oracle):
+    from probability_of_buying_two_products_together_hadoop_project_spark import registry
+
+    rows = registry.REGISTRY["inverted_index_terms"].fn(spark, sf_oracle).collect()
+    assert rows, "index is empty"
+    for r in rows:
+        ids = r.postings.split(",")
+        assert len(ids) == r.df  # one posting per matching doc
+        assert ids == sorted(ids, key=int)  # sorted, no duplicates
+        assert len(set(ids)) == r.df
+        assert r.total_tf >= r.df  # tf >= 1 per posting
+        assert 20 <= r.df <= 5000

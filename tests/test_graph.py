@@ -200,3 +200,62 @@ def test_triangle_edge_sample_pct_validation(spark):
     for bad in (0, 101, 30, 7):
         with pytest.raises(ValueError):
             graph.triangle_stats(df, edge_sample_pct=bad)
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+
+def py_kcore_peel(edges, k, rounds):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    out = []
+    for _ in range(rounds):
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        out.append((len(deg), len(keep)))
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+    return out
+
+
+def test_kcore_matches_python_reference_random(spark):
+    rng = random.Random(31)
+    nodes = [f"u{i:02d}" for i in range(26)]
+    for seed in range(3):
+        rng.seed(seed * 7 + 3)
+        edges = sorted({tuple(rng.sample(nodes, 2)) for _ in range(120)})
+        df = spark.createDataFrame(edges, "item string, neighbor string")
+        got = [
+            (r.round, r.n_nodes_before, r.n_survivors)
+            for r in graph.kcore_peel(df, k=6, rounds=4)
+            .orderBy("round")
+            .collect()
+        ]
+        want = [
+            (i + 1, nb, ns) for i, (nb, ns) in enumerate(py_kcore_peel(edges, 6, 4))
+        ]
+        assert got == want
+
+
+def test_kcore_complete_graph_stable(spark):
+    nodes = [f"c{i}" for i in range(6)]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    df = spark.createDataFrame(edges, "item string, neighbor string")
+    got = [
+        (r.n_nodes_before, r.n_survivors)
+        for r in graph.kcore_peel(df, k=5, rounds=3).orderBy("round").collect()
+    ]
+    assert got == [(6, 6)] * 3  # K6 is its own 5-core: no-op rounds
+
+
+def test_kcore_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "item string, neighbor string")
+    with pytest.raises(ValueError):
+        graph.kcore_peel(df, k=0)
+    with pytest.raises(ValueError):
+        graph.kcore_peel(df, k=2, rounds=0)
+    with pytest.raises(ValueError):
+        graph.kcore_peel(df, k=2, rounds=17)
