@@ -571,3 +571,49 @@ def zorder_key(a: Column, b: Column) -> Column:
         return x
 
     return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, 2006): each row draws priority ``u^(1/w)`` from an
+    md5-derived uniform ``u`` and the top-k priorities are the sample —
+    every row's inclusion probability is proportional to its weight,
+    exactly the draw a source-weighted corpus subset needs when
+    :func:`mix_sources` (deterministic per-source QUOTAS) is too coarse
+    and per-ITEM weights (quality, token count, price) must drive the
+    draw.
+
+    Determinism contract: ``u = (h + 0.5) / 2^32`` from the md5 prefix
+    of the salted key — content-hashed like :func:`hash_sample`, so
+    reruns, retries, and the SQL oracle draw the identical sample. The
+    rank key is ``ln(u)/w`` (monotone in u^(1/w); avoids pow), computed
+    once per row from exact inputs: u is a dyadic rational double, the
+    division is one correctly-rounded op, and both engines' ln agree on
+    these inputs (the BM25-established parity); the final ordering
+    carries the full key tuple as tie-break so top-k is reproducible.
+
+    Scale: narrow projection + a k-row ORDER BY LIMIT (Spark's
+    TakeOrderedAndProject — per-partition heaps, no full sort, no
+    shuffle beyond k rows per partition).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.concat_ws("", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_aes_priority", priority)
+        .orderBy(
+            F.col("_aes_priority").desc(),
+            *[F.col(c) for c in key_cols],
+        )
+        .limit(k)
+    )

@@ -1,6 +1,7 @@
 """Deterministic stratified sampling: reproducible, capped per stratum,
 and engine-independent (md5 order, no RNG)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
@@ -256,3 +257,50 @@ def test_train_val_test_split_determinism_and_coverage(spark):
     assert 0.75 < c["train"] / 2000 < 0.85
     assert 0.07 < c["val"] / 2000 < 0.13
     assert 0.07 < c["test"] / 2000 < 0.13
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    import hashlib
+    import math
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    got = relational.weighted_sample(df, ["k"], "w", k=30, salt="t").collect()
+
+    def prio(key, w):
+        h = int(hashlib.md5(f"t{key}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2**32) / w
+
+    want = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:30]
+    assert [r.k for r in got] == [k for k, _ in want]
+    for r in got:
+        assert abs(r._aes_priority - prio(r.k, r.w)) <= 1e-12 * abs(r._aes_priority)
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    # one heavy item (weight 100) among light ones (weight 1): across many
+    # salt rotations the heavy item must be drawn far more often
+    rows = [(0, 100.0)] + [(i, 1.0) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    hits = 0
+    for s in range(40):
+        got = relational.weighted_sample(df, ["k"], "w", k=10, salt=f"s{s}")
+        hits += any(r.k == 0 for r in got.collect())
+    # P(include heavy) ~ 1 - prod(...) >> uniform 10/200; expect a large
+    # majority of draws to include it (weight 100 vs 199 light items)
+    assert hits >= 25, hits
+
+
+def test_weighted_sample_drops_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "k bigint, w double"
+    )
+    got = relational.weighted_sample(df, ["k"], "w", k=10).collect()
+    assert [r.k for r in got] == [3]
+    with pytest.raises(ValueError):
+        relational.weighted_sample(df, ["k"], "w", k=0)
