@@ -313,10 +313,15 @@ def kcore_peel(
     if not (1 <= rounds <= 16):
         raise ValueError(f"rounds must be in [1, 16], got {rounds}")
     a, b = F.col(a_col), F.col(b_col)
+    # localCheckpoint per round (the pagerank pattern): without it each
+    # round's lazy lineage re-executes the whole upstream pair pipeline —
+    # measured 27 s -> ~5 s at sf0.01 once rounds materialize exactly once
+    # (the same materialization a Pregel superstep performs)
     edges = (
         pairs.filter(a != b)
         .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     out = None
     for r in range(1, rounds + 1):
@@ -326,7 +331,11 @@ def kcore_peel(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        survivors = deg.filter(F.col("deg") >= k).select("node")
+        survivors = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)  # reused 3x: count + two semi-joins
+        )
         row = (
             deg.agg(F.count(F.lit(1)).alias("n_nodes_before"))
             .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_survivors")))
@@ -337,7 +346,11 @@ def kcore_peel(
             )
         )
         out = row if out is None else out.unionAll(row)
-        edges = edges.join(
-            survivors.withColumnRenamed("node", "lo"), "lo", "left_semi"
-        ).join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        edges = (
+            edges.join(
+                survivors.withColumnRenamed("node", "lo"), "lo", "left_semi"
+            )
+            .join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     return out
