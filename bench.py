@@ -83,6 +83,8 @@ HEADLINE = [
     "hybrid_rrf_search",
     "dedup_cluster_canonical",
     "source_kl_divergence",
+    "kcore_peel_items",
+    "inverted_index_terms",
 ]
 
 
