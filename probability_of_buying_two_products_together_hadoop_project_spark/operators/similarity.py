@@ -766,3 +766,60 @@ def nearest_centroid_assign(
         best.groupBy("true_label", F.col("_cand").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4x memory
+    compression step an ANN index applies before sharding (FAISS
+    SQ8-style): ``scale = max|v| / 127``, ``q_i = floor(v_i/scale + 0.5)``
+    (round-half-up in pure binary floating point — no decimal rounding,
+    so there is no engine-divergent tie behavior; the result always
+    lies in [-127, 127] without clamping), plus the reconstruction MSE
+    that quantifies the recall cost.
+
+    Determinism: scale is one exact-input division; each q_i is a
+    correctly-rounded division + floor (bit-equal cross-engine); the
+    quantized codes are emitted as a comma-joined string (the repo's
+    representation-independent array convention) so the oracle
+    hash-pins every code. MSE rounds to 8 decimals (the summation-order
+    guard, same role as the cosine queries' 4dp rounding).
+
+    Scale posture: ZERO exchanges — narrow per-row array expressions;
+    at 100 TB this is a map-only pass writing the quantized shards.
+    Zero vectors are excluded (no scale exists); callers count them via
+    the complement filter.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    d = embeddings.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (maxabs / F.lit(127.0)).alias("scale"),
+        F.size(F.col(vec_col)).alias("_n"),
+    ).filter(F.col("scale") > 0)
+    q = F.transform(
+        F.col("_v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    d = d.withColumn("_q", q)
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_q"),
+            lambda a, b: (a - b.cast("double") * F.col("scale"))
+            * (a - b.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        id_col,
+        "scale",
+        F.array_join(
+            F.transform(F.col("_q"), lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+        F.round(sq_err / F.col("_n").cast("double"), 8).alias("mse"),
+    )

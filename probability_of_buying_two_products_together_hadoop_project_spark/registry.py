@@ -6269,6 +6269,41 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             len(embedding) AS n
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, v, scale, n,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+      FROM d WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+             AS q_csv,
+           round(list_sum(list_transform(list_zip(v, qv),
+               p -> (p[1] - CAST(p[2] AS DOUBLE) * scale)
+                  * (p[1] - CAST(p[2] AS DOUBLE) * scale)))
+             / CAST(n AS DOUBLE), 8) AS mse
+    FROM q
+    """,
+    "Per-vector symmetric int8 scalar quantization (FAISS SQ8-style) — "
+    "the 4x ANN memory-compression step: scale = max|v|/127, "
+    "floor(v/scale + 0.5) codes (pure-binary round-half-up: no "
+    "decimal-tie divergence, always in [-127,127] unclamped), plus "
+    "reconstruction MSE. ZERO exchanges, map-only at 100 TB; every "
+    "code hash-pinned via the comma-joined string",
+)
+def q_embedding_quantize(spark, sf_dir):
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -6420,6 +6455,7 @@ _ROTATION_TAIL = {
     "kcore_peel_items": "r05-local",
     "inverted_index_terms": "r05-local",
     "weighted_sample_orders": "r05-local",
+    "embedding_quantize_int8": "r05-local",
 }
 
 

@@ -406,3 +406,43 @@ def test_nearest_centroid_assign_separable_clusters(spark):
         for r in similarity.nearest_centroid_assign(df).collect()
     }
     assert got == {(0, 0): 12, (1, 1): 12, (2, 2): 12}
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_matches_python_mirror(spark):
+    import math
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(50)
+    ] + [(100, [0.0] * 16, 0)]  # zero vector must be excluded
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    assert 100 not in got
+    # floats round-trip through float32; mirror from the collected values
+    src = {r.vec_id: r.embedding for r in df.collect()}
+    for i, _, _ in rows[:-1]:
+        v = [float(x) for x in src[i]]
+        scale = max(abs(x) for x in v) / 127.0
+        q = [math.floor(x / scale + 0.5) for x in v]
+        assert all(-127 <= c <= 127 for c in q)
+        assert got[i].q_csv == ",".join(str(c) for c in q)
+        assert got[i].scale == scale
+        mse = sum((x - c * scale) ** 2 for x, c in zip(v, q)) / len(v)
+        assert abs(got[i].mse - mse) < 1e-7
+
+
+def test_quantize_int8_reconstruction_bound(spark, sf_oracle):
+    # per-element error bound: |v - q*scale| <= scale/2 => mse <= scale^2/4
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    out = similarity.quantize_int8(emb).collect()
+    assert out
+    for r in out:
+        assert r.mse <= r.scale * r.scale / 4.0 + 1e-12
