@@ -6328,9 +6328,12 @@ def q_embedding_quantize(spark, sf_dir):
     """,
     "Percentile winsorization (feature clipping before training): "
     "clamp each value to its type's [p05, p95] band and report clamp "
-    "counts + the winsorized mean. The percentile table (one row per "
-    "type) broadcasts back onto the scan — the z-score pattern: "
-    "per-type stats shuffle is CONSTANT at any SF; clamped values "
+    "counts + the winsorized mean. The 5-row percentile table "
+    "broadcasts back onto the scan (z-score pattern), but the EXACT "
+    "percentile agg itself shuffles the per-type value multiset "
+    "(holistic — ∝ events, measured 147 KB -> 814 KB on x10; "
+    "inherent); at 100 TB swap in approx_percentile's mergeable KLL "
+    "sketch for constant shuffle at bounded error. Clamped values "
     "round to 6dp and decimal-sum (order-independent mean)",
 )
 def q_winsorize(spark, sf_dir):
