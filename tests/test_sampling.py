@@ -304,3 +304,19 @@ def test_weighted_sample_drops_nonpositive_and_validates(spark):
     assert [r.k for r in got] == [3]
     with pytest.raises(ValueError):
         relational.weighted_sample(df, ["k"], "w", k=0)
+
+
+def test_stratified_split_exact_quotas(spark, sf_oracle):
+    from probability_of_buying_two_products_together_hadoop_project_spark import registry
+
+    rows = registry.REGISTRY["stratified_split_by_source"].fn(
+        spark, sf_oracle
+    ).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, {})[r.split] = r.n_docs
+    assert per_source
+    for source, splits in per_source.items():
+        n = sum(splits.values())
+        assert splits.get("train", 0) == (n * 80) // 100, source
+        assert splits.get("train", 0) + splits.get("val", 0) == (n * 90) // 100
