@@ -259,3 +259,17 @@ def test_kcore_validation(spark):
         graph.kcore_peel(df, k=2, rounds=0)
     with pytest.raises(ValueError):
         graph.kcore_peel(df, k=2, rounds=17)
+
+
+def test_pagerank_broadcast_and_generic_paths_agree(spark):
+    rng = random.Random(77)
+    nodes = [f"p{i}" for i in range(24)]
+    pairs = {tuple(rng.sample(nodes, 2)) for _ in range(90)}
+    edges = sorted(pairs | {(b, a) for a, b in pairs})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r.node: r.rank_units for r in graph.pagerank(df, iters=4).collect()}
+    slow = {
+        r.node: r.rank_units
+        for r in graph.pagerank(df, iters=4, broadcast_ranks=False).collect()
+    }
+    assert fast == slow == py_pagerank(edges, iters=4)
