@@ -366,11 +366,20 @@ def kcore_peel(
             )
         )
         out = row if out is None else out.unionAll(row)
+        # survivors is node-count-sized and checkpointed (stats erased, so
+        # Spark can't see it's broadcast-sized — the pagerank lesson): the
+        # explicit hint keeps both semi-joins edge-shuffle-free
         edges = (
             edges.join(
-                survivors.withColumnRenamed("node", "lo"), "lo", "left_semi"
+                F.broadcast(survivors.withColumnRenamed("node", "lo")),
+                "lo",
+                "left_semi",
             )
-            .join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .join(
+                F.broadcast(survivors.withColumnRenamed("node", "hi")),
+                "hi",
+                "left_semi",
+            )
             .localCheckpoint(eager=True)
         )
     return out
