@@ -143,3 +143,39 @@ def test_scd2_matches_python_reference_randomized(spark):
             nxt = surv[i + 1][0] if i + 1 < len(surv) else None
             want.append((k, v, ts, nxt, i + 1, nxt is None))
     assert got == want
+
+
+def test_pit_join_attaches_state_valid_at_event_time(spark, sf_smoke):
+    """Feature-store temporal correctness: every purchase's attached
+    profile state must be the LAST non-purchase event strictly-or-equal
+    before it (never a later state), NULL before any history exists."""
+    from probability_of_buying_two_products_together_hadoop_project_spark import registry
+
+    ev = registry._t(spark, sf_smoke, "events").collect()
+    got = {
+        r.event_id: (r.profile_state, r.version)
+        for r in registry.REGISTRY["pit_join_purchase_state"].fn(
+            spark, sf_smoke
+        ).collect()
+    }
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_checked = n_null = 0
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        state = None
+        version = 0
+        prev = None
+        for r in rows:
+            if r.event_type == "purchase":
+                want = (state, version if state is not None else None)
+                assert got[r.event_id] == want, (r.event_id, got[r.event_id], want)
+                n_checked += 1
+                n_null += state is None
+            else:
+                if r.event_type != prev:
+                    version += 1
+                    prev = r.event_type
+                state = prev
+    assert n_checked > 0
