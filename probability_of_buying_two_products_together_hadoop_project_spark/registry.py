@@ -6475,6 +6475,95 @@ def q_pit_join(spark, sf_dir):
     ).select(p["event_id"], p["user_id"], p["ts"], "profile_state", "version")
 
 
+@register(
+    "dq_suite_orders",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS n_keys,
+             COUNT(o_orderdate) AS n_date,
+             SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_pos
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT check_name, metric, passed FROM (
+      SELECT 'row_count_nonzero' AS check_name,
+             CAST(m.n AS DOUBLE) AS metric, m.n > 0 AS passed
+      FROM m
+      UNION ALL
+      SELECT 'pk_unique', CAST(m.n_keys AS DOUBLE) / m.n, m.n_keys = m.n FROM m
+      UNION ALL
+      SELECT 'orderdate_complete', CAST(m.n_date AS DOUBLE) / m.n,
+             m.n_date = m.n FROM m
+      UNION ALL
+      SELECT 'totalprice_positive', CAST(m.n_pos AS DOUBLE) / m.n,
+             m.n_pos = m.n FROM m
+      UNION ALL
+      SELECT 'fk_custkey_integrity', CAST(fk.n_orphans AS DOUBLE),
+             fk.n_orphans = 0 FROM fk
+    )
+    """,
+    "Deequ-style data-quality assertion suite in TWO reduces: one scan "
+    "computes row count / pk uniqueness / completeness / value-range "
+    "metrics as a single aggregate row, one anti-join counts FK "
+    "orphans (customer side broadcast); checks unpivot to (check, "
+    "metric, passed) rows — the validation gate a pipeline runs before "
+    "training data ships. All ratios are exact-integer divisions",
+)
+def q_dq_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.count("o_orderdate").alias("n_date"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("n_pos"),
+    )
+    fk = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    nd = F.col("n").cast("double")
+    checks = m.crossJoin(fk).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count_nonzero").alias("check_name"),
+                    F.col("n").cast("double").alias("metric"),
+                    (F.col("n") > 0).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("pk_unique").alias("check_name"),
+                    (F.col("n_keys").cast("double") / nd).alias("metric"),
+                    (F.col("n_keys") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orderdate_complete").alias("check_name"),
+                    (F.col("n_date").cast("double") / nd).alias("metric"),
+                    (F.col("n_date") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("totalprice_positive").alias("check_name"),
+                    (F.col("n_pos").cast("double") / nd).alias("metric"),
+                    (F.col("n_pos") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("fk_custkey_integrity").alias("check_name"),
+                    F.col("n_orphans").cast("double").alias("metric"),
+                    (F.col("n_orphans") == 0).alias("passed"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select("c.check_name", "c.metric", "c.passed")
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -6630,6 +6719,7 @@ _ROTATION_TAIL = {
     "winsorize_values_events": "r05-local",
     "stratified_split_by_source": "r05-local",
     "pit_join_purchase_state": "r05-local",
+    "dq_suite_orders": "r05-local",
 }
 
 
