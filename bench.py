@@ -85,6 +85,8 @@ HEADLINE = [
     "source_kl_divergence",
     "kcore_peel_items",
     "inverted_index_terms",
+    "pit_join_purchase_state",
+    "dq_suite_orders",
 ]
 
 
