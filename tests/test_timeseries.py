@@ -78,3 +78,46 @@ def test_reaggregate_equals_direct(spark, sf_oracle):
 def test_bad_unit_raises(toy):
     with pytest.raises(ValueError):
         timeseries.resample_gapfill(toy, "series_key", "ts", "value", unit="fortnight")
+
+
+def test_dau_wau_matches_python(spark, tmp_path):
+    import datetime
+    import random
+
+    from probability_of_buying_two_products_together_hadoop_project_spark import registry
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, rng.randint(0, 30),
+         int((base + datetime.timedelta(days=rng.randint(0, 20),
+                                        seconds=rng.randint(0, 86399))
+              ).timestamp() * 1_000_000),
+         "view", 0.0, "{}")
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, tsu bigint, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.timestamp_micros(F.col("tsu")).alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"), mode="overwrite")
+    got = {
+        r.day.date(): (r.dau, r.wau)
+        for r in registry.REGISTRY["dau_wau_events"].fn(spark, str(tmp_path)).collect()
+    }
+    active = {}
+    for _, uid, tsu, *_ in rows:
+        d = datetime.datetime.fromtimestamp(tsu / 1_000_000).date()
+        active.setdefault(d, set()).add(uid)
+    want = {}
+    for d, users in active.items():
+        wau = set()
+        for off in range(7):
+            wau |= active.get(d - datetime.timedelta(days=off), set())
+        want[d] = (len(users), len(wau))
+    assert got == want
