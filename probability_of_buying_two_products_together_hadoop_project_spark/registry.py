@@ -6664,6 +6664,130 @@ def q_dau_wau(spark, sf_dir):
     return dau.join(wau, "day").select("day", "dau", "wau")
 
 
+@register(
+    "nb_lang_confusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, word, COUNT(*) AS n_wd FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                 x -> x != '')) AS word
+        FROM documents)
+      GROUP BY doc_id, lang, word
+    ), classes AS (
+      SELECT lang AS cls, COUNT(DISTINCT doc_id) AS n_c FROM tok GROUP BY lang
+    ), nn AS (
+      SELECT SUM(n_c) AS n_docs FROM classes
+    ), vv AS (
+      SELECT COUNT(DISTINCT word) AS v FROM tok
+    ), cwc AS (
+      SELECT word, lang AS cls, SUM(n_wd) AS c_wc FROM tok GROUP BY word, lang
+    ), tc AS (
+      SELECT cls, SUM(c_wc) AS t_c FROM cwc GROUP BY cls
+    ), grid AS (
+      SELECT w.word, c.cls,
+             CAST(round(ln((COALESCE(cwc.c_wc, 0) + 1.0)
+                           / (tc.t_c + vv.v)), 6) AS DECIMAL(18,6)) AS lp
+      FROM (SELECT DISTINCT word FROM tok) w
+      CROSS JOIN classes c
+      JOIN tc ON tc.cls = c.cls
+      CROSS JOIN vv
+      LEFT JOIN cwc ON cwc.word = w.word AND cwc.cls = c.cls
+    ), prior AS (
+      SELECT cls, CAST(round(ln(CAST(n_c AS DOUBLE) / nn.n_docs), 6)
+                       AS DECIMAL(18,6)) AS lprior
+      FROM classes CROSS JOIN nn
+    ), score AS (
+      SELECT t.doc_id, t.lang, g.cls,
+             SUM(t.n_wd * g.lp) + ANY_VALUE(p.lprior) AS s
+      FROM tok t JOIN grid g ON g.word = t.word
+      JOIN prior p ON p.cls = g.cls
+      GROUP BY t.doc_id, t.lang, g.cls
+    ), pred AS (
+      SELECT doc_id, lang,
+             first(cls ORDER BY s DESC, cls) AS pred_lang
+      FROM score GROUP BY doc_id, lang
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+    """,
+    "Multinomial Naive Bayes language classifier trained on the corpus "
+    "itself (add-one smoothing), scored in EXACT decimal log-space: "
+    "per-(word, class) log-probs round to 6dp decimals, per-doc scores "
+    "are exact decimal dot products (count x logprob), so the argmax "
+    "is engine-deterministic — the bigram-LM determinism pattern "
+    "generalized to supervised classification. Model size = V x k "
+    "(the grid), shuffle ∝ distinct (doc, word) x k, never corpus x "
+    "corpus; confusion matrix output",
+)
+def q_nb_lang_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(text.normalized_tokens("text")).alias("word"),
+        )
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_wd"))
+    )
+    classes = tok.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("n_c")
+    )
+    nn = classes.agg(F.sum("n_c").alias("n_docs"))
+    vv = tok.agg(F.countDistinct("word").alias("v"))
+    cwc = tok.groupBy("word", F.col("lang").alias("cls")).agg(
+        F.sum("n_wd").alias("c_wc")
+    )
+    tc = cwc.groupBy("cls").agg(F.sum("c_wc").alias("t_c"))
+    words = tok.select("word").distinct()
+    grid = (
+        words.crossJoin(F.broadcast(classes.select("cls")))
+        .join(F.broadcast(tc), "cls")
+        .crossJoin(F.broadcast(vv))
+        .join(cwc, ["word", "cls"], "left")
+        .select(
+            "word",
+            "cls",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_wc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_c") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    prior = classes.crossJoin(F.broadcast(nn)).select(
+        "cls",
+        F.round(
+            F.log(F.col("n_c").cast("double") / F.col("n_docs").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lprior"),
+    )
+    score = (
+        tok.join(grid, "word")
+        .join(F.broadcast(prior), "cls")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(
+            (F.sum(F.col("n_wd") * F.col("lp")) + F.any_value("lprior")).alias("s")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cls"))
+    pred = (
+        score.select("doc_id", "lang", "cls", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select("lang", F.col("cls").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -6822,6 +6946,7 @@ _ROTATION_TAIL = {
     "dq_suite_orders": "r05-local",
     "event_paths_top3grams": "r05-local",
     "dau_wau_events": "r05-local",
+    "nb_lang_confusion": "r05-local",
 }
 
 

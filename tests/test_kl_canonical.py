@@ -159,3 +159,25 @@ def test_window_running_median_matches_python(spark, tmp_path):
                 else (frame[n // 2 - 1] + frame[n // 2]) / 2.0
             )
     assert got == want
+
+
+def test_nb_confusion_separable_corpus_is_diagonal(spark, tmp_path):
+    rng = random.Random(4)
+    vocab = {"aa": ["red", "crimson", "scarlet"],
+             "bb": ["blue", "azure", "navy"],
+             "cc": ["green", "lime", "olive"]}
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for _ in range(30):
+            rows.append(
+                (i, " ".join(rng.choice(words) for _ in range(12)), lang, "s", 0)
+            )
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"), mode="overwrite")
+    out = registry.REGISTRY["nb_lang_confusion"].fn(spark, str(tmp_path)).collect()
+    conf = {(r.lang, r.pred_lang): r.n_docs for r in out}
+    assert conf == {("aa", "aa"): 30, ("bb", "bb"): 30, ("cc", "cc"): 30}
