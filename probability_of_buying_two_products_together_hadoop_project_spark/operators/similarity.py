@@ -823,3 +823,119 @@ def quantize_int8(
         ).alias("q_csv"),
         F.round(sq_err / F.col("_n").cast("double"), 8).alias("mse"),
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+    seed_tag: str = "km",
+) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm) with a fixed iteration
+    count, deterministic seeding, and FIXED-POINT arithmetic end to end
+    — the clustering primitive behind IVF list training, corpus
+    bucketing, and semantic-diversity sampling, here as a pure dataflow
+    loop an external engine can replay bit-for-bit.
+
+    Determinism (the PageRank lesson applied to Lloyd's):
+
+    - components quantize once to ``floor(v * unit)`` bigints (exact in
+      every engine: float->double widening and one IEEE multiply);
+    - every distance is an INTEGER — sum of squared quantized diffs —
+      so assignment argmins are order-independent; ties break on the
+      smaller centroid id;
+    - centroid updates are integer truncating division (``sum div n``,
+      identical in Spark and DuckDB for negative sums too — both
+      truncate toward zero); empty clusters keep their previous
+      position with ``n_members = 0``;
+    - seeds are the ``k`` vectors with the smallest
+      ``md5(seed_tag || '|' || id)`` — the repo's coordination-free
+      deterministic draw, reproducible by the oracle.
+
+    Scale shape: the point table explodes once to (id, pos, qv) rows
+    and is checkpointed (at 100 TB: persisted); each round is [join
+    with the BROADCAST (k x dim) centroid table -> per-(point,
+    candidate) integer sum -> argmin window -> one hash agg for the
+    update]. Shuffled bytes per round are the per-pair partial sums
+    (∝ points x k, 16-byte rows) and the update partials (∝ k x dim x
+    partitions) — never the raw vectors. Centroid state is k x dim
+    rows, checkpointed per round (the k-core lineage lesson).
+
+    Overflow bound: requires unit^2 * dim * max(v)^2 < 2^63 — with the
+    1e6 default and unit-scale embeddings, safe to ~8000 dims.
+
+    Returns the LONG-form centroid table after ``iters`` rounds:
+    (cid, pos, centroid_units, centroid, n_members), n_members from the
+    final assignment.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"kmeans_lloyd: k and iters must be >= 1 ({k=}, {iters=})")
+    pts = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select(
+        "_id",
+        "pos",
+        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("qv"),
+    ).localCheckpoint(eager=True)
+    draw = F.md5(
+        F.concat(F.lit(seed_tag + "|"), F.col(id_col).cast("string"))
+    )
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), draw.alias("_draw"))
+        .orderBy("_draw")
+        .limit(k)
+        .select(
+            "_id",
+            (F.row_number().over(Window.orderBy("_draw")) - 1)
+            .cast("long")
+            .alias("cid"),
+        )
+    )
+    centroids = (
+        pts.join(seeds, "_id")
+        .select("cid", "pos", F.col("qv").alias("qc"), F.lit(0).cast("long").alias("n_members"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    for _ in range(iters):
+        diff = F.col("qv") - F.col("qc")
+        d = (
+            pts.join(F.broadcast(centroids.select("cid", "pos", "qc")), "pos")
+            .select("_id", "cid", (diff * diff).alias("_t"))
+            .groupBy("_id", "cid")
+            .agg(F.sum("_t").alias("_d2"))
+        )
+        assign = (
+            d.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "cid")
+        )
+        upd = (
+            pts.join(assign, "_id")
+            .groupBy("cid", "pos")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("qv").alias("_s"))
+            .select("cid", "pos", F.expr("_s div _n").alias("_qc_new"), "_n")
+        )
+        centroids = (
+            centroids.join(upd, ["cid", "pos"], "left")
+            .select(
+                "cid",
+                "pos",
+                F.coalesce("_qc_new", "qc").alias("qc"),
+                F.coalesce("_n", F.lit(0)).cast("long").alias("n_members"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids.select(
+        "cid",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("qc").cast("long").alias("centroid_units"),
+        (F.col("qc").cast("double") / F.lit(float(unit))).alias("centroid"),
+        "n_members",
+    )

@@ -1243,3 +1243,154 @@ def hybrid_rrf_topk(
         .orderBy(F.col("rrf_units").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _bpe_rounds(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    end_mark: str = "</w>",
+) -> tuple[DataFrame, DataFrame]:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) as a
+    sequential dataflow loop — the tokenizer-training step of an LLM
+    data pipeline, here over word characters with a ``</w>`` end-of-word
+    symbol.
+
+    Structure (and why it scales): the ONLY corpus-sized pass is the
+    initial word-frequency aggregation — one shuffle of (word, count)
+    partials.  Every merge round then runs over the DISTINCT-word table
+    (vocabulary-sized, millions of rows at 100 TB, not trillions):
+    adjacent-pair counts weighted by word frequency (explode + hash
+    agg), a global argmax (count desc, then lexicographic pair — the
+    deterministic tie-break), and a symbol-sequence rewrite via the
+    broadcast 1-row winner.  State is checkpointed per round (the
+    k-core lesson: lazy lineage re-executes the chain O(rounds^2)
+    otherwise).  No driver-side data loop: the winner joins back in as
+    a broadcast, exactly like PageRank's teleport term.
+
+    MERGE CONTRACT (engine-portable, shared with the DuckDB oracle):
+    the winning pair is applied with a space-padded two-pass literal
+    ``replace`` — ``trim(replace(replace(' '||seq||' ', ' a b ',
+    ' ab '), ...))``.  Standard left-to-right scan-resume-after-match
+    replace semantics are identical in every engine; one pass can skip
+    an occurrence whose leading space was consumed by the previous
+    match, and a second pass provably catches every survivor (matches
+    in pass two are separated by already-merged tokens, so they cannot
+    overlap).  For a self-overlapping pair inside an odd run of one
+    repeated symbol (``a a a a a``) this contract merges scan-order
+    occurrences (positions 1-2 and 4-5), where canonical greedy BPE
+    merges 1-2 and 3-4 — a documented, deterministic deviation applied
+    identically on both engines.  Token counts per pair use standard
+    BPE position counting (every adjacent position, overlaps included).
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe: n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(normalized_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqs = words.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" " + end_mark),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges: DataFrame | None = None
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            seqs.select("cnt", F.split("seq", " ").alias("_sy"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_sy"), 1, F.size("_sy") - 1),
+                        F.slice(F.col("_sy"), 2, F.size("_sy") - 1),
+                        lambda x, y: F.concat(x, F.lit(" "), y),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("pair_cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.split("pair", " ")[0].alias("left_sym"),
+                F.split("pair", " ")[1].alias("right_sym"),
+                F.col("pair_cnt").cast("long").alias("cnt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if best.isEmpty():
+            # every word fully merged to one symbol: nothing left to learn
+            break
+        merges = best if merges is None else merges.unionByName(best)
+        winner = F.broadcast(
+            best.select(
+                F.concat(
+                    F.lit(" "), "left_sym", F.lit(" "), "right_sym", F.lit(" ")
+                ).alias("_patt"),
+                F.concat(F.lit(" "), "left_sym", "right_sym", F.lit(" ")).alias(
+                    "_repl"
+                ),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(winner)
+            .select(
+                "word",
+                "cnt",
+                F.trim(
+                    F.expr(
+                        "replace(replace(concat(' ', seq, ' '), _patt, _repl),"
+                        " _patt, _repl)"
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if merges is None:
+        merges = spark.createDataFrame(
+            [], "round int, left_sym string, right_sym string, cnt long"
+        )
+    return merges, seqs
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """The learned BPE merge table: (round, left_sym, right_sym, merged,
+    cnt) — one row per merge round in learning order.  See
+    :func:`_bpe_rounds` for the dataflow and the engine-portable merge
+    contract."""
+    merges, _ = _bpe_rounds(docs, n_merges, text_col)
+    return merges.select(
+        "round",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "cnt",
+    )
+
+
+def bpe_encode_words(
+    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+) -> DataFrame:
+    """The vocabulary after ``n_merges`` learned merges: every distinct
+    corpus word with its frequency, its merged symbol sequence
+    (space-joined), and its symbol count — the encode side of BPE
+    (applying the merge table in learning order reproduces exactly this
+    segmentation for any word built from corpus characters)."""
+    _, seqs = _bpe_rounds(docs, n_merges, text_col)
+    return seqs.select(
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        "seq",
+        F.size(F.split("seq", " ")).cast("long").alias("n_symbols"),
+    )

@@ -6866,6 +6866,166 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def _bpe_oracle(n_merges: int, final_vocab: bool = False) -> str:
+    """Unrolled BPE merge learning as chained MATERIALIZED CTEs — the
+    oracle runs the IDENTICAL rounds the engine's dataflow loop runs
+    (operators/text.py:_bpe_rounds): weighted adjacent-pair counts over
+    the distinct-word table, argmax with the (count desc, pair asc)
+    tie-break, and the space-padded two-pass literal-replace merge
+    contract (left-to-right scan-resume semantics are identical in
+    DuckDB and Spark, so every symbol sequence matches by construction).
+    MATERIALIZED is load-bearing: DuckDB otherwise inlines the chained
+    CTEs exponentially (the k-core lesson)."""
+    steps = []
+    prev = "s0"
+    for r in range(1, n_merges + 1):
+        steps.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT pair, SUM(cnt) AS pair_cnt FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(sy)),
+                 i -> sy[i] || ' ' || sy[i+1])) AS pair
+        FROM (SELECT cnt, string_split(seq, ' ') AS sy FROM {prev})
+      ) GROUP BY pair
+    ), b{r} AS MATERIALIZED (
+      SELECT {r} AS round, split_part(pair, ' ', 1) AS left_sym,
+             split_part(pair, ' ', 2) AS right_sym,
+             CAST(pair_cnt AS BIGINT) AS cnt,
+             ' ' || pair || ' ' AS patt,
+             ' ' || replace(pair, ' ', '') || ' ' AS repl
+      FROM p{r} ORDER BY pair_cnt DESC, pair ASC LIMIT 1
+    ), s{r} AS MATERIALIZED (
+      SELECT word, s.cnt, trim(replace(replace(' ' || seq || ' ',
+               b.patt, b.repl), b.patt, b.repl)) AS seq
+      FROM {prev} s CROSS JOIN b{r} b
+    )""")
+        prev = f"s{r}"
+    if final_vocab:
+        tail = f"""
+    SELECT word, CAST(cnt AS BIGINT) AS cnt, seq,
+           CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_symbols
+    FROM {prev}"""
+    else:
+        tail = " UNION ALL ".join(
+            f"""
+    SELECT round, left_sym, right_sym, left_sym || right_sym AS merged, cnt
+    FROM b{r}"""
+            for r in range(1, n_merges + 1)
+        )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+          x -> x != '')) AS word FROM documents)
+      GROUP BY word
+    ), s0 AS MATERIALIZED (
+      SELECT word, cnt,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' </w>' AS seq
+      FROM w
+    ),{",".join(steps)}
+    {tail}
+    """
+
+
+@register(
+    "bpe_learn_merges",
+    _bpe_oracle(12),
+    "BPE tokenizer merge learning (Sennrich 2016), 12 rounds: the "
+    "learned merge table (round, left, right, merged, weighted pair "
+    "count). The only corpus-sized pass is the initial word-count "
+    "aggregation; every round then runs over the DISTINCT-word table "
+    "(vocabulary-sized at 100 TB) — pair explode + hash agg, global "
+    "argmax with a lexicographic tie-break, broadcast 1-row winner "
+    "rewriting the symbol sequences via the engine-portable padded "
+    "two-pass replace contract; per-round state is checkpointed (the "
+    "k-core lineage lesson)",
+)
+def q_bpe_learn(spark, sf_dir):
+    return text.bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=12)
+
+
+@register(
+    "bpe_encode_vocab",
+    _bpe_oracle(12, final_vocab=True),
+    "The encode side of BPE: every distinct corpus word with its "
+    "frequency, its symbol sequence after the 12 learned merges, and "
+    "its symbol count — the segmentation the merge table reproduces on "
+    "any input text (vocabulary-sized output; the corpus appears only "
+    "through the initial word-count pass)",
+)
+def q_bpe_encode(spark, sf_dir):
+    return text.bpe_encode_words(_t(spark, sf_dir, "documents"), n_merges=12)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, unit: int = 10**6) -> str:
+    """Unrolled fixed-point Lloyd's k-means as chained MATERIALIZED
+    CTEs — the IDENTICAL rounds of operators/similarity.py:kmeans_lloyd
+    (integer distances, trunc-division updates, md5 seed draw), so every
+    centroid unit matches bit-for-bit."""
+    steps = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        steps.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM (SELECT p.vec_id, c.cid,
+                     SUM((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+              FROM pts p JOIN {prev} c USING (pos)
+              GROUP BY p.vec_id, c.cid))
+      WHERE rk = 1
+    ), u{r} AS MATERIALIZED (
+      SELECT a.cid, p.pos, SUM(p.qv) // COUNT(*) AS qc_new,
+             COUNT(*) AS n
+      FROM a{r} a JOIN pts p USING (vec_id) GROUP BY a.cid, p.pos
+    ), c{r} AS MATERIALIZED (
+      SELECT c.cid, c.pos, COALESCE(u.qc_new, c.qc) AS qc,
+             CAST(COALESCE(u.n, 0) AS BIGINT) AS n_members
+      FROM {prev} c LEFT JOIN u{r} u ON u.cid = c.cid AND u.pos = c.pos
+    )""")
+        prev = f"c{r}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {unit}.0) AS BIGINT)))
+               AS qv
+      FROM embeddings
+    ), seeds AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY draw) - 1 AS cid FROM (
+        SELECT vec_id, md5('km|' || CAST(vec_id AS VARCHAR)) AS draw
+        FROM embeddings ORDER BY draw LIMIT {k})
+    ), c0 AS MATERIALIZED (
+      SELECT s.cid, p.pos, p.qv AS qc, CAST(0 AS BIGINT) AS n_members
+      FROM seeds s JOIN pts p USING (vec_id)
+    ),{",".join(steps)}
+    SELECT cid, CAST(pos AS BIGINT) AS pos,
+           CAST(qc AS BIGINT) AS centroid_units,
+           CAST(qc AS DOUBLE) / {unit}.0 AS centroid, n_members
+    FROM {prev}
+    """
+
+
+@register(
+    "kmeans_embeddings",
+    _kmeans_oracle(k=8, iters=3),
+    "Distributed k-means (3 Lloyd rounds, k=8) over the embedding "
+    "corpus in fixed-point integer arithmetic — quantized components, "
+    "integer squared-L2 distances (order-independent argmins, ties to "
+    "the smaller cid), trunc-division centroid updates, md5-draw "
+    "seeding the oracle reproduces. Per round: broadcast (k x dim) "
+    "centroids onto the exploded point table, per-pair integer sums, "
+    "argmin window, one update agg — shuffle ∝ points x k partial "
+    "sums, never raw vectors; state checkpointed per round (the "
+    "k-core lineage lesson)",
+)
+def q_kmeans(spark, sf_dir):
+    return similarity.kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -7026,6 +7186,9 @@ _ROTATION_TAIL = {
     "dau_wau_events": "r05-local",
     "nb_lang_confusion": "r05-local",
     "snapshot_diff_orders": "r05-local",
+    "bpe_learn_merges": "r05-local",
+    "bpe_encode_vocab": "r05-local",
+    "kmeans_embeddings": "r05-local",
 }
 
 
