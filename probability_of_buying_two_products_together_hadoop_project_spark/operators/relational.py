@@ -617,3 +617,75 @@ def weighted_sample(
         )
         .limit(k)
     )
+
+
+def bloom_semi_prefilter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str | None = None,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Runtime-filter-style join pruning: cut the big (fact) side of a
+    shuffle join down BEFORE the exchange, using a bloom filter built
+    from the (filtered) key side — the manual, cross-format counterpart
+    of Spark's `spark.sql.optimizer.runtime.bloomFilter` injection, and
+    the classic semi-join reduction of distributed query processing.
+
+    The filter is a DataFrame AGGREGATION, not a driver-side bitmap
+    (the `ngram_decontaminate_bloom` construction generalized to any
+    join key): each distinct key sets ``k_hashes`` bits at positions
+    ``pmod(xxhash64(seed_i, key), m_bits)``, folded into 64-bit words
+    by ``bit_or`` — an (word_idx, bits) table of ``m_bits/64`` rows
+    (128 KiB of longs at the 2^20 default) that broadcasts at ANY key
+    count. Fact rows explode into their k probes, join the broadcast
+    words, and survive iff every probed bit is set.
+
+    Returns a SUPERSET of the matching fact rows (false positives at
+    rate (1 - e^{-kn/m})^k; size m to the key count n), with row
+    multiplicity EXACTLY preserved: the k probes apply as a chain of k
+    broadcast hash joins + bit tests — all pipelined over the fact
+    scan, ZERO exchanges on the fact side. The caller's exact join then
+    discards the fps, so join RESULTS are identical — only its exchange
+    shrinks: the fact side shuffles ∝ (true matches + fp fraction)
+    instead of ∝ fact size. Worth it exactly when the key side is too
+    big to broadcast as raw keys (else Spark's planner already avoids
+    shuffling the fact) yet much smaller than the fact.
+    """
+    if k_hashes < 1:
+        raise ValueError("bloom_semi_prefilter: k_hashes must be >= 1")
+    if m_bits < 64:
+        raise ValueError("bloom_semi_prefilter: m_bits must be >= 64")
+    keys_key = keys_key or fact_key
+    distinct_keys = keys.select(F.col(keys_key).alias("_k")).distinct()
+
+    def position(key: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
+
+    bloom = (
+        distinct_keys.select(
+            F.explode(
+                F.array(*[position(F.col("_k"), i) for i in range(k_hashes)])
+            ).alias("_p")
+        )
+        .select(
+            F.expr("_p div 64").alias("_word_idx"),
+            F.expr("shiftleft(1L, CAST(_p % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("_word_idx")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .localCheckpoint(eager=True)  # build once, probe k times
+    )
+    out = fact
+    for i in range(k_hashes):
+        p = position(F.col(fact_key), i)
+        out = (
+            out.withColumn("_p", p)
+            .withColumn("_word_idx", F.expr("_p div 64"))
+            .withColumn("_m", F.expr("shiftleft(1L, CAST(_p % 64 AS INT))"))
+            .join(F.broadcast(bloom), "_word_idx")
+            .filter(F.col("_bits").bitwiseAND(F.col("_m")) == F.col("_m"))
+            .drop("_p", "_word_idx", "_m", "_bits")
+        )
+    return out

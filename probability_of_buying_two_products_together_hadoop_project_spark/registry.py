@@ -7026,6 +7026,54 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "join_bloom_prefiltered_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY o_orderpriority
+    """,
+    "Semi-join reduction via a DataFrame-aggregated bloom filter "
+    "(relational.bloom_semi_prefilter): the lineitem side is cut to "
+    "probable matches of the filtered orders keys BEFORE the join "
+    "exchange — k broadcast word-table probes pipelined over the scan, "
+    "zero added shuffles, row multiplicity preserved exactly; the "
+    "exact join then discards bloom false positives, so the oracle is "
+    "the PLAIN join (the salted-join evidence pattern: layout changes, "
+    "result cannot). The manual cross-format counterpart of Spark's "
+    "runtime bloom-filter injection, for key sides too big to "
+    "broadcast raw",
+)
+def q_join_bloom(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    pruned = relational.bloom_semi_prefilter(
+        li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 18, k_hashes=5
+    )
+    return pruned.join(orders, pruned.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -7189,6 +7237,7 @@ _ROTATION_TAIL = {
     "bpe_learn_merges": "r05-local",
     "bpe_encode_vocab": "r05-local",
     "kmeans_embeddings": "r05-local",
+    "join_bloom_prefiltered_revenue": "r05-local",
 }
 
 
