@@ -689,3 +689,61 @@ def bloom_semi_prefilter(
             .drop("_p", "_word_idx", "_m", "_bits")
         )
     return out
+
+
+def agg_state(
+    df: DataFrame, keys: Sequence[str], measure_col: str, scale: int = 4
+) -> DataFrame:
+    """Per-key mergeable aggregate state — (keys..., n_rows,
+    sum_dec) with the sum held as an EXACT decimal(18, scale), the
+    repo's order-independent sum contract.  This is the persisted form
+    of a maintained aggregate (materialized view): counts and decimal
+    sums are abelian-group measures, so deltas apply by addition and
+    deletions by signed subtraction with NO drift — which a double sum
+    cannot promise (float subtraction does not exactly undo addition).
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(measure_col).cast(f"decimal(18,{scale})")).alias("sum_dec"),
+    )
+
+
+def apply_agg_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    measure_col: str,
+    sign_col: str = "_sign",
+    scale: int = 4,
+) -> DataFrame:
+    """Incremental view maintenance: apply a CDC delta (rows tagged
+    ``sign_col`` = +1 insert / -1 delete) to a persisted
+    :func:`agg_state` WITHOUT touching base rows — work per delivery is
+    ∝ delta (one delta-sized partial aggregation) + state-sized merge,
+    never a base-table rescan.  Keys whose count reaches zero drop out,
+    so the maintained view equals the direct aggregate over the patched
+    base relation bit-for-bit (decimal sums subtract exactly; the
+    registry oracle states exactly that full recompute).
+
+    Scale: the delta partial and the state merge share the key
+    partitioning — at 100 TB, bucket the persisted state by key and the
+    merge is a co-located one-exchange upsert (the streaming upsert
+    sink's layout).
+    """
+    sgn = F.col(sign_col)
+    partial = delta.groupBy(*keys).agg(
+        F.sum(sgn).cast("long").alias("n_rows"),
+        F.sum(
+            sgn.cast(f"decimal(18,{scale})")
+            * F.col(measure_col).cast(f"decimal(18,{scale})")
+        ).cast(f"decimal(18,{scale})").alias("sum_dec"),
+    )
+    return (
+        state.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_dec").cast(f"decimal(18,{scale})").alias("sum_dec"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
