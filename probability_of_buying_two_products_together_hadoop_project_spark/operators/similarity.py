@@ -939,3 +939,205 @@ def kmeans_lloyd(
         (F.col("qc").cast("double") / F.lit(float(unit))).alias("centroid"),
         "n_members",
     )
+
+
+def _pq_points(
+    embeddings: DataFrame,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    unit: int,
+) -> DataFrame:
+    """Quantized long-form points with their subspace id: (_id, s, pos,
+    qv) — the shared input of PQ training, encoding, and the ADC LUT."""
+    return embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select(
+        "_id",
+        F.expr(f"pos div {sub_dim}").alias("s"),
+        "pos",
+        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("qv"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    dim: int = 64,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+    seed_tag: str = "pq",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training (Jégou et al. 2011): split each
+    vector into ``m_sub`` subvectors and learn a ``k_codes``-word
+    codebook per subspace with Lloyd rounds — HERE AS ONE COMBINED
+    DATAFLOW LOOP, not m_sub separate k-means runs: the centroid key is
+    (subspace, code), points join the broadcast codebook on the
+    component position (each centroid row exists only inside its
+    subspace, so positions align automatically), argmins partition by
+    (point, subspace), and updates aggregate by (subspace, code,
+    position). One pass over the data per round trains ALL subspace
+    codebooks simultaneously — m_sub × fewer rounds than the naive
+    composition, the same trick that makes PQ trainable in one job at
+    100 TB.
+
+    All arithmetic follows the :func:`kmeans_lloyd` fixed-point
+    contract (floor-quantized components, integer squared distances,
+    smaller-code tie-break, trunc-division updates, per-subspace md5
+    seed draws), so the DuckDB oracle replays training bit-for-bit.
+
+    Returns (codebook, codes): codebook = (s, code, pos, qc) — m_sub ×
+    k_codes × sub_dim rows; codes = the dataset encoded against the
+    FINAL codebook, (s-keyed) — (_id, s, code), m_sub integers per
+    vector: the 64-dim float vector compresses to m_sub bytes + ids.
+    """
+    if dim % m_sub != 0:
+        raise ValueError(f"pq_train: dim={dim} not divisible by m_sub={m_sub}")
+    if k_codes < 1 or iters < 1:
+        raise ValueError("pq_train: k_codes and iters must be >= 1")
+    sub_dim = dim // m_sub
+    pts = _pq_points(embeddings, sub_dim, id_col, vec_col, unit).localCheckpoint(
+        eager=True
+    )
+    subs = F.explode(F.array(*[F.lit(i) for i in range(m_sub)])).alias("s")
+    ids = embeddings.select(F.col(id_col).alias("_id")).select("_id", subs)
+    sw = Window.partitionBy("s").orderBy("_draw", "_id")
+    seeds = (
+        ids.select(
+            "_id",
+            "s",
+            F.md5(
+                F.concat_ws("|", F.lit(seed_tag), F.col("s"), F.col("_id"))
+            ).alias("_draw"),
+        )
+        .withColumn("_rk", F.row_number().over(sw))
+        .filter(F.col("_rk") <= k_codes)
+        .select("s", "_id", (F.col("_rk") - 1).cast("long").alias("code"))
+    )
+    centroids = (
+        pts.join(seeds, ["s", "_id"])
+        .select("s", "code", "pos", F.col("qv").alias("qc"))
+        .localCheckpoint(eager=True)
+    )
+    aw = Window.partitionBy("_id", "s").orderBy(F.col("_d2").asc(), F.col("code").asc())
+
+    def assign(cb: DataFrame) -> DataFrame:
+        # centroid rows exist only at their subspace's positions, so the
+        # pos equi-join aligns subspaces; s comes from the point side
+        diff = F.col("qv") - F.col("qc")
+        return (
+            pts.join(F.broadcast(cb.select("code", "pos", "qc")), "pos")
+            .select("_id", "s", "code", (diff * diff).alias("_t"))
+            .groupBy("_id", "s", "code")
+            .agg(F.sum("_t").alias("_d2"))
+            .withColumn("_rk", F.row_number().over(aw))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "s", "code")
+        )
+
+    for _ in range(iters):
+        codes = assign(centroids)
+        upd = (
+            pts.join(codes, ["_id", "s"])
+            .groupBy("s", "code", "pos")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("qv").alias("_s"))
+            .select("s", "code", "pos", F.expr("_s div _n").alias("_qc_new"))
+        )
+        centroids = (
+            centroids.join(upd, ["s", "code", "pos"], "left")
+            .select(
+                "s", "code", "pos", F.coalesce("_qc_new", "qc").alias("qc")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids, assign(centroids)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    m_sub: int = 4,
+    dim: int = 64,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+) -> DataFrame:
+    """PQ similarity search with Asymmetric Distance Computation: the
+    query stays un-quantized (exact subvector-to-codeword distances go
+    into a lookup table), the corpus is only touched through its m_sub
+    PQ codes. Per query the LUT is m_sub × k_codes integers; the scan
+    side computes sum-of-LUT-entries per candidate — the memory-bound
+    kernel that makes billion-scale ANN feasible (FAISS's IVFPQ inner
+    loop), here as [codes ⋈ broadcast LUT → per-(query, vec) sum →
+    rank window]. Everything is fixed-point integer, so estimated
+    distances, ranks, and the top-k set are engine-exact (ties break on
+    vec id).
+
+    Queries are the ``n_queries`` corpus vectors with the smallest
+    ``md5('pqq|' || id)`` (self-matches excluded). Returns (qid,
+    vec_id, approx_d2_units, approx_d2, rank).
+    """
+    sub_dim = dim // m_sub
+    codebook, codes = pq_train(
+        embeddings, m_sub, dim, k_codes, iters, id_col, vec_col, unit
+    )
+    qids = (
+        embeddings.select(
+            F.col(id_col).alias("qid"),
+            F.md5(F.concat(F.lit("pqq|"), F.col(id_col).cast("string"))).alias(
+                "_qd"
+            ),
+        )
+        .orderBy("_qd", "qid")
+        .limit(n_queries)
+        .select("qid")
+    )
+    qpts = _pq_points(
+        embeddings.join(
+            qids.withColumnRenamed("qid", id_col), id_col
+        ),
+        sub_dim,
+        id_col,
+        vec_col,
+        unit,
+    ).withColumnRenamed("_id", "qid")
+    qdiff = F.col("qv") - F.col("qc")
+    lut = (
+        # codebook s duplicates the query point's s at matching pos
+        qpts.join(F.broadcast(codebook.select("code", "pos", "qc")), "pos")
+        .select("qid", "s", "code", (qdiff * qdiff).alias("_t"))
+        .groupBy("qid", "s", "code")
+        .agg(F.sum("_t").alias("_d2u"))
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("_id") != F.col("qid"))
+        .groupBy("qid", "_id")
+        .agg(F.sum("_d2u").alias("approx_d2_units"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_d2_units").asc(), F.col("_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("_id").alias("vec_id"),
+            "approx_d2_units",
+            (
+                F.col("approx_d2_units").cast("double")
+                / F.lit(float(unit) * float(unit))
+            ).alias("approx_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

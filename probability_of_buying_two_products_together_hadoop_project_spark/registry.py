@@ -7124,6 +7124,118 @@ def q_incremental_agg(spark, sf_dir):
     )
 
 
+def _pq_oracle(
+    m_sub: int = 4,
+    dim: int = 64,
+    k_codes: int = 8,
+    iters: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+    unit: int = 10**6,
+) -> str:
+    """Unrolled PQ training + ADC search as chained MATERIALIZED CTEs —
+    the IDENTICAL combined-subspace Lloyd rounds, final-codebook encode,
+    per-query LUT, and rank window of operators/similarity.py:pq_train /
+    pq_adc_topk, in the same fixed-point integer contract."""
+    sub_dim = dim // m_sub
+    steps = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        steps.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+        FROM (SELECT p.vec_id, p.s, c.code,
+                     SUM((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+              FROM pts p JOIN {prev} c ON c.pos = p.pos
+              GROUP BY p.vec_id, p.s, c.code))
+      WHERE rk = 1
+    ), u{r} AS MATERIALIZED (
+      SELECT a.s, a.code, p.pos, SUM(p.qv) // COUNT(*) AS qc_new
+      FROM a{r} a JOIN pts p ON p.vec_id = a.vec_id AND p.s = a.s
+      GROUP BY a.s, a.code, p.pos
+    ), c{r} AS MATERIALIZED (
+      SELECT c.s, c.code, c.pos, COALESCE(u.qc_new, c.qc) AS qc
+      FROM {prev} c LEFT JOIN u{r} u
+        ON u.s = c.s AND u.code = c.code AND u.pos = c.pos
+    )""")
+        prev = f"c{r}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, CAST(pos // {sub_dim} AS BIGINT) AS s, pos, qv FROM (
+        SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {unit}.0) AS BIGINT)))
+                 AS qv
+        FROM embeddings)
+    ), seeds AS MATERIALIZED (
+      SELECT s, vec_id, CAST(rk - 1 AS BIGINT) AS code FROM (
+        SELECT s, vec_id, row_number() OVER (PARTITION BY s ORDER BY
+          md5('pq|' || CAST(s AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)),
+          vec_id) AS rk
+        FROM (SELECT vec_id FROM embeddings)
+        CROSS JOIN (SELECT unnest(range(0, {m_sub})) AS s))
+      WHERE rk <= {k_codes}
+    ), c0 AS MATERIALIZED (
+      SELECT sd.s, sd.code, p.pos, p.qv AS qc
+      FROM seeds sd JOIN pts p ON p.vec_id = sd.vec_id AND p.s = sd.s
+    ),{",".join(steps)}, afin AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+        FROM (SELECT p.vec_id, p.s, c.code,
+                     SUM((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+              FROM pts p JOIN {prev} c ON c.pos = p.pos
+              GROUP BY p.vec_id, p.s, c.code))
+      WHERE rk = 1
+    ), qids AS MATERIALIZED (
+      SELECT vec_id AS qid FROM embeddings
+      ORDER BY md5('pqq|' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {n_queries}
+    ), lut AS MATERIALIZED (
+      SELECT q.qid, p.s, c.code,
+             SUM((p.qv - c.qc) * (p.qv - c.qc)) AS d2u
+      FROM qids q JOIN pts p ON p.vec_id = q.qid
+      JOIN {prev} c ON c.pos = p.pos
+      GROUP BY q.qid, p.s, c.code
+    ), est AS MATERIALIZED (
+      SELECT l.qid, a.vec_id, CAST(SUM(l.d2u) AS BIGINT) AS approx_d2_units
+      FROM afin a JOIN lut l ON l.s = a.s AND l.code = a.code
+      WHERE a.vec_id != l.qid
+      GROUP BY l.qid, a.vec_id
+    )
+    SELECT qid, vec_id, approx_d2_units,
+           CAST(approx_d2_units AS DOUBLE) / {unit * unit}.0 AS approx_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, vec_id, approx_d2_units,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY approx_d2_units, vec_id) AS rank
+          FROM est)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "embedding_pq_adc_topk",
+    _pq_oracle(),
+    "Product quantization (Jegou 2011) end to end: subspace codebook "
+    "training as ONE combined Lloyd dataflow loop (centroid key = "
+    "(subspace, code) — all m codebooks train in the same pass), "
+    "final-codebook encoding (vectors compress to m_sub code bytes), "
+    "and Asymmetric Distance Computation search: per-query exact "
+    "LUTs of m x k integer distances broadcast onto the codes table, "
+    "top-k by summed LUT entries (FAISS's IVFPQ inner kernel). All "
+    "fixed-point, so training, codes, estimates, and ranks are "
+    "engine-exact. Completes the ANN matrix: brute force / SRP-LSH / "
+    "IVF (grid + kmeans) / SQ8 / PQ-ADC",
+)
+def q_pq_adc(spark, sf_dir):
+    return similarity.pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -7289,6 +7401,7 @@ _ROTATION_TAIL = {
     "kmeans_embeddings": "r05-local",
     "join_bloom_prefiltered_revenue": "r05-local",
     "incremental_agg_orders": "r05-local",
+    "embedding_pq_adc_topk": "r05-local",
 }
 
 
