@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from itertools import combinations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -1153,4 +1153,115 @@ def minhash_incremental_verified(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC containment similarity: for ordered pairs (a, b) in
+    the same block, ``containment = |sh(a) ∩ sh(b)| / |sh(a)|`` — the
+    fraction of a's distinct shingles that also appear in b.
+
+    This is the quote/subset detector Jaccard structurally misses:
+    when a short document is wholly embedded in a much longer one,
+    Jaccard ≈ |a|/|b| stays far below any near-dup threshold while
+    containment is ~1 (Broder 1997 distinguishes exactly these two
+    resemblance measures). Output rows (doc_id, container_id,
+    containment) with doc_id != container_id — both directions of a
+    pair are evaluated since the measure is directional.
+
+    Same blocking discipline as :func:`jaccard_pairs`: the block join
+    bounds candidates, integer set cardinalities make the one double
+    division deterministic.
+    """
+    sh = (
+        shingled(docs, text_col, shingle_n, keep_cols=("doc_id", block_col))
+        .withColumnRenamed(block_col, "blk")
+        .filter(F.size("sh") > 0)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("container_id"),
+            (inter.cast("double") / F.size(F.col("a.sh")).cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def golden_record(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-wise survivorship merge — the "golden record" step of
+    entity resolution: one synthesized row per near-dup cluster where
+    EACH field keeps its own best member value (canonical id = min id;
+    text from the longest member; lang/source = the modal value), as
+    opposed to :func:`near_dup_clusters` + whole-row argmax
+    (dedup_cluster_canonical) which keeps one member verbatim.
+
+    Tie contracts (everything deterministic cross-engine): longest
+    text ties break to the smaller doc_id; modal-value ties break to
+    the lexicographically smaller value. All three selections are
+    rank-1 window picks over cluster-keyed rows (one row per member /
+    per distinct member value — never a cluster self-join), so the
+    whole merge is a few bounded window passes at any corpus size.
+    """
+    j = docs.join(clusters, id_col)
+    w_text = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col(id_col)
+    )
+    base = (
+        j.withColumn("_rn", F.row_number().over(w_text))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("text"))).alias("text"),
+            F.max(F.when(F.col("_rn") == 1, F.col("n_chars"))).alias(
+                "n_chars"
+            ),
+        )
+    )
+
+    def modal(col: str) -> DataFrame:
+        cnt = j.groupBy("cluster_id", col).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_c").desc(), F.col(col)
+        )
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cluster_id", col)
+        )
+
+    return (
+        base.join(modal("lang"), "cluster_id")
+        .join(modal("source"), "cluster_id")
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+        )
     )

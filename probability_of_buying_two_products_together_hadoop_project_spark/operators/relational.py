@@ -747,3 +747,251 @@ def apply_agg_delta(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def grouped_value_cum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Distinct values per group with INCLUSIVE cumulative multiplicity
+    counts — the order-statistics backbone for exact distributed
+    medians / quantiles WITHOUT a per-group sort funnel.
+
+    Output: ``(*group_cols, value_col, cc, n)`` where ``cc`` is the
+    count of group rows with value <= this value and ``n`` the group
+    total. Construction is the :func:`global_prefix_sum` shape applied
+    per group: distinct-value counts, a running sum windowed by
+    (group, order-consistent value bucket) — every window partition is
+    bounded by one bucket's distinct values — then per-(group, bucket)
+    totals offset through a window over the BUCKET LIST (rows ∝
+    buckets, not data) and broadcast back. ``bucket_expr`` must be
+    order-consistent with the value (x < y => bucket(x) <= bucket(y));
+    the default ``floor(value)`` suits positive numeric measures.
+    """
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
+    dv = (
+        df.groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_vc"))
+        .withColumn("_vb", b)
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "_vb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = dv.withColumn("_lcc", F.sum("_vc").over(w_local))
+    totals = dv.groupBy(*group_cols, "_vb").agg(F.sum("_vc").alias("_bt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*group_cols)
+    offsets = totals.select(
+        *group_cols,
+        "_vb",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bt").over(w_grp).alias("n"),
+    )
+    on = [*group_cols, "_vb"] if group_cols else ["_vb"]
+    return (
+        local.join(F.broadcast(offsets), on)
+        .select(
+            *group_cols,
+            value_col,
+            (F.col("_lcc") + F.col("_off")).cast("bigint").alias("cc"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def grouped_discrete_quantile(
+    cum_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "q_value",
+) -> DataFrame:
+    """The exact q-th order statistic per group from a
+    :func:`grouped_value_cum` table: the element at 1-based rank
+    ``ceil(q_num/q_den * n)`` of the sorted multiset — a PICKED
+    element, never an interpolated float, so the result is a value
+    that exists in the data and is identical in any engine (the
+    float-interpolating percentile definitions differ across engines
+    at even counts; a discrete pick cannot). Integer ceiling division
+    keeps the rank exact at any n.
+    """
+    t = cum_df.withColumn(
+        "_tgt", F.expr(f"CAST(({q_num} * n + {q_den - 1}) DIV {q_den} AS BIGINT)")
+    )
+    picked = t.filter(F.col("cc") >= F.col("_tgt"))
+    if group_cols:
+        return picked.groupBy(*group_cols).agg(
+            F.min(value_col).alias(out_col)
+        )
+    return picked.agg(F.min(value_col).alias(out_col))
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    c: float = 3.0,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation: per group
+    the lower median ``med``, ``mad = median(|x - med|)``, and the
+    count of rows with ``|x - med| > c * mad`` — the
+    heavy-tail-immune counterpart of the z-score screen (one wild
+    value shifts a mean/stddev fence arbitrarily; breaking a median
+    fence needs half the data to be wild).
+
+    Exactness contract: both medians are DISCRETE picks
+    (:func:`grouped_discrete_quantile`), ``x - med`` is one correctly
+    rounded IEEE subtraction, and ``c`` should be a small exact
+    constant — every intermediate is then bit-identical cross-engine.
+    Cost: two :func:`grouped_value_cum` passes (distinct-value sized)
+    plus one broadcast of the per-group fences onto a final scan;
+    never a per-group sort of raw rows.
+    """
+    med = grouped_discrete_quantile(
+        grouped_value_cum(df, group_cols, value_col, bucket_expr),
+        group_cols,
+        value_col,
+        1,
+        2,
+        out_col="med",
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    dev = with_med.withColumn("_adev", F.abs(F.col(value_col) - F.col("med")))
+    mad = grouped_discrete_quantile(
+        grouped_value_cum(dev, group_cols, "_adev", F.floor(F.col("_adev"))),
+        group_cols,
+        "_adev",
+        1,
+        2,
+        out_col="mad",
+    )
+    fences = med.join(mad, group_cols)
+    return (
+        with_med.join(F.broadcast(fences.select(*group_cols, "mad")), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col(value_col) - F.col("med"))
+                    > F.lit(c) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def skyline_min2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline operator, Börzsönyi et al. ICDE
+    2001) minimizing both ``x_col`` and ``y_col``: rows for which no
+    other row is <= in both dimensions with at least one strict
+    inequality. Duplicated (x, y) points do not dominate each other —
+    all stay on the frontier.
+
+    Sort-based 2-D skyline WITHOUT the global sort: a row survives iff
+    (a) its y equals the minimum y at its exact x, and (b) the running
+    min of y over all STRICTLY smaller x is > its y. The running min
+    over distinct x values runs as a bucketed parallel prefix-min (the
+    :func:`global_prefix_sum` shape with min instead of sum): window
+    partitions bounded by one bucket's distinct x, per-bucket minima
+    offset through a buckets-sized window, broadcast back. One
+    distinct-x aggregation + one join back on x — no quadratic
+    dominance test anywhere. ``bucket_expr`` must be order-consistent
+    with x (default ``floor(x)``).
+    """
+    g = df.groupBy(x_col).agg(F.min(y_col).alias("_gy"))
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(x_col))
+    d = g.withColumn("_skb", b)
+    w_local = (
+        Window.partitionBy("_skb")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn("_lmin", F.min("_gy").over(w_local))
+    totals = d.groupBy("_skb").agg(F.min("_gy").alias("_bt"))
+    w_off = Window.orderBy("_skb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("_skb", F.min("_bt").over(w_off).alias("_omin"))
+    pref = (
+        local.join(F.broadcast(offsets), "_skb")
+        .withColumn("_runlt", F.least("_lmin", "_omin"))
+        .select(x_col, "_gy", "_runlt")
+    )
+    return (
+        df.join(pref, x_col)
+        .filter(
+            (F.col(y_col) == F.col("_gy"))
+            & (F.col("_runlt").isNull() | (F.col("_runlt") > F.col(y_col)))
+        )
+        .drop("_gy", "_runlt")
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization (the feature-engineering
+    quantile binner): per bin 1..n_bins the row count, min, max — bin
+    edges are the exact discrete (i/n_bins)-quantiles of the data.
+
+    ``edge_i`` = element at 1-based rank ``ceil(i*n/n_bins)`` of the
+    sorted multiset (:func:`grouped_discrete_quantile`); a value lands
+    in ``bin = 1 + |{i : v > edge_i}|``. Heavy duplicate mass makes
+    bins unequal (ties cannot straddle an edge) — inherent to any
+    exact-quantile binning, and deterministic here. The n_bins-1
+    edges broadcast as one array onto a single assignment scan; edge
+    computation is distinct-value sized via the bucketed prefix-sum.
+    """
+    cum = grouped_value_cum(df, [], value_col, bucket_expr)
+    n_total = cum.agg(F.max("n").alias("n"))
+    targets = n_total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("i"), "n"
+    ).select(
+        "i",
+        F.expr(f"CAST((i * n + {n_bins - 1}) DIV {n_bins} AS BIGINT)").alias(
+            "tgt"
+        ),
+    )
+    edges = (
+        cum.join(F.broadcast(targets), F.col("cc") >= F.col("tgt"))
+        .groupBy("i")
+        .agg(F.min(value_col).alias("edge"))
+    )
+    edge_arr = edges.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("edge")))
+        ).alias("es")
+    ).select(F.transform(F.col("es"), lambda s: s.edge).alias("edges"))
+    binned = df.crossJoin(F.broadcast(edge_arr)).withColumn(
+        "bin",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("edges"), lambda e: F.col(value_col) > e)
+            )
+        ).cast("bigint"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )

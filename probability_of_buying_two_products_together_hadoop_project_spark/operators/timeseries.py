@@ -195,3 +195,60 @@ def bucket_partials(
             .alias("sum_value"),
         )
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    lookback: int = 8,
+    unit: int = 10**6,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average over each key's event
+    sequence, in FIXED-POINT integer arithmetic with a bounded
+    lookback — the smoothing primitive behind rate trendlines and
+    anomaly baselines.
+
+    Exact EWMA is a recurrence (y_t = a*x_t + (1-a)*y_{t-1}); iterating
+    rounded floats across an engine boundary diverges at rounding ties
+    (the PageRank lesson, ROADMAP.md round-5 third session), and Spark
+    has no linear-recurrence window. Truncating the tail instead gives
+    closed-form integer weights: with a = alpha_num/alpha_den and
+    r = alpha_den - alpha_num, weight_i = r^i * alpha_den^(L-i) for
+    lag i in 0..L — every weight an exact integer, the normalizing sum
+    adapting to however many lags actually exist at the head of the
+    sequence. The truncated tail's total weight is (r/alpha_den)^(L+1)
+    (~7.5% at a=1/4, L=8) and is renormalized away, not dropped.
+
+    ``y_units = (sum_i w_i * q_i) DIV (sum_i present w_i)`` over
+    quantized q = floor(value * unit): one integer division, identical
+    under Spark's DIV and DuckDB's // for the non-negative values this
+    targets. Plan: L+1 lag columns over ONE window spec = a single
+    key exchange, all arithmetic in codegen; bigint headroom holds for
+    |q| * alpha_den^L * (L+1) < 2^63 (with defaults: values up to
+    ~1.5e7, far above any event magnitude here).
+    """
+    r = alpha_den - alpha_num
+    weights = [r**i * alpha_den ** (lookback - i) for i in range(lookback + 1)]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    q = F.floor(F.col(value_col) * unit).cast("bigint")
+    d = df.withColumn("_q", q)
+    lags = [F.lag("_q", i).over(w) for i in range(lookback + 1)]
+    num = None
+    den = None
+    for i, (wt, lg) in enumerate(zip(weights, lags)):
+        term = F.coalesce(lg, F.lit(0)) * F.lit(wt)
+        pres = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    units = F.expr("_num DIV _den")
+    return (
+        d.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(out_col, units.cast("double") / F.lit(float(unit)))
+        .drop("_q", "_num", "_den")
+    )
