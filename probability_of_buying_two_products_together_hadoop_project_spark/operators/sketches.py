@@ -84,6 +84,30 @@ def kmv_sample(
     )
 
 
+def kmv_estimate(
+    sample: DataFrame,
+    group_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Distinct-count estimate from a sketch SAMPLE table (rows
+    ``(*group_cols, h, rk)`` as produced by :func:`kmv_sample` or
+    :func:`kmv_merge_samples`): ``(k-1) / u_k`` when full, the exact
+    retained count when the group has fewer than k distinct hashes."""
+    agg = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
+    )
+    u_k = (F.col("kth_hash") + F.lit(0.5)) / F.lit(_TWO32)
+    return agg.select(
+        *group_cols,
+        "n_sample",
+        "kth_hash",
+        F.when(F.col("n_sample") < k, F.col("n_sample").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / u_k)
+        .alias("est_distinct"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,
@@ -100,20 +124,33 @@ def kmv_distinct(
     Assumes no 32-bit hash collisions among the k retained minima
     (k^2/2^33 collision odds; at k=256 that is ~4e-6).
     """
-    s = kmv_sample(df, key_col, group_cols, k=k)
-    agg = s.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_sample"),
-        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth_hash"),
+    return kmv_estimate(kmv_sample(df, key_col, group_cols, k=k), group_cols, k)
+
+
+def kmv_merge_samples(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """Merge two sketch sample tables into the sketch OF THE UNIONED
+    DATA — exactly: the k smallest of (k smallest of X) ∪ (k smallest
+    of Y) are the k smallest of X ∪ Y, so incremental maintenance is
+    lossless, associative, and commutative (the property that makes
+    KMV a proper mergeable summary: per-shard / per-batch sketches
+    roll up without ever revisiting the raw data).
+
+    The re-rank window sees at most 2k rows per group (both inputs are
+    k-bounded), so merging persisted state with a new batch's sketch
+    is state-sized work — the incremental-ingest pattern of
+    dedup_incremental / minhash_incremental applied to cardinality."""
+    u = (
+        a.select(*group_cols, "h")
+        .unionByName(b.select(*group_cols, "h"))
+        .distinct()
     )
-    u_k = (F.col("kth_hash") + F.lit(0.5)) / F.lit(_TWO32)
-    return agg.select(
-        *group_cols,
-        "n_sample",
-        "kth_hash",
-        F.when(F.col("n_sample") < k, F.col("n_sample").cast("double"))
-        .otherwise(F.lit(float(k - 1)) / u_k)
-        .alias("est_distinct"),
-    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return u.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
 def kmv_set_ops(

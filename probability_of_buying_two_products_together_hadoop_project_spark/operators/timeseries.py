@@ -252,3 +252,160 @@ def ewma_bounded(
         .withColumn(out_col, units.cast("double") / F.lit(float(unit)))
         .drop("_q", "_num", "_den")
     )
+
+
+def debounce(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 300_000_000,
+) -> DataFrame:
+    """Greedy throttle / debounce: within each group, keep an event iff
+    at least ``gap_us`` microseconds have passed since the last KEPT
+    event — the telemetry dedup rule ("at most one heartbeat per 5
+    minutes") that a window function CANNOT express: whether an event
+    survives depends on which earlier events survived, a running state
+    machine, not a frame aggregate (lag-vs-previous-RAW under-keeps:
+    a steady sub-gap drip would drop everything after the first).
+
+    The state machine runs as a deterministic left fold
+    (``F.aggregate``) over each group's time-sorted (t, id) array —
+    integer comparisons only, so the greedy chain is engine-exact and
+    an oracle can replay it as a recursive CTE. Work per group is one
+    array pass; groups are (user, type) event sequences — the same
+    per-key cardinality every sessionization here already assumes
+    bounded (a hot key holds one group's events, not the corpus).
+
+    Output: the kept events as ``(*group_cols, id_col, ts_col)`` with
+    the timestamp reconstructed from its exact micros.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    grouped = df.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(t.alias("t"), F.col(id_col).alias("id")))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(-(1 << 62)).cast("long").alias("lk"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, id: BIGINT>>)").alias(
+            "kept"
+        ),
+    )
+    folded = grouped.withColumn(
+        "kept",
+        F.aggregate(
+            F.col("evs"),
+            init,
+            lambda acc, x: F.when(
+                (x["t"] - acc["lk"]) >= F.lit(gap_us),
+                F.struct(
+                    x["t"].alias("lk"),
+                    F.concat(acc["kept"], F.array(x)).alias("kept"),
+                ),
+            ).otherwise(acc),
+        )["kept"],
+    ).drop("evs")
+    return folded.select(
+        *group_cols, F.explode("kept").alias("_e")
+    ).select(
+        *group_cols,
+        F.col("_e.id").alias(id_col),
+        F.timestamp_micros(F.col("_e.t")).alias(ts_col),
+    )
+
+
+def hourly_counts(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group event counts by truncated hour: ``(*group_cols, hr,
+    cnt)`` — the shared base of burst detection and autocorrelation."""
+    return df.groupBy(
+        *group_cols, F.date_trunc("hour", F.col(ts_col)).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def burst_detect(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    factor: int = 2,
+) -> DataFrame:
+    """Hour-over-hour burst detection: for each observed hourly bucket,
+    the previous CONSECUTIVE hour's count (null across gaps — a burst
+    judged against a silent hour would be meaningless), the growth
+    ratio, and an integer-compared burst flag ``cnt >= factor *
+    prev_cnt`` (the flag never touches the float ratio, so threshold
+    semantics are engine-exact). One group-keyed window over
+    hourly-bucket rows — input-sized aggregation, bucket-sized
+    everything else."""
+    hc = hourly_counts(df, group_cols, ts_col)
+    w = Window.partitionBy(*group_cols).orderBy("hr")
+    prev_cnt = F.lag("cnt").over(w)
+    prev_hr = F.lag("hr").over(w)
+    consecutive = (
+        F.unix_micros(F.col("hr")) - F.unix_micros(prev_hr)
+    ) == 3_600_000_000
+    pc = F.when(consecutive, prev_cnt)
+    return hc.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        pc.alias("prev_cnt"),
+        (F.col("cnt").cast("double") / pc.cast("double")).alias("ratio"),
+        # 1/0/null bigint, not a nullable boolean: tri-state booleans
+        # round-trip differently through pandas in different engines
+        F.when(pc.isNotNull(), (F.col("cnt") >= factor * pc).cast("bigint"))
+        .alias("is_burst"),
+    )
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-1 autocorrelation of each group's hourly count series over
+    consecutive-hour pairs, from EXACT integer moment sums: counts are
+    bigints, so sx/sy/sxy/sxx/syy are exact integer aggregates (no
+    decimal dance needed) and Pearson's r = (n*sxy - sx*sy) /
+    sqrt((n*sxx - sx^2) * (n*syy - sy^2)) is a fixed sequence of
+    correctly-rounded double ops — deterministic cross-engine (the
+    agg_corr_regression construction, integer-simplified). Pairs
+    (c_{t-1}, c_t) exist only where hours are consecutive; gaps
+    contribute nothing rather than fabricating zeros."""
+    hc = hourly_counts(df, group_cols, ts_col)
+    w = Window.partitionBy(*group_cols).orderBy("hr")
+    paired = (
+        hc.withColumn("prev_cnt", F.lag("cnt").over(w))
+        .withColumn("prev_hr", F.lag("hr").over(w))
+        .filter(
+            (
+                F.unix_micros(F.col("hr")) - F.unix_micros(F.col("prev_hr"))
+            )
+            == 3_600_000_000
+        )
+        .select(*group_cols, F.col("prev_cnt").alias("x"), F.col("cnt").alias("y"))
+    )
+    m = paired.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return m.select(
+        *group_cols,
+        "n_pairs",
+        F.when(denom > 0.0, (n * sxy - sx * sy) / F.sqrt(denom)).alias(
+            "autocorr_lag1"
+        ),
+    )

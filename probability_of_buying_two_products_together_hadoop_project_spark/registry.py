@@ -7640,6 +7640,167 @@ def q_quantile_bins(spark, sf_dir):
     )
 
 
+@register(
+    "kmv_incremental_verified",
+    f"""
+    WITH {_KMV_SAMPLE_CTE.format(where="")}
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           max(CASE WHEN rk = 32 THEN h END) AS kth_hash,
+           CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                ELSE 31.0 / ((max(CASE WHEN rk = 32 THEN h END) + 0.5)
+                             / 4294967296.0)
+           END AS est_distinct
+    FROM rk WHERE rk <= 32 GROUP BY event_type
+    """,
+    "Incremental KMV maintenance: the event_id % 5 == 0 slice plays "
+    "the persisted per-type sketch state, the rest a new delivery; "
+    "merging the two k-minima samples (kmv_merge_samples: union + "
+    "re-rank over <= 2k rows per group) must equal the sketch of the "
+    "FULL data exactly — k-minima selection is a lossless mergeable "
+    "summary, so sketch state rolls forward batch by batch without "
+    "ever rescanning history. The oracle computes the full-data "
+    "sketch directly: merge provably result-invisible (the "
+    "dedup_incremental / minhash_incremental evidence pattern applied "
+    "to cardinality estimation)",
+)
+def q_kmv_incremental(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    state = sketches.kmv_sample(
+        ev.filter(F.col("event_id") % 5 == 0), "user_id", ["event_type"], k=32
+    )
+    batch = sketches.kmv_sample(
+        ev.filter(F.col("event_id") % 5 != 0), "user_id", ["event_type"], k=32
+    )
+    merged = sketches.kmv_merge_samples(state, batch, ["event_type"], k=32)
+    return sketches.kmv_estimate(merged, ["event_type"], k=32)
+
+
+@register(
+    "event_debounce_1d",
+    """
+    WITH RECURSIVE ord AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    keep AS (
+      SELECT user_id, event_type, event_id, t, rn,
+             t AS last_kept, TRUE AS kept
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_type, o.event_id, o.t, o.rn,
+             CASE WHEN o.t - k.last_kept >= 86400000000
+                  THEN o.t ELSE k.last_kept END,
+             o.t - k.last_kept >= 86400000000
+      FROM keep k JOIN ord o
+        ON o.user_id = k.user_id AND o.event_type = k.event_type
+       AND o.rn = k.rn + 1
+    )
+    SELECT user_id, event_type, event_id, make_timestamp(t) AS ts
+    FROM keep WHERE kept
+    """,
+    "Greedy debounce / throttle (keep an event iff >= 24 h since the "
+    "last KEPT event per (user, type)) — a running state machine NO "
+    "window function expresses: survival depends on which earlier "
+    "events survived (lag-vs-previous-RAW under-keeps: a steady "
+    "sub-gap drip keeps only its first event here, but nothing under "
+    "a raw-lag rule). Runs as a deterministic integer left fold "
+    "(F.aggregate) over each group's time-sorted array; the oracle "
+    "replays the identical chain as a recursive CTE. Timestamps round-"
+    "trip through exact micros",
+)
+def q_debounce(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.debounce(ev, gap_us=86_400_000_000).select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+_HOURLY_LAG_CTE = """
+    hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, hr, cnt,
+             lag(cnt) OVER w AS pc, lag(hr) OVER w AS ph
+      FROM hc
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+"""
+
+
+@register(
+    "burst_hourly_events",
+    f"""
+    WITH {_HOURLY_LAG_CTE}
+    SELECT event_type, hr, cnt,
+           CASE WHEN epoch_us(hr) - epoch_us(ph) = 3600000000
+                THEN pc END AS prev_cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(CASE WHEN epoch_us(hr) - epoch_us(ph) = 3600000000
+                         THEN pc END AS DOUBLE) AS ratio,
+           CAST(CASE WHEN epoch_us(hr) - epoch_us(ph) = 3600000000
+                THEN (CASE WHEN cnt >= 2 * pc THEN 1 ELSE 0 END) END
+             AS BIGINT) AS is_burst
+    FROM l
+    """,
+    "Hour-over-hour burst detection per event type: previous "
+    "CONSECUTIVE hour's count (null across gaps — comparing against a "
+    "silent hour would fabricate infinite growth), growth ratio, and "
+    "an INTEGER-compared burst flag cnt >= 2*prev (the flag never "
+    "reads the float ratio, so threshold semantics are engine-exact). "
+    "One group-keyed window over hourly-bucket rows; everything after "
+    "the first aggregation is bucket-sized",
+)
+def q_burst(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.burst_detect(ev)
+
+
+@register(
+    "autocorr_hourly_events",
+    f"""
+    WITH {_HOURLY_LAG_CTE},
+    p AS (
+      SELECT event_type, pc AS x, cnt AS y FROM l
+      WHERE epoch_us(hr) - epoch_us(ph) = 3600000000
+    ),
+    m AS (
+      SELECT event_type,
+             count(*) AS n_pairs,
+             CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n_pairs AS DOUBLE) * syy - sy * sy) > 0.0
+                THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+           END AS autocorr_lag1
+    FROM m
+    """,
+    "Lag-1 autocorrelation of each type's hourly count series over "
+    "consecutive-hour pairs — temporal self-similarity from EXACT "
+    "integer moment sums (counts are bigints: no decimal dance "
+    "needed, int64-to-double casts are correctly rounded), then one "
+    "fixed sequence of double ops for Pearson's r — the "
+    "agg_corr_regression construction integer-simplified. Gaps "
+    "contribute no pairs rather than fabricated zeros; constant "
+    "series yield null, not a 0/0",
+)
+def q_autocorr(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.autocorr_lag1(ev)
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -7814,6 +7975,10 @@ _ROTATION_TAIL = {
     "golden_record_docs": "r05-local",
     "mad_outlier_events": "r05-local",
     "quantile_bins_orders": "r05-local",
+    "kmv_incremental_verified": "r05-local",
+    "event_debounce_1d": "r05-local",
+    "burst_hourly_events": "r05-local",
+    "autocorr_hourly_events": "r05-local",
 }
 
 

@@ -1,0 +1,136 @@
+"""Debounce (greedy throttle fold), burst detection, lag-1
+autocorrelation, and KMV merge-vs-rebuild equivalence — python
+references drive each contract."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import sketches, timeseries
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+def _py_debounce(times, gap):
+    kept, last = [], None
+    for i, t in enumerate(sorted(times)):
+        if last is None or t - last >= gap:
+            kept.append(i)
+            last = t
+    return kept
+
+
+steps = st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=30)
+
+
+@given(steps)
+@SET
+def test_debounce_matches_greedy_python(spark, deltas):
+    gap = 5
+    times = []
+    t = 0
+    for d in deltas:
+        t += d
+        times.append(t)
+    times = sorted(set(times))  # unique micros; ties would need id order
+    rows = [(i, "u", "view", t_us) for i, t_us in enumerate(times)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    got = sorted(
+        r["event_id"]
+        for r in timeseries.debounce(df, gap_us=gap).collect()
+    )
+    want = _py_debounce(times, gap)
+    assert got == want
+
+
+def test_debounce_beats_raw_lag_on_steady_drip(spark):
+    # events every 3 us, gap 5: greedy keeps 0,6,12,...; raw-lag keeps only 0
+    rows = [(i, "u", "view", i * 3) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    got = sorted(r["event_id"] for r in timeseries.debounce(df, gap_us=5).collect())
+    assert got == [0, 2, 4, 6, 8]  # t=0,6,12,18,24 -> every 2nd event
+
+
+def test_burst_detect_gap_and_flag_semantics(spark):
+    base = 3_600_000_000
+    rows = (
+        [(i, "u", "view", 0 * base + i) for i in range(4)]
+        + [(10 + i, "u", "view", 1 * base + i) for i in range(8)]
+        + [(20 + i, "u", "view", 3 * base + i) for i in range(2)]  # gap hour 2
+    )
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    out = {
+        r["hr"].hour: (r["cnt"], r["prev_cnt"], r["is_burst"])
+        for r in timeseries.burst_detect(df).collect()
+    }
+    assert out[0] == (4, None, None)  # first bucket: no baseline
+    assert out[1] == (8, 4, 1)  # 8 >= 2*4 -> burst
+    assert out[3] == (2, None, None)  # hour 2 silent -> no comparison
+
+
+def test_autocorr_matches_python_reference(spark):
+    counts = [5, 7, 6, 9, 4, 8, 10, 3]
+    base = 3_600_000_000
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, "u", "view", h * base + j))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    row = timeseries.autocorr_lag1(df).collect()[0]
+    xs, ys = counts[:-1], counts[1:]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(a * b for a, b in zip(xs, ys)))
+    sxx, syy = float(sum(a * a for a in xs)), float(sum(b * b for b in ys))
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row["n_pairs"] == len(xs)
+    assert row["autocorr_lag1"] == want
+
+
+def test_autocorr_constant_series_is_null_not_nan(spark):
+    rows = [(i, "u", "view", h * 3_600_000_000 + i) for h in range(5) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    row = timeseries.autocorr_lag1(df).collect()[0]
+    assert row["autocorr_lag1"] is None
+
+
+@given(st.integers(min_value=0, max_value=400), st.integers(min_value=0, max_value=400))
+@SET
+def test_kmv_merge_equals_full_rebuild(spark, n_a, n_b):
+    k = 16
+    a_keys = [f"a{i}" for i in range(n_a)]
+    b_keys = [f"b{i}" for i in range(n_b)] + a_keys[: n_a // 2]  # overlap
+    if not a_keys and not b_keys:
+        return
+    da = spark.createDataFrame([("g", x) for x in a_keys] or [("g", None)], ["grp", "key"]).filter(F.col("key").isNotNull())
+    db = spark.createDataFrame([("g", x) for x in b_keys] or [("g", None)], ["grp", "key"]).filter(F.col("key").isNotNull())
+    full = spark.createDataFrame(
+        [("g", x) for x in a_keys + b_keys], ["grp", "key"]
+    )
+    sa = sketches.kmv_sample(da, "key", ["grp"], k=k)
+    sb = sketches.kmv_sample(db, "key", ["grp"], k=k)
+    merged = sketches.kmv_estimate(
+        sketches.kmv_merge_samples(sa, sb, ["grp"], k=k), ["grp"], k=k
+    ).collect()
+    direct = sketches.kmv_distinct(full, "key", ["grp"], k=k).collect()
+    assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
