@@ -87,6 +87,21 @@ HEADLINE = [
     "inverted_index_terms",
     "pit_join_purchase_state",
     "dq_suite_orders",
+    # r05 fifth-session additions
+    "bpe_learn_merges",
+    "kmeans_embeddings",
+    "join_bloom_prefiltered_revenue",
+    "incremental_agg_orders",
+    "embedding_pq_adc_topk",
+    # r05 sixth-session additions
+    "kmv_distinct_users",
+    "skyline_orders",
+    "mad_outlier_events",
+    "quantile_bins_orders",
+    "containment_near_dup",
+    "golden_record_docs",
+    "event_debounce_1d",
+    "ewma_value_events",
 ]
 
 

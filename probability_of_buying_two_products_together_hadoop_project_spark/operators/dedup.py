@@ -1162,6 +1162,9 @@ def containment_pairs(
     text_col: str = "text",
     shingle_n: int = 1,
     threshold: float = 0.6,
+    t_num: int = 3,
+    t_den: int = 5,
+    verify: str = "rows",
 ) -> DataFrame:
     """ASYMMETRIC containment similarity: for ordered pairs (a, b) in
     the same block, ``containment = |sh(a) ∩ sh(b)| / |sh(a)|`` — the
@@ -1175,31 +1178,163 @@ def containment_pairs(
     containment) with doc_id != container_id — both directions of a
     pair are evaluated since the measure is directional.
 
-    Same blocking discipline as :func:`jaccard_pairs`: the block join
-    bounds candidates, integer set cardinalities make the one double
-    division deterministic.
+    NEVER block-quadratic: candidates come from an EXACT prefix filter
+    (Bayardo et al. WWW 2007, adapted to containment) over an inverted
+    gram index. If C(a,b) >= t then b misses at most |a| - ceil(t|a|)
+    of a's grams, so any fixed probe subset of size
+    ``|a| - ceil(t|a|) + 1`` must share a gram with b — probes are a's
+    globally RAREST grams (df-ascending rank), which minimizes the
+    index join's fan-out, and candidates additionally require
+    ``|b| >= ceil(t|a|)`` (since the intersection fits inside b).
+    ceil(t|a|) is computed by INTEGER ceiling division with the
+    threshold as the rational ``t_num/t_den`` — a float ceil of
+    0.6*|a| rounds the wrong way on exact multiples (binary 0.6 > 3/5)
+    and would shrink the probe below the exactness bound. Only
+    candidate pairs get the exact intersection, so the result is
+    IDENTICAL to the quadratic formulation (the final filter keeps the
+    engine-portable float-threshold contract).
+
+    Grams come from posexplode + window leads (full codegen), never
+    from a higher-order-function shingle array — profiling showed the
+    interpreted HOF transform alone costing ~26 s at sf0.1 (~21 us
+    per gram), 2x the rest of the operator combined.
+
+    ``verify`` picks the exact-intersection strategy — both produce
+    identical results; the crossover is CANDIDATE DENSITY (measured at
+    sf0.1):
+    - ``"rows"`` (default): count shared grams via two joins + a
+      pair-keyed aggregate. Work ∝ candidates x |A|; wins when the
+      prefilter prunes hard (trigram corpus: 792 candidates of 1.25M
+      pairs, 4.7 s vs 30.8 s for the HOF-array formulation).
+    - ``"arrays"``: pack each doc's grams once (one aggregate, no
+      HOF) and array_intersect per candidate. Wins when candidates
+      are dense and array shipping amortizes (unigram synthetic
+      corpus: 1.1M candidates, 14 s vs 17.6 s row-verify).
     """
-    sh = (
-        shingled(docs, text_col, shingle_n, keep_cols=("doc_id", block_col))
-        .withColumnRenamed(block_col, "blk")
-        .filter(F.size("sh") > 0)
+    assert abs(t_num / t_den - threshold) < 1e-9, "threshold must equal t_num/t_den"
+    grams = gram_rows(docs, block_col, text_col, shingle_n)
+    df_counts = grams.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "g")
+    ceil_t_sz = F.expr(f"CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT)")
+    probes = (
+        grams.join(df_counts, ["blk", "g"])
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("sz") - ceil_t_sz + 1)
+        .select("blk", "g", F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("container_id"),
-            (inter.cast("double") / F.size(F.col("a.sh")).cast("double")).alias(
-                "containment"
+    cand = (
+        probes.join(
+            grams.select(
+                "blk", "g", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b")
             ),
+            ["blk", "g"],
+        )
+        .filter(
+            (F.col("doc_id_a") != F.col("doc_id_b"))
+            & (
+                F.col("sz_b")
+                >= F.expr(f"CAST(({t_num} * sz_a + {t_den - 1}) DIV {t_den} AS INT)")
+            )
+        )
+        .select("doc_id_a", "sz_a", "doc_id_b")
+        .distinct()
+    )
+    if verify == "rows":
+        ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
+        gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
+        verified = (
+            cand.join(ga, "doc_id_a")
+            .join(gb, ["doc_id_b", "g"])
+            .groupBy("doc_id_a", "sz_a", "doc_id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (
+                    F.col("_inter").cast("double")
+                    / F.col("sz_a").cast("double")
+                ).alias("containment"),
+            )
+        )
+    elif verify == "arrays":
+        packed = grams.groupBy("doc_id").agg(F.collect_list("g").alias("sh"))
+        a = packed.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+        b = packed.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        verified = (
+            cand.join(a, "doc_id_a")
+            .join(b, "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (inter.cast("double") / F.col("sz_a").cast("double")).alias(
+                    "containment"
+                ),
+            )
+        )
+    else:
+        raise ValueError(f"verify must be 'rows' or 'arrays', got {verify!r}")
+    return (
+        verified.select(
+            F.col("doc_id_a").alias("doc_id"),
+            F.col("doc_id_b").alias("container_id"),
+            "containment",
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def gram_rows(
+    docs: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    n: int = 1,
+) -> DataFrame:
+    """Distinct word n-grams as ROWS ``(doc_id, blk, g, sz)`` with the
+    per-doc distinct gram count attached — the inverted-index feed.
+
+    Built codegen-native: tokens posexplode to (pos, word) rows and
+    n-grams assemble from ``lead()`` windows over the doc's position
+    order, so no higher-order-function lambda ever runs (Spark
+    evaluates HOF transforms on the interpreted path — measured ~21 us
+    per shingle, which dominates any downstream join at corpus scale).
+    The doc-keyed lead windows and the distinct/count reuse one
+    doc_id partitioning.
+    """
+    toked = docs.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("blk"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    tok_pos = toked.select(
+        "doc_id", "blk", F.posexplode("_tk").alias("pos", "w")
+    ).filter(F.col("w") != "")
+    if n == 1:
+        g = F.col("w")
+        rows = tok_pos.select("doc_id", "blk", g.alias("g"))
+    else:
+        wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("w")] + [
+            F.lead("w", i).over(wdoc) for i in range(1, n)
+        ]
+        # gram AND tail guard must come from the SAME projection: a
+        # filter between them would make the select re-run the lead
+        # windows over the filtered rows, truncating each doc's last
+        # grams (concat_ws silently skips the re-nulled leads)
+        rows = (
+            tok_pos.select(
+                "doc_id",
+                "blk",
+                F.concat_ws(" ", *parts).alias("g"),
+                parts[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .select("doc_id", "blk", "g")
+        )
+    distinct = rows.distinct()
+    wsz = Window.partitionBy("doc_id")
+    return distinct.withColumn(
+        "sz", F.count(F.lit(1)).over(wsz).cast("int")
     )
 
 

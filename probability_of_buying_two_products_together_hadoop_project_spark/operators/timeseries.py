@@ -409,3 +409,46 @@ def autocorr_lag1(
             "autocorr_lag1"
         ),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC downsampling — per (group, time bucket) the Open (value at
+    the earliest row), High, Low, Close (value at the latest row), and
+    volume count: the candlestick rollup every metrics store ships.
+
+    Open/close are rank-1 window picks over the UNIQUE (ts, id) order
+    — first_value/last_value under an explicit total order, so ties at
+    the same timestamp resolve identically in any engine (min_by on a
+    raw timestamp would be nondeterministic at ties). The ranking
+    window and the final aggregation share the (group, bucket) hash
+    partitioning, so the whole rollup is ONE exchange.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    d = df.select(
+        *group_cols,
+        b.alias("bkt"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+    )
+    w_asc = Window.partitionBy(*group_cols, "bkt").orderBy("_t", "_id")
+    w_desc = Window.partitionBy(*group_cols, "bkt").orderBy(
+        F.col("_t").desc(), F.col("_id").desc()
+    )
+    ranked = d.withColumn("_ra", F.row_number().over(w_asc)).withColumn(
+        "_rd", F.row_number().over(w_desc)
+    )
+    return ranked.groupBy(*group_cols, "bkt").agg(
+        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )

@@ -134,3 +134,28 @@ def test_kmv_merge_equals_full_rebuild(spark, n_a, n_b):
     ).collect()
     direct = sketches.kmv_distinct(full, "key", ["grp"], k=k).collect()
     assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+
+
+def test_ohlc_tie_contract_and_aggregates(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import timeseries as ts_ops
+
+    base = 3_600_000_000
+    rows = [
+        # hour 0: two events at the SAME timestamp -> id breaks the tie
+        (2, "u", "view", 100, 5.0),
+        (1, "u", "view", 100, 3.0),   # open: id 1 -> 3.0
+        (3, "u", "view", 200, 9.0),
+        (4, "u", "view", 200, 1.0),   # close: same t, larger id -> 1.0
+        # hour 1: single event
+        (5, "u", "view", base + 7, 4.5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us", "value"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    out = {r["bkt"].hour: r for r in ts_ops.ohlc(df).collect()}
+    h0 = out[0]
+    assert (h0["open"], h0["high"], h0["low"], h0["close"], h0["volume"]) == (
+        3.0, 9.0, 1.0, 1.0, 4,
+    )
+    h1 = out[1]
+    assert (h1["open"], h1["close"], h1["volume"]) == (4.5, 4.5, 1)

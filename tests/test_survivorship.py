@@ -2,6 +2,7 @@
 python parity for the asymmetric measure, and field-wise merge contracts
 (longest text, modal lang/source, deterministic tie-breaks)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from probability_of_buying_two_products_together_hadoop_project_spark.operators import dedup
@@ -19,12 +20,16 @@ def _shingles(text):
     return set(text.lower().split())
 
 
-def test_containment_matches_brute_force(spark):
+
+
+
+@pytest.mark.parametrize("verify", ["rows", "arrays"])
+def test_containment_matches_brute_force(spark, verify):
     df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source", "n_chars"])
     got = {
         (r["doc_id"], r["container_id"]): r["containment"]
         for r in dedup.containment_pairs(
-            df, block_col="source", shingle_n=1, threshold=0.6
+            df, block_col="source", shingle_n=1, threshold=0.6, verify=verify
         ).collect()
     }
     want = {}
