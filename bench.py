@@ -102,6 +102,8 @@ HEADLINE = [
     "golden_record_docs",
     "event_debounce_1d",
     "ewma_value_events",
+    "containment_quotes_trigram",
+    "ohlc_hourly_events",
 ]
 
 

@@ -507,3 +507,58 @@ def run_append_to_memory(stream_df: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def kmv_sketch_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 32,
+):
+    """Streaming distinct-count sketch maintenance via ``foreachBatch``
+    + the persisted KMV sample table — the streaming face of
+    ``sketches.kmv_merge_samples``: each micro-batch contributes its
+    k-minima, the merge re-ranks <= 2k rows per group, and the state
+    table always equals the sketch OF ALL DATA EVER SEEN exactly
+    (k-minima merging is lossless — ``kmv_incremental_verified`` pins
+    it against the full-data oracle).
+
+    State is O(k x groups) FOREVER — the unbounded-horizon distinct
+    estimate the watermark-bounded native ``approx_count_distinct``
+    streaming aggs cannot give. Crash/replay converges because the
+    merge is IDEMPOTENT (hash-set union + re-rank: merging a batch
+    twice is a no-op), so the swap needs no two-phase commit: the
+    staged state replaces the live dir, and a replayed batch simply
+    re-merges. Read the estimate any time with
+    ``sketches.kmv_estimate(spark.read.parquet(state_path), ...)``.
+    """
+    import shutil
+
+    from ..operators.sketches import kmv_merge_samples, kmv_sample
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_sketch = kmv_sample(batch_df, key_col, group_cols, k=k)
+        old = state_path + ".old"
+        if not os.path.isdir(state_path) and os.path.isdir(old):
+            os.replace(old, state_path)  # crashed mid-swap: restore
+        if os.path.isdir(state_path):
+            state = s.read.parquet(state_path)
+            merged = kmv_merge_samples(state, batch_sketch, group_cols, k=k)
+        else:
+            merged = batch_sketch
+        staged = state_path + f"._staged-{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(state_path, old)
+        os.replace(staged, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "._checkpoint")
+        .start()
+    )

@@ -610,3 +610,52 @@ def test_dedup_index_sink_unbounded_horizon(spark, tmp_path):
         (r["doc_id"], r["n_in_batch"]) for r in spark.read.parquet(table).collect()
     }
     assert got3 == got2
+
+
+def test_kmv_sketch_sink_equals_batch_sketch(spark, tmp_path):
+    """Drain events in two micro-batches through the KMV sketch sink:
+    the persisted state must equal the one-shot batch sketch of ALL
+    rows (k-minima merging is lossless), and so must the estimate."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import sketches
+
+    src = str(tmp_path / "kmv_src")
+    rows1 = [(i, f"2024-01-01 10:{i % 60:02d}:00", i % 37, "view") for i in range(120)]
+    rows2 = [(1000 + i, f"2024-01-01 11:{i % 60:02d}:00", i % 53, "view") for i in range(120)]
+    for name, rows in (("f0", rows1), ("f1", rows2)):
+        (
+            spark.createDataFrame(
+                rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+            )
+            .select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+    stream = (
+        spark.readStream.schema(streams.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    state = str(tmp_path / "kmv_state")
+    q = streams.kmv_sketch_sink(stream, state, "user_id", ["event_type"], k=16)
+    q.awaitTermination()
+
+    full = spark.read.parquet(f"{src}/f*")
+    want = sorted(
+        tuple(r)
+        for r in sketches.kmv_sample(full, "user_id", ["event_type"], k=16).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert got == want
+    est = sketches.kmv_estimate(
+        spark.read.parquet(state), ["event_type"], k=16
+    ).collect()[0]
+    direct = sketches.kmv_distinct(full, "user_id", ["event_type"], k=16).collect()[0]
+    assert tuple(est) == tuple(direct)
