@@ -7878,6 +7878,87 @@ def q_ohlc(spark, sf_dir):
     return timeseries.ohlc(ev)
 
 
+@register(
+    "key_skew_report_orders",
+    """
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+    ),
+    dv AS (SELECT cnt AS v, count(*) AS k FROM c GROUP BY 1),
+    cum AS (
+      SELECT v, sum(k) OVER (ORDER BY v) AS cc, sum(k) OVER () AS n
+      FROM dv
+    ),
+    q AS (
+      SELECT
+        min(CASE WHEN cc >= (1 * n + 1) // 2 THEN v END) AS p50_cnt,
+        min(CASE WHEN cc >= (99 * n + 99) // 100 THEN v END) AS p99_cnt
+      FROM cum
+    ),
+    tot AS (
+      SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+             sum(cnt) AS n_rows
+      FROM c
+    ),
+    top10 AS (
+      SELECT sum(cnt) AS hot FROM (
+        SELECT cnt FROM c ORDER BY cnt DESC, o_custkey LIMIT 10)
+    )
+    SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST(t.n_rows AS BIGINT) AS n_rows,
+           CAST(t.max_cnt AS BIGINT) AS max_cnt,
+           CAST(q.p50_cnt AS BIGINT) AS p50_cnt,
+           CAST(q.p99_cnt AS BIGINT) AS p99_cnt,
+           CAST(top10.hot AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+             AS top10_share
+    FROM tot t, q, top10
+    """,
+    "Join-key skew diagnostic — the operational input for choosing "
+    "salted-join / AQE-skew parameters: per-key frequency distribution "
+    "of orders.o_custkey summarized as exact DISCRETE p50/p99 key "
+    "frequencies (the grouped_value_cum order-statistics backbone over "
+    "the counts-of-counts table — distinct-frequency sized, never a "
+    "key sort), max frequency, and the row share of the 10 hottest "
+    "keys (TakeOrdered, no global sort). One key aggregation is the "
+    "only data-sized pass",
+)
+def q_key_skew(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = relational.grouped_value_cum(
+        c, [], "cnt", bucket_expr=F.floor(F.col("cnt"))
+    )
+    p50 = relational.grouped_discrete_quantile(cum, [], "cnt", 1, 2, "p50_cnt")
+    p99 = relational.grouped_discrete_quantile(
+        cum, [], "cnt", 99, 100, "p99_cnt"
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    hot = (
+        c.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("hot"))
+    )
+    return (
+        tot.crossJoin(p50)
+        .crossJoin(p99)
+        .crossJoin(hot)
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            (F.col("hot").cast("double") / F.col("n_rows").cast("double")).alias(
+                "top10_share"
+            ),
+        )
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -8058,6 +8139,7 @@ _ROTATION_TAIL = {
     "autocorr_hourly_events": "r05-local",
     "containment_quotes_trigram": "r05-local",
     "ohlc_hourly_events": "r05-local",
+    "key_skew_report_orders": "r05-local",
 }
 
 
