@@ -7959,6 +7959,280 @@ def q_key_skew(spark, sf_dir):
     )
 
 
+@register(
+    "attribution_linear_credit",
+    """
+    WITH v AS (
+      SELECT event_id AS vid, user_id, epoch_us(ts) AS vt
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT v.vid, v.user_id, p.pid
+      FROM v JOIN p ON p.user_id = v.user_id
+       AND v.vt > p.pt - 3600000000 AND v.vt <= p.pt
+    ),
+    n AS (SELECT pid, count(*) AS n FROM j GROUP BY 1),
+    c AS (
+      SELECT j.vid, j.user_id, 1000000000000 // n.n AS cu
+      FROM j JOIN n USING (pid)
+    )
+    SELECT vid AS event_id, user_id,
+           count(*) AS n_touches,
+           CAST(sum(cu) AS BIGINT) AS credit_units,
+           CAST(CAST(sum(cu) AS BIGINT) AS DOUBLE) / 1e12 AS credit
+    FROM c GROUP BY 1, 2
+    """,
+    "Multi-touch LINEAR attribution: every view in the hour before a "
+    "purchase shares that purchase's credit equally — per-purchase "
+    "share = 1e12 DIV n_touches in FIXED-POINT units, because summing "
+    "1/n doubles across purchases is order-dependent (the PageRank "
+    "never-iterate-rounded-floats lesson applied to credit "
+    "accounting); integer unit sums are associative, the double "
+    "rendering happens ONCE at the end. User-keyed interval join — "
+    "pair volume bounded per user by the window, the streaming twin's "
+    "state-eviction bound",
+)
+def q_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", t.alias("vt")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("puid"),
+        t.alias("pt"),
+    )
+    j = v.join(
+        p,
+        (F.col("puid") == F.col("user_id"))
+        & (F.col("vt") > F.col("pt") - 3_600_000_000)
+        & (F.col("vt") <= F.col("pt")),
+    ).select("vid", "user_id", "pid")
+    n = j.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    c = j.join(n, "pid").select(
+        "vid", "user_id", F.expr("1000000000000 DIV n").alias("cu")
+    )
+    return c.groupBy("vid", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("cu").alias("credit_units"),
+        (F.sum("cu").cast("double") / F.lit(1e12)).alias("credit"),
+    ).select(
+        F.col("vid").alias("event_id"),
+        "user_id",
+        "n_touches",
+        "credit_units",
+        "credit",
+    )
+
+
+@register(
+    "chi2_source_lang",
+    """
+    WITH o AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, sum(o) AS r FROM o GROUP BY 1),
+    ct AS (SELECT lang, sum(o) AS c FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM o),
+    t AS (
+      SELECT CAST(floor(
+               (CAST(o.o AS DOUBLE)
+                  - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                    / CAST(n.n AS DOUBLE))
+               * (CAST(o.o AS DOUBLE)
+                  - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                    / CAST(n.n AS DOUBLE))
+               / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS tu
+      FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    )
+    SELECT CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST(sum(tu) AS BIGINT) AS chi2_units,
+           CAST(CAST(sum(tu) AS BIGINT) AS DOUBLE) / 1e9 AS chi2
+    FROM t
+    """,
+    "Chi-square independence test over the (source x lang) contingency "
+    "table: expected counts and per-cell terms are fixed-order double "
+    "expressions, but the SUM over cells is where engines diverge — so "
+    "each term quantizes to integer 1e-9 units first (floor) and the "
+    "sum is associative integer addition, the embedding-centroids "
+    "float-reduction lesson applied to test statistics. Contingency, "
+    "marginals, and dof are all tiny aggregates of one scan",
+)
+def q_chi2(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = o.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    t = (
+        o.join(rt, "source")
+        .join(ct, "lang")
+        .crossJoin(F.broadcast(n))
+        .select(F.floor(term * F.lit(1e9)).cast("bigint").alias("tu"))
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    agg = t.agg(F.sum("tu").alias("chi2_units"))
+    return dof.crossJoin(agg).select(
+        F.col("dof").cast("bigint").alias("dof"),
+        F.col("chi2_units").cast("bigint").alias("chi2_units"),
+        (F.col("chi2_units").cast("double") / F.lit(1e9)).alias("chi2"),
+    )
+
+
+_POIS = (
+    "0.36787944117144233",  # e^-1: P(X=0)
+    "0.7357588823428847",   # P(X<=1)
+    "0.9196986029286058",   # P(X<=2)
+    "0.9810118431238462",   # P(X<=3)
+)
+
+
+@register(
+    "bootstrap_ci_totalprice",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    w AS (
+      SELECT r.b, o.o_totalprice AS x,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  ELSE 4 END AS w
+      FROM reps r CROSS JOIN (
+        SELECT o_orderkey, o_totalprice FROM orders) o,
+      LATERAL (SELECT (('0x' || substr(md5(
+                 CAST(r.b AS VARCHAR) || '|' ||
+                 CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u)
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS m
+      FROM w WHERE w > 0 GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+             count(*) OVER () AS nb
+      FROM means
+    ),
+    base AS (
+      SELECT count(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS mean_price
+      FROM orders
+    )
+    SELECT CAST(base.n_rows AS BIGINT) AS n_rows,
+           base.mean_price,
+           CAST((SELECT max(nb) FROM ranked) AS BIGINT) AS n_replicates,
+           (SELECT min(m) FROM ranked
+            WHERE rk >= (5 * (SELECT max(nb) FROM ranked) + 99) // 100)
+             AS ci_lo,
+           (SELECT min(m) FROM ranked
+            WHERE rk >= (95 * (SELECT max(nb) FROM ranked) + 99) // 100)
+             AS ci_hi
+    FROM base
+    """,
+    "Deterministic Poisson bootstrap (the scalable bootstrap: Chamandy "
+    "et al., Google 2012) for the mean order price: 32 replicates "
+    "weight each row by an md5-derived Poisson(1) draw — the dyadic "
+    "uniform compared against FIXED inverse-CDF threshold literals, so "
+    "both engines draw the identical weight; replicate means are "
+    "exact-decimal weighted sums; the 5th/95th percentile bounds are "
+    "DISCRETE picks at integer-ceiling ranks over the 32-row mean "
+    "table. No resampling shuffle — each replicate is a weighted "
+    "aggregate of the same scan, the property that makes bootstrap "
+    "feasible at 100 TB",
+)
+def q_bootstrap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("b").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    w = (
+        F.when(u < float(_POIS[0]), 0)
+        .when(u < float(_POIS[1]), 1)
+        .when(u < float(_POIS[2]), 2)
+        .when(u < float(_POIS[3]), 3)
+        .otherwise(4)
+    )
+    weighted = (
+        reps.crossJoin(o)
+        .withColumn("w", w)
+        .filter(F.col("w") > 0)
+    )
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(
+                F.col("w") * F.col("o_totalprice").cast("decimal(18,4)")
+            ).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    wrk = Window.orderBy("m", "b")
+    ranked = means.select(
+        "m",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    lo = ranked.filter(
+        F.col("rk") >= F.expr("CAST((5 * nb + 99) DIV 100 AS BIGINT)")
+    ).agg(F.min("m").alias("ci_lo"))
+    hi = ranked.filter(
+        F.col("rk") >= F.expr("CAST((95 * nb + 99) DIV 100 AS BIGINT)")
+    ).agg(F.min("m").alias("ci_hi"))
+    nb = ranked.agg(F.max("nb").cast("bigint").alias("n_replicates"))
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )
+    return (
+        base.crossJoin(nb).crossJoin(lo).crossJoin(hi).select(
+            "n_rows", "mean_price", "n_replicates", "ci_lo", "ci_hi"
+        )
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -8140,6 +8414,9 @@ _ROTATION_TAIL = {
     "containment_quotes_trigram": "r05-local",
     "ohlc_hourly_events": "r05-local",
     "key_skew_report_orders": "r05-local",
+    "attribution_linear_credit": "r05-local",
+    "chi2_source_lang": "r05-local",
+    "bootstrap_ci_totalprice": "r05-local",
 }
 
 
