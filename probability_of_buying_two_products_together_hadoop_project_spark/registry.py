@@ -8284,6 +8284,48 @@ def q_set_ops_bag(spark, sf_dir):
     return inter.unionByName(exc)
 
 
+@register(
+    "window_value_picks_events",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 3) OVER w AS third_val,
+           first_value(value) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS first_in_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    "The value-pick window battery (first_value / last_value / "
+    "nth_value) under an explicit UNIQUE (ts, event_id) order: "
+    "last_value needs the UNBOUNDED FOLLOWING frame spelled out (the "
+    "default frame ends at CURRENT ROW, making last_value an alias "
+    "for the row itself — the classic silent-wrong-answer), and "
+    "nth_value over the default running frame is null until the "
+    "frame holds 3 rows. One user exchange for all four picks",
+)
+def q_window_value_picks(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_all).alias("last_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+        F.first("value").over(w3).alias("first_in_frame"),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -8469,6 +8511,7 @@ _ROTATION_TAIL = {
     "chi2_source_lang": "r05-local",
     "bootstrap_ci_totalprice": "r05-local",
     "set_ops_bag_semantics": "r05-local",
+    "window_value_picks_events": "r05-local",
 }
 
 

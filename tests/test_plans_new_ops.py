@@ -94,3 +94,25 @@ def test_kmv_sample_bounded_window_partitions(spark):
         sketches.kmv_sample(df, "key", ["grp"], k=8, n_buckets=64)
     )
     assert "pmod" in plan
+
+
+def test_observe_metrics_surface(spark, sf_smoke):
+    """DataFrame.observe(): accumulator-style metrics ride the normal
+    action without a second scan — the monitoring surface a pipeline
+    wraps around every stage."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_metrics")
+    orders = spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+    df = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+        F.max("o_orderdate").alias("latest"),
+    )
+    n_rows = df.count()
+    got = obs.get
+    assert got["n"] == n_rows
+    assert got["total"] > 0 and got["latest"] is not None
