@@ -8326,6 +8326,179 @@ def q_window_value_picks(spark, sf_dir):
     )
 
 
+_RFM_EDGE_CTE = """
+      SELECT i, min(v) AS edge FROM (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cc, sum(c) OVER () AS n
+        FROM (SELECT {col} AS v, count(*) AS c FROM base GROUP BY 1)
+      ) JOIN (SELECT unnest(range(1, 5)) AS i)
+        ON cc >= (i * n + 4) // 5
+      GROUP BY i
+"""
+
+
+@register(
+    "rfm_segmentation",
+    f"""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+               AS recency_day,
+             count(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    re AS ({_RFM_EDGE_CTE.format(col="recency_day")}),
+    fe AS ({_RFM_EDGE_CTE.format(col="frequency")}),
+    me AS ({_RFM_EDGE_CTE.format(col="monetary")})
+    SELECT b.o_custkey, b.recency_day, CAST(b.frequency AS BIGINT)
+             AS frequency, b.monetary,
+           CAST(1 + (SELECT count(*) FROM re
+                     WHERE b.recency_day > re.edge) AS BIGINT) AS r_q,
+           CAST(1 + (SELECT count(*) FROM fe
+                     WHERE b.frequency > fe.edge) AS BIGINT) AS f_q,
+           CAST(1 + (SELECT count(*) FROM me
+                     WHERE b.monetary > me.edge) AS BIGINT) AS m_q,
+           CAST((1 + (SELECT count(*) FROM re
+                      WHERE b.recency_day > re.edge)) * 100
+              + (1 + (SELECT count(*) FROM fe
+                      WHERE b.frequency > fe.edge)) * 10
+              + (1 + (SELECT count(*) FROM me
+                      WHERE b.monetary > me.edge)) AS BIGINT) AS rfm_score
+    FROM base b
+    """,
+    "RFM customer segmentation — the classic marketing triple: "
+    "recency (last order day), frequency (order count), monetary "
+    "(exact-decimal spend), each assigned to quintiles by DISCRETE "
+    "data-value edges (integer-ceiling ranks via the "
+    "grouped_value_cum backbone, three distinct-value-sized passes), "
+    "combined into the 111..555 RFM score. The three 4-edge arrays "
+    "broadcast onto ONE assignment scan of the per-customer "
+    "aggregate; higher bucket = higher value in every dimension",
+)
+def q_rfm(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        # calendar-day arithmetic, never epoch-of-NTZ: TZ-independent in
+        # any driver session (the _t events guard does not cover orders)
+        F.datediff(F.to_date(F.max("o_orderdate")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+
+    def edges(col):
+        cum = relational.grouped_value_cum(
+            base.select(col), [], col, bucket_expr=F.floor(F.col(col))
+        )
+        n_total = cum.agg(F.max("n").alias("n"))
+        targets = n_total.select(
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("i"), "n"
+        ).select(
+            "i", F.expr("CAST((i * n + 4) DIV 5 AS BIGINT)").alias("tgt")
+        )
+        e = (
+            cum.join(F.broadcast(targets), F.col("cc") >= F.col("tgt"))
+            .groupBy("i")
+            .agg(F.min(col).alias("edge"))
+        )
+        return e.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("edge")))
+            ).alias("es")
+        ).select(
+            F.transform(F.col("es"), lambda s: s.edge).alias(f"{col}_edges")
+        )
+
+    d = (
+        base.crossJoin(F.broadcast(edges("recency_day")))
+        .crossJoin(F.broadcast(edges("frequency")))
+        .crossJoin(F.broadcast(edges("monetary")))
+    )
+
+    def bucket(col):
+        return (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col(f"{col}_edges"), lambda e: F.col(col) > e)
+            )
+        ).cast("bigint")
+
+    return d.select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        "monetary",
+        bucket("recency_day").alias("r_q"),
+        bucket("frequency").alias("f_q"),
+        bucket("monetary").alias("m_q"),
+        (
+            bucket("recency_day") * 100
+            + bucket("frequency") * 10
+            + bucket("monetary")
+        ).alias("rfm_score"),
+    )
+
+
+@register(
+    "session_bounce_rate_daily",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM x
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             date_trunc('day', min(ts)) AS day, count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS bounce_rate
+    FROM per GROUP BY 1
+    """,
+    "Daily bounce rate — the canonical product-analytics session "
+    "metric: gap-sessionize (30 min), one row per session keyed to "
+    "the day of its FIRST event, bounce = single-event session; rate "
+    "is one integer-over-integer division. The sessionize windows and "
+    "the per-session aggregate share the user exchange; the daily "
+    "reduce is day-bounded",
+)
+def q_bounce_rate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = relational.sessionize(ev, "user_id", "ts", 1800, "event_id")
+    per = s.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_bounced"),
+        (
+            F.sum((F.col("n_events") == 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -8512,6 +8685,8 @@ _ROTATION_TAIL = {
     "bootstrap_ci_totalprice": "r05-local",
     "set_ops_bag_semantics": "r05-local",
     "window_value_picks_events": "r05-local",
+    "rfm_segmentation": "r05-local",
+    "session_bounce_rate_daily": "r05-local",
 }
 
 
