@@ -104,6 +104,10 @@ HEADLINE = [
     "ewma_value_events",
     "containment_quotes_trigram",
     "ohlc_hourly_events",
+    "key_skew_report_orders",
+    "attribution_linear_credit",
+    "bootstrap_ci_totalprice",
+    "rfm_segmentation",
 ]
 
 

@@ -383,3 +383,75 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    max_hops: int = 4,
+    seed: DataFrame | None = None,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Fixed-round multi-source BFS over a directed edge list (``src``,
+    ``dst``): minimum hop distance from the seed set, for every node
+    reached within ``max_hops`` rounds. Output (node, hops) — nodes the
+    frontier never reached are absent (their distance is not known to
+    be finite at this horizon), which keeps the output a pure function
+    of the rounds actually run.
+
+    The missing graph primitive next to PageRank (centrality),
+    triangles (clustering), k-core (density) and ``near_dup_clusters``
+    (components): DISTANCE — "how far does influence propagate from
+    this item", recommendation-radius and reachability analysis over
+    the co-occurrence graph.
+
+    ``seed``: one-column (``node``) DataFrame; defaults to the single
+    minimum-id node — an aggregate the SQL oracle states identically,
+    so the default stays cross-engine deterministic. Multi-source BFS
+    (a seed set) is the same dataflow with a wider round-0 frontier.
+
+    Fixed iteration count, not run-to-convergence (the PageRank design
+    rule): ``max_hops`` unrolled rounds = ``max_hops`` join+agg stages,
+    expressible as chained ANSI-SQL CTEs for the oracle. An exhausted
+    frontier makes the remaining rounds empty no-ops — no driver-side
+    convergence test, no action per round.
+
+    Dataflow per round: frontier ⋈ edges (on src) → distinct dst →
+    anti-join against settled nodes → that's the next frontier. The
+    frontier and settled tables are (node[, hops]) rows — broadcast-
+    sized long after the edge table stops being so; localCheckpoint
+    erases their size stats (the PageRank lesson), so the hint is
+    explicit. With ``broadcast_frontier`` the edge table never
+    shuffles: each round pipelines over the edge scan partitioning and
+    only the distinct-dst aggregation's partial rows move. Set False
+    for graphs whose per-round frontier outgrows executor memory —
+    rounds fall back to src-keyed shuffle joins; the edge table is
+    repartitioned by src ONCE and reused (checkpoint-pinned) across
+    all rounds.
+    """
+    if not (1 <= max_hops <= 16):
+        raise ValueError(f"max_hops must be in [1, 16], got {max_hops}")
+    maybe_bcast = F.broadcast if broadcast_frontier else (lambda df: df)
+    if not broadcast_frontier:
+        edges = edges.repartition("src")
+    edges = edges.localCheckpoint(eager=True)
+    if seed is None:
+        # symmetric edge lists carry every node as a src
+        seed = edges.agg(F.min("src").alias("node"))
+    settled = seed.select(
+        "node", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
+    frontier = settled.select("node")
+    for h in range(1, max_hops + 1):
+        frontier = (
+            edges.join(
+                maybe_bcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(maybe_bcast(settled.select("node")), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionAll(
+            frontier.select("node", F.lit(h).cast("long").alias("hops"))
+        ).localCheckpoint(eager=True)
+    return settled

@@ -1394,3 +1394,98 @@ def bpe_encode_words(
         "seq",
         F.size(F.split("seq", " ")).cast("long").alias("n_symbols"),
     )
+
+
+def scrub_repeated_segments(
+    docs: DataFrame,
+    seg_len: int = 8,
+    max_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL (Lee et al. 2021 §4, the step after
+    the screen): rewrite every document with its corpus-repeated spans
+    deleted, at fixed ``seg_len``-token segment granularity. Where
+    :func:`duplicate_gram_screen` SCORES documents, this operator
+    produces the scrubbed training text itself — the form the dedup
+    paper actually trains on.
+
+    Semantics: each doc's token stream is cut into consecutive
+    non-overlapping ``seg_len``-token segments (final short tail kept);
+    a segment survives iff its exact text occurs <= ``max_count`` times
+    in the WHOLE corpus (the default 1 deletes every span that appears
+    anywhere else, including its first occurrence — the paper's
+    strictest variant, and the one with a deterministic closed form).
+    Fixed segment boundaries are the scalable discretization of the
+    suffix-array span match: a copied run of >= 2*seg_len-1 tokens is
+    guaranteed to cover at least one aligned segment, shorter or
+    misaligned copies may escape — a documented recall trade, not a
+    correctness one.
+
+    Engine shape (2 keyed exchanges, nothing quadratic): segment rows
+    build NARROW — tokens, ceil-div segment ids from an exploded
+    ``sequence()``, ``slice`` + ``array_join`` (all codegen; no
+    interpreted HOF lambda runs per token — the gram_rows lesson).
+    Corpus multiplicities come from one window over ``seg_text`` (the
+    exchange carries (doc, seg, text-slice) rows ∝ corpus tokens);
+    reassembly is one doc-keyed window ordered by segment id:
+    ``collect_list`` drops the nulls the kept-filter leaves, so the
+    clean text concatenates in position order without a per-doc sort
+    or HOF. Empty docs rejoin with empty clean text.
+
+    Output: (doc_id, n_segments, n_kept, clean_text), one row per doc.
+    """
+    if seg_len < 1:
+        raise ValueError(f"seg_len must be >= 1, got {seg_len}")
+    if max_count < 1:
+        raise ValueError(f"max_count must be >= 1, got {max_count}")
+    base = docs.select(id_col, tokens(F.col(text_col)).alias("_tk"))
+    segs = (
+        base.filter(F.size("_tk") >= 1)
+        .select(
+            id_col,
+            "_tk",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("_tk") + F.lit(seg_len - 1)) / F.lit(seg_len))
+                    .cast("int")
+                    - F.lit(1),
+                )
+            ).alias("seg"),
+        )
+        .select(
+            id_col,
+            "seg",
+            F.array_join(
+                F.slice(
+                    F.col("_tk"), F.col("seg") * seg_len + 1, F.lit(seg_len)
+                ),
+                " ",
+            ).alias("seg_text"),
+        )
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("seg_text"))
+    kept = segs.select(
+        id_col, "seg", "seg_text", (cnt <= max_count).alias("_keep")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rebuilt = kept.select(
+        id_col,
+        F.count(F.lit(1)).over(w).alias("n_segments"),
+        F.sum(F.col("_keep").cast("long")).over(w).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.collect_list(F.when(F.col("_keep"), F.col("seg_text"))).over(w),
+        ).alias("clean_text"),
+    ).dropDuplicates([id_col])
+    return base.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

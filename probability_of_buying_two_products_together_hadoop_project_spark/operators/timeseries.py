@@ -452,3 +452,52 @@ def ohlc(
         F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
         F.count(F.lit(1)).alias("volume"),
     )
+
+
+def seasonal_hourly(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day seasonal decomposition of each group's hourly count
+    series: ``count = seasonal + residual``, where the seasonal term is
+    the group's mean count for that clock hour across all OBSERVED
+    hourly buckets (the classic "seasonal means" profile — the additive
+    baseline every calendar-seasonality monitor subtracts before
+    looking for anomalies; :func:`burst_detect` compares neighbors,
+    this compares each hour to its own hour-of-day norm).
+
+    Only observed (group, hour) buckets participate — an hour with zero
+    events is absent from the series, not a zero sample (the gap-fill
+    operator exists for the densified view; both engines see the same
+    bucket set, so the contract stays oracle-exact).
+
+    Determinism: the inputs to the seasonal mean are exact int64 sums
+    (counts), so ``sum / n`` is ONE correctly-rounded double division —
+    identical in both engines — and ``cnt - seasonal`` is one exact
+    IEEE subtraction of exactly-representable operands. No iterated
+    float arithmetic (the PageRank lesson does not bite single-step
+    divisions).
+
+    Plan: one (group, hour) aggregation (map-side partial — raw events
+    never shuffle whole), then one window over the REDUCED bucket rows
+    keyed (group, hour-of-day). At 100 TB the bucket table is
+    groups x hours — analytics-sized regardless of event volume.
+
+    Output: (*group_cols, hr, hod, cnt, seasonal, residual).
+    """
+    buckets = hourly_counts(df, group_cols, ts_col)
+    hod = F.hour("hr").cast("bigint")
+    w = Window.partitionBy(*group_cols, hod)
+    seasonal = (
+        F.sum("cnt").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return buckets.select(
+        *group_cols,
+        "hr",
+        hod.alias("hod"),
+        "cnt",
+        seasonal.alias("seasonal"),
+        (F.col("cnt").cast("double") - seasonal).alias("residual"),
+    )

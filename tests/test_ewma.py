@@ -12,9 +12,10 @@ WEIGHTS = [(A_DEN - A_NUM) ** i * A_DEN ** (L - i) for i in range(L + 1)]
 
 
 def _py_ewma(vals):
+    import math
+
     out = []
-    qs = [int(v * UNIT // 1) for v in vals]
-    qs = [int(__import__("math").floor(v * UNIT)) for v in vals]
+    qs = [int(math.floor(v * UNIT)) for v in vals]
     for t in range(len(qs)):
         num = den = 0
         for i, w in enumerate(WEIGHTS):

@@ -273,3 +273,82 @@ def test_pagerank_broadcast_and_generic_paths_agree(spark):
         for r in graph.pagerank(df, iters=4, broadcast_ranks=False).collect()
     }
     assert fast == slow == py_pagerank(edges, iters=4)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _bfs_edges(spark, pairs):
+    return spark.createDataFrame(sorted(set(pairs)), "src string, dst string")
+
+
+def py_bfs(edges, seeds, max_hops):
+    """Pure-python mirror: min hop distance within max_hops rounds."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {d for s in frontier for d in adj.get(s, ())} - dist.keys()
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_chain_default_seed(spark):
+    # chain a->b->c->d->e (symmetric) plus isolated pair x<->y: default
+    # seed is min src = "a"; the x/y component is unreachable and absent.
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    pairs = chain + [(d, s) for s, d in chain] + [("x", "y"), ("y", "x")]
+    got = {
+        r.node: r.hops
+        for r in graph.bfs_hops(_bfs_edges(spark, pairs), max_hops=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}  # e beyond horizon, x/y absent
+
+
+def test_bfs_hops_matches_python_reference_random(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(40)]
+    pairs = {(a, b) for _ in range(90) for a, b in [rng.sample(nodes, 2)]}
+    pairs |= {(b, a) for a, b in pairs}
+    edges = sorted(pairs)
+    seed = min(s for s, _ in edges)
+    want = py_bfs(edges, [seed], 4)
+    got = {
+        r.node: r.hops
+        for r in graph.bfs_hops(_bfs_edges(spark, edges), max_hops=4).collect()
+    }
+    assert got == want
+
+
+def test_bfs_hops_multi_seed_and_shuffle_variant_agree(spark):
+    rng = random.Random(23)
+    nodes = [f"m{i}" for i in range(25)]
+    pairs = {(a, b) for _ in range(60) for a, b in [rng.sample(nodes, 2)]}
+    edges = _bfs_edges(spark, sorted(pairs))
+    seeds = spark.createDataFrame([("m0",), ("m7",)], "node string")
+    want = py_bfs(sorted(pairs), ["m0", "m7"], 3)
+    bc = {
+        r.node: r.hops
+        for r in graph.bfs_hops(edges, max_hops=3, seed=seeds).collect()
+    }
+    sh = {
+        r.node: r.hops
+        for r in graph.bfs_hops(
+            edges, max_hops=3, seed=seeds, broadcast_frontier=False
+        ).collect()
+    }
+    assert bc == want and sh == want
+
+
+def test_bfs_hops_rejects_bad_horizon(spark):
+    e = _bfs_edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        graph.bfs_hops(e, max_hops=0)
+    with pytest.raises(ValueError):
+        graph.bfs_hops(e, max_hops=17)
