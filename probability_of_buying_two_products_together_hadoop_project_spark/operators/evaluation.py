@@ -1,0 +1,237 @@
+"""Statistical evaluation operators: exact ROC-AUC, Gini concentration,
+Kaplan-Meier survival.
+
+The reference has no evaluation surface at all (its one statistic is the
+relative co-occurrence frequency, /root/reference/src/CrystalBallPair.java:132);
+a data-curation engine needs to GRADE its own screens — does a quality
+score actually separate the classes it claims to? how concentrated is
+value across keys? how long do subjects survive? — so these land as
+first-class operators.
+
+Numerics posture (the repo's one rule): every statistic here reduces to
+exact integer/decimal aggregates combined in ONE final float expression.
+ROC-AUC is the rank-sum (Mann-Whitney U) form — pure integer counting,
+no trapezoids, no float accumulation; Gini is the sorted-weighted-sum
+identity over exact decimal sums; Kaplan-Meier accumulates 6dp-quantized
+log terms (exact decimal sums — the iterated-float product the textbook
+formula implies is exactly the cross-engine trap the PageRank lesson
+forbids).
+
+Scale posture: every rank/cumulative count comes from
+:func:`..operators.relational.grouped_value_cum` — the bucketed parallel
+prefix-sum — so nothing here ever funnels raw rows through a
+single-partition window. The post-reduction tables are distinct-value
+sized (scores, spend levels, durations), analytics-sized at any corpus
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import grouped_value_cum
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: tuple[str, ...] = (),
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the rank-sum (Mann-Whitney U)
+    identity: ``AUC = (R_pos - P(P+1)/2) / (P * N)`` where ``R_pos`` is
+    the sum of (average, tie-adjusted) ranks of the positive class.
+    This IS the probability a random positive outscores a random
+    negative (ties count half) — the integral-free, binning-free form.
+
+    Exactness: ranks are integers; tie-averaged ranks are half-integers,
+    so everything accumulates in 2x-scaled integers (``decimal(38,0)``
+    sums — immune to int64 overflow at 100 TB row counts where
+    rank-sums reach n^2). The single division at the end is one
+    correctly-rounded IEEE op. No float ever iterates.
+
+    Plan: one (group, score) aggregation, one
+    :func:`grouped_value_cum` pass (bucketed parallel prefix — no
+    global sort, no single-partition window), one broadcast-sized join
+    of two distinct-score tables, one final group agg. Raw rows are
+    touched exactly twice, reduced map-side both times.
+
+    Output: ``(*group_cols, n_pos, n_neg, auc)``; ``auc`` is NULL for
+    degenerate groups (single-class), which have no ranking to grade.
+    ``label_col`` must be 0/1-valued (int or boolean).
+    """
+    g = list(group_cols)
+    lab = F.col(label_col).cast("bigint")
+    base = df.select(*g, score_col, lab.alias("_y"))
+    cum = grouped_value_cum(
+        base.select(*g, score_col), g, score_col, bucket_expr
+    )
+    per_score = base.groupBy(*g, score_col).agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_y").alias("_p")
+    )
+    on = [*g, score_col]
+    joined = cum.join(per_score, on)
+    # rows tied at this score occupy ranks (cc-m+1)..cc; average rank =
+    # cc - (m-1)/2; doubled: 2*cc - m + 1 (always an exact integer).
+    rank2 = (
+        F.col("_p").cast("decimal(38,0)")
+        * (F.lit(2) * F.col("cc") - F.col("_m") + F.lit(1)).cast(
+            "decimal(38,0)"
+        )
+    )
+    agg = joined.groupBy(*g).agg(
+        F.sum("_p").cast("bigint").alias("n_pos"),
+        (F.first("n") - F.sum("_p")).cast("bigint").alias("n_neg"),
+        F.sum(rank2).alias("_r2"),
+    )
+    p = F.col("n_pos").cast("decimal(38,0)")
+    u2 = F.col("_r2") - p * (p + F.lit(1))  # = 2 * Mann-Whitney U
+    den2 = F.lit(2).cast("decimal(38,0)") * p * F.col("n_neg").cast(
+        "decimal(38,0)"
+    )
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double") / den2.cast("double"),
+        ).alias("auc"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient per group over a NON-NEGATIVE
+    exact-decimal value column: ``G = (2*sum_i(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x))`` with ``x`` ascending, 1-based ranks — 0 = perfectly
+    even, ->1 = one key holds everything. The inequality summary for
+    "how skewed is spend/traffic/token mass across keys" — the
+    DIAGNOSTIC twin of the key-skew report (that one finds hot join
+    keys; this one grades whole-distribution concentration).
+
+    Tie-invariance makes the sorted form exact: permuting equal values
+    cannot change ``sum(i*x_i)``, so the multiset identity
+    ``2*sum_i(i*x_i) = sum_v v*m*(2*cc - m + 1)`` (m = multiplicity,
+    cc = inclusive cumulative count from :func:`grouped_value_cum`)
+    computes it without any per-row rank. ``value_col`` MUST already be
+    an exact decimal (aggregate doubles with ``dsum``-style casts
+    first); products with the integer rank terms stay exact decimals,
+    and the final expression is evaluated once in doubles.
+
+    Output: ``(*group_cols, n, total, gini)``; ``gini`` NULL when the
+    group total is 0 (undefined) or n = 1.
+    """
+    g = list(group_cols)
+    base = df.select(*g, value_col)
+    cum = grouped_value_cum(base, g, value_col, bucket_expr)
+    per_val = base.groupBy(*g, value_col).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    joined = cum.join(per_val, [*g, value_col])
+    v = F.col(value_col).cast("decimal(38,6)")
+    # ranks in the tie block are (cc-m+1)..cc: sum of 2i = m*(2cc-m+1)
+    rank_term = (
+        F.col("_m") * (F.lit(2) * F.col("cc") - F.col("_m") + F.lit(1))
+    ).cast("decimal(38,0)")
+    agg = joined.groupBy(*g).agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.sum(v * F.col("_m").cast("decimal(38,0)")).alias("_tot"),
+        F.sum(v * rank_term).alias("_num2"),
+    )
+    n = F.col("n").cast("double")
+    tot = F.col("_tot").cast("double")
+    num2 = F.col("_num2").cast("double")
+    return agg.select(
+        *g,
+        "n",
+        tot.alias("total"),
+        F.when(
+            (F.col("_tot") > 0) & (F.col("n") > 1),
+            (num2 - (n + F.lit(1.0)) * tot) / (n * tot),
+        ).alias("gini"),
+    )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival over right-censored integer durations —
+    one row per subject in, one row per distinct exit time out:
+    ``(duration, n_risk, n_events, n_censored, log_survival)``.
+
+    ``log_survival`` is the LOG of the product-limit estimator,
+    ``sum_{t' <= t} ln(1 - d_t'/r_t')`` with each term quantized to a
+    6dp decimal before the (exact, order-independent) sum — the BM25 /
+    bigram-LM rounding rule. The textbook running PRODUCT of floats is
+    engine-divergent (the PageRank lesson); a sum of quantized decimals
+    is not, and survival probabilities are recovered as ``exp()`` at
+    display time. Once the risk set is absorbed (d = r: survival hits
+    exactly 0) the log is undefined — that row and everything after it
+    carries NULL.
+
+    ``n_risk`` at time t (subjects with duration >= t) comes from the
+    group total minus the EXCLUSIVE cumulative exit count — one
+    :func:`grouped_value_cum` pass over durations (bucketed parallel
+    prefix, no global sort of subjects). The cumulative log runs over
+    the DISTINCT-duration table (calendar-bounded: days/weeks, not
+    subjects), where a plain ordered window is analytics-sized at any
+    corpus scale.
+
+    ``event_col``: 1 = observed event (e.g. churn), 0 = right-censored
+    at that duration. Censored subjects leave the risk set but
+    contribute no hazard term — the entire point of KM.
+    """
+    base = subjects.select(
+        F.col(duration_col).alias("_d"),
+        F.col(event_col).cast("bigint").alias("_e"),
+    )
+    cum = grouped_value_cum(base.select("_d"), [], "_d", bucket_expr)
+    per_t = base.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("_e").alias("_dd")
+    )
+    j = cum.join(per_t, "_d").select(
+        F.col("_d"),
+        (F.col("n") - F.col("cc") + F.col("_m")).alias("_r"),
+        "_m",
+        "_dd",
+    )
+    term = F.when(
+        F.col("_dd") < F.col("_r"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("_dd").cast("double") / F.col("_r").cast("double")
+            ),
+            6,
+        ).cast("decimal(18,6)"),
+    )  # NULL when d == r (absorption: survival = 0, log undefined)
+    w = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = j.select(
+        "_d",
+        "_r",
+        "_dd",
+        (F.col("_m") - F.col("_dd")).alias("_cens"),
+        F.sum(term).over(w).alias("_ls"),
+        F.max((F.col("_dd") >= F.col("_r")).cast("int")).over(w).alias("_abs"),
+    )
+    return scored.select(
+        F.col("_d").alias(duration_col),
+        F.col("_r").cast("bigint").alias("n_risk"),
+        F.col("_dd").cast("bigint").alias("n_events"),
+        F.col("_cens").cast("bigint").alias("n_censored"),
+        F.when(F.col("_abs") == 0, F.col("_ls").cast("double")).alias(
+            "log_survival"
+        ),
+    )

@@ -1489,3 +1489,74 @@ def scrub_repeated_segments(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    corpus bigram distribution — the classic "which word pairs co-occur
+    far beyond chance" statistic (Church & Hanks 1990), the phrase
+    detector a tokenizer/embedding pipeline runs before merging
+    multi-word units.
+
+    Contingency-table formulation: with bigram count c_xy, row marginal
+    c_x* (bigrams starting with x), column marginal c_*y, and bigram
+    total N, ``pmi = ln(c_xy * N / (c_x* * c_*y))`` — one natural log
+    of an exact integer rational, rounded to 6dp (the BM25/bigram-LM
+    rule: single-step logs are engine-deterministic after quantization;
+    only ITERATED float arithmetic is not). ``min_count`` screens the
+    low-frequency pairs whose PMI estimates are noise (PMI's known
+    pathology: a hapax pair maxes the score).
+
+    Engine shape (the bigram-LM no-join-backs lesson): both marginals
+    are WINDOW sums over the reduced (bigram, count) table — vocab^2 is
+    never joined back, and nothing raw shuffles twice; N rides in on a
+    broadcast crossJoin of one agg row. Output order (pmi desc, bigram
+    asc) is total, so the limit is deterministic.
+
+    Output: ``(bigram, cnt, c_left, c_right, pmi)``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tk = normalized_tokens(text_col)
+    bi = (
+        docs.select(tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(F.explode(ngram_array(F.col("_tk"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_l = Window.partitionBy(F.split(F.col("bigram"), " ")[0])
+    w_r = Window.partitionBy(F.split(F.col("bigram"), " ")[1])
+    tot = bi.agg(F.sum("cnt").alias("_n"))
+    scored = (
+        bi.withColumn("c_left", F.sum("cnt").over(w_l))
+        .withColumn("c_right", F.sum("cnt").over(w_r))
+        .filter(F.col("cnt") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("c_left").cast("bigint").alias("c_left"),
+            F.col("c_right").cast("bigint").alias("c_right"),
+            # every factor casts to double BEFORE multiplying: int64
+            # c_xy*N overflows at corpus scale, while each int->double
+            # cast and float multiply is one correctly-rounded op in
+            # both engines (then one ln, one 6dp quantize)
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") * F.col("_n").cast("double"))
+                    / (
+                        F.col("c_left").cast("double")
+                        * F.col("c_right").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(k)

@@ -29,6 +29,7 @@ from .functions.scalar import davg, dsum
 from .operators import (
     basket,
     dedup,
+    evaluation,
     multimodal,
     relational,
     rules,
@@ -8633,6 +8634,237 @@ def q_seasonal_hourly(spark, sf_dir):
     return timeseries.seasonal_hourly(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "roc_auc_doclen_lang",
+    """
+    WITH b AS (
+      SELECT source, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), s AS (
+      SELECT source, n_chars, COUNT(*) AS m, SUM(y) AS p
+      FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT source, n_chars, m, p,
+             SUM(m) OVER (PARTITION BY source ORDER BY n_chars) AS cc,
+             SUM(m) OVER (PARTITION BY source) AS n
+      FROM s
+    ), a AS (
+      SELECT source, SUM(p) AS pp, ANY_VALUE(n) - SUM(p) AS nn,
+             SUM(p * (2 * cc - m + 1)) AS r2
+      FROM c GROUP BY source
+    )
+    SELECT source, CAST(pp AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN pp > 0 AND nn > 0 THEN
+             -- int128 sums go to double VIA VARCHAR (the agg_corr rule)
+             CAST(CAST(r2 - pp * (pp + 1) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(2 * pp * nn AS VARCHAR) AS DOUBLE)
+           END AS auc
+    FROM a
+    """,
+    "Exact per-source ROC-AUC of document length separating English "
+    "from non-English — the rank-sum (Mann-Whitney U) identity: tie-"
+    "averaged ranks in 2x-scaled integers (decimal(38,0) sums — rank "
+    "sums reach n^2, past int64 at corpus scale), ONE division at the "
+    "end. Ranks come from the bucketed parallel prefix-sum "
+    "(grouped_value_cum), never a per-group sort funnel; the screen-"
+    "grading primitive a curation pipeline needs to audit its own "
+    "quality scores",
+)
+def q_roc_auc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return evaluation.roc_auc(
+        d,
+        "is_en",
+        "n_chars",
+        ("source",),
+        bucket_expr=F.floor(F.col("n_chars") / F.lit(256)),
+    )
+
+
+@register(
+    "gini_customer_spend",
+    """
+    WITH sp AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT c.c_mktsegment, sp.spend FROM customer c
+      JOIN sp ON c.c_custkey = sp.o_custkey
+    ), s AS (
+      SELECT c_mktsegment, spend, COUNT(*) AS m FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT c_mktsegment, spend, m,
+             SUM(m) OVER (PARTITION BY c_mktsegment ORDER BY spend) AS cc,
+             SUM(m) OVER (PARTITION BY c_mktsegment) AS n
+      FROM s
+    ), a AS (
+      SELECT c_mktsegment, ANY_VALUE(n) AS n,
+             SUM(spend * m) AS tot,
+             SUM(spend * m * (2 * cc - m + 1)) AS num2
+      FROM c GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total,
+           CASE WHEN tot > 0 AND n > 1 THEN
+             (CAST(CAST(num2 AS VARCHAR) AS DOUBLE)
+                - (CAST(n AS DOUBLE) + 1.0)
+                  * CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+           END AS gini
+    FROM a
+    """,
+    "Gini concentration of per-customer spend within each market "
+    "segment — how unequal is revenue across customers (0 = even, ->1 "
+    "= one whale). Spend totals are exact 4dp decimal sums; the sorted-"
+    "weighted-sum identity sum_v v*m*(2cc-m+1) is tie-invariant and "
+    "computes sum_i(i*x_i) from distinct-value rows via the bucketed "
+    "parallel prefix-sum — no per-row ranks, no global sort; one final "
+    "double expression (decimals cross to double via VARCHAR on the "
+    "oracle side, the agg_corr rule)",
+)
+def q_gini_spend(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    d = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "inner"
+    ).select("c_mktsegment", "spend")
+    return evaluation.gini_coefficient(
+        d,
+        "spend",
+        ("c_mktsegment",),
+        bucket_expr=F.floor(F.col("spend") / F.lit(100000)),
+    )
+
+
+@register(
+    "kaplan_meier_conversion",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS tl
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS tp FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), s AS (
+      SELECT CASE WHEN tp IS NOT NULL
+               THEN CAST((tp - t0) // 3600000000 AS BIGINT)
+               ELSE CAST((tl - t0) // 3600000000 AS BIGINT) END AS d,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN p USING (user_id)
+    ), t AS (
+      SELECT d, COUNT(*) AS m, SUM(ev) AS dd FROM s GROUP BY d
+    ), c AS (
+      SELECT d, m, dd, SUM(m) OVER (ORDER BY d) AS cc, SUM(m) OVER () AS n
+      FROM t
+    ), q AS (
+      SELECT d, n - cc + m AS rsk, dd, m - dd AS cens,
+        CASE WHEN dd < n - cc + m THEN
+          CAST(round(ln(1.0 - CAST(dd AS DOUBLE)
+                              / CAST(n - cc + m AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) END AS term,
+        CASE WHEN dd >= n - cc + m THEN 1 ELSE 0 END AS ab
+      FROM c
+    )
+    SELECT d AS duration, CAST(rsk AS BIGINT) AS n_risk,
+           CAST(dd AS BIGINT) AS n_events, CAST(cens AS BIGINT) AS n_censored,
+           CASE WHEN MAX(ab) OVER (ORDER BY d) = 0 THEN
+             CAST(CAST(SUM(term) OVER (ORDER BY d) AS VARCHAR) AS DOUBLE)
+           END AS log_survival
+    FROM q
+    """,
+    "Kaplan-Meier time-to-conversion: hours from a user's first event "
+    "to first purchase, RIGHT-CENSORED at the last observed event for "
+    "never-purchasers — the estimator that reads conversion latency "
+    "correctly under censoring (naive averages over converters only "
+    "are biased low). LOG-survival as exact sums of 6dp-quantized "
+    "hazard logs (the textbook running float PRODUCT is engine-"
+    "divergent — the PageRank lesson); risk sets from ONE bucketed "
+    "parallel prefix pass over durations; the cumulative window runs "
+    "over calendar-bounded distinct-duration rows. Durations are "
+    "integer epoch-microsecond floor-hours (calendar hour-boundary "
+    "counting differs between engines; integer epoch division cannot)",
+)
+def q_kaplan_meier(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("tl"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("tp"))
+    )
+    conv = F.col("tp").isNotNull()
+    subj = f.join(p, "user_id", "left").select(
+        F.when(conv, (F.col("tp") - F.col("t0")))
+        .otherwise(F.col("tl") - F.col("t0"))
+        .cast("bigint")
+        .alias("us"),
+        conv.cast("int").alias("event"),
+    ).select(
+        F.expr("us DIV 3600000000").cast("bigint").alias("duration"), "event"
+    )
+    return evaluation.kaplan_meier(subj)
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), bi AS (
+      SELECT gram AS bigram, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM tk WHERE len(tk) >= 2)
+      GROUP BY gram
+    ), m AS (
+      SELECT bigram, cnt,
+             SUM(cnt) OVER (PARTITION BY split_part(bigram, ' ', 1))
+               AS c_left,
+             SUM(cnt) OVER (PARTITION BY split_part(bigram, ' ', 2))
+               AS c_right,
+             SUM(cnt) OVER () AS nn
+      FROM bi
+    )
+    SELECT bigram, CAST(cnt AS BIGINT) AS cnt,
+           CAST(c_left AS BIGINT) AS c_left,
+           CAST(c_right AS BIGINT) AS c_right,
+           round(ln((CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE))
+                    / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE))),
+                 6) AS pmi
+    FROM m WHERE cnt >= 5
+    ORDER BY pmi DESC, bigram LIMIT 50
+    """,
+    "Top-50 collocations by pointwise mutual information over the "
+    "corpus bigram distribution (Church & Hanks) — the phrase detector "
+    "run before merging multi-word tokenizer units. Contingency-table "
+    "marginals as WINDOW sums over the reduced (bigram, count) table "
+    "(the bigram-LM no-join-backs shape); pmi = one ln of exact-count "
+    "ratios (each factor cast to double BEFORE multiplying — c_xy*N "
+    "overflows int64 at corpus scale) quantized to 6dp; total order "
+    "(pmi desc, bigram) makes the limit deterministic",
+)
+def q_pmi_collocations(spark, sf_dir):
+    return text.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
@@ -8824,6 +9056,10 @@ _ROTATION_TAIL = {
     "bfs_hops_items": "r05-local",
     "scrub_repeated_segments": "r05-local",
     "seasonal_hourly_events": "r05-local",
+    "roc_auc_doclen_lang": "r05-local",
+    "gini_customer_spend": "r05-local",
+    "kaplan_meier_conversion": "r05-local",
+    "pmi_collocations": "r05-local",
 }
 
 

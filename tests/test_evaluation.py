@@ -1,0 +1,244 @@
+"""Property tests for operators/evaluation.py (ROC-AUC, Gini,
+Kaplan-Meier) and text.pmi_collocations against independent pure-Python
+references."""
+
+import math
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import (  # noqa: E501
+    evaluation,
+    text,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-python references
+# ---------------------------------------------------------------------------
+
+
+def py_auc(pairs):
+    """Exact AUC by brute-force pair comparison (ties count half)."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def py_gini(values):
+    xs = sorted(values)
+    n = len(xs)
+    tot = sum(xs)
+    if n <= 1 or tot <= 0:
+        return None
+    num = sum((i + 1) * x for i, x in enumerate(xs))
+    return float((2 * num - (n + 1) * tot) / (n * tot))
+
+
+def _round6(x: float) -> Decimal:
+    """The engine's F.round contract: decimal HALF_UP on the shortest
+    repr of the double (mirrors the BM25 test fix)."""
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def py_km(subjects):
+    """(duration, n_risk, n_events, n_censored, log_survival) rows."""
+    from collections import Counter
+
+    n = len(subjects)
+    exits = Counter(d for d, _ in subjects)
+    deaths = Counter(d for d, e in subjects if e == 1)
+    out = {}
+    cc = 0
+    ls = Decimal(0)
+    absorbed = False
+    for d in sorted(exits):
+        m = exits[d]
+        dd = deaths.get(d, 0)
+        risk = n - cc
+        if dd >= risk:
+            absorbed = True
+        elif dd > 0:
+            ls += _round6(math.log(1.0 - dd / risk))
+        out[d] = (risk, dd, m - dd, None if absorbed else float(ls))
+        cc += m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_matches_bruteforce_with_ties(spark):
+    rng = random.Random(7)
+    rows = [
+        ("g1", rng.randint(0, 1), rng.randint(0, 15)) for _ in range(300)
+    ] + [("g2", rng.randint(0, 1), rng.randint(0, 3)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, y int, score int")
+    got = {
+        r.g: (r.n_pos, r.n_neg, r.auc)
+        for r in evaluation.roc_auc(df, "y", "score", ("g",)).collect()
+    }
+    for g in ("g1", "g2"):
+        sub = [(y, s) for gg, y, s in rows if gg == g]
+        want = py_auc(sub)
+        npos = sum(y for y, _ in sub)
+        assert got[g][0] == npos and got[g][1] == len(sub) - npos
+        assert got[g][2] == pytest.approx(want, abs=1e-12)
+
+
+def test_roc_auc_perfect_and_degenerate(spark):
+    rows = [("a", 1, 10), ("a", 1, 9), ("a", 0, 1), ("a", 0, 2)] + [
+        ("b", 1, 5),
+        ("b", 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, y int, score int")
+    got = {r.g: r.auc for r in evaluation.roc_auc(df, "y", "score", ("g",)).collect()}
+    assert got["a"] == 1.0
+    assert got["b"] is None  # single-class: no ranking to grade
+
+
+def test_roc_auc_all_tied_is_half(spark):
+    rows = [("a", y, 3) for y in (0, 1, 0, 1, 1)]
+    df = spark.createDataFrame(rows, "g string, y int, score int")
+    [r] = evaluation.roc_auc(df, "y", "score", ("g",)).collect()
+    assert r.auc == 0.5
+
+
+# ---------------------------------------------------------------------------
+# gini_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_gini_matches_reference_and_bounds(spark):
+    rng = random.Random(13)
+    groups = {
+        "even": [100] * 50,
+        "skew": [0] * 30 + [1] * 15 + [10_000] * 5,
+        "rand": [rng.randint(0, 500) for _ in range(120)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v int").select(
+        "g", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    got = {
+        r.g: (r.n, r.total, r.gini)
+        for r in evaluation.gini_coefficient(df, "v", ("g",)).collect()
+    }
+    for g, vs in groups.items():
+        assert got[g][0] == len(vs)
+        assert got[g][1] == pytest.approx(sum(vs))
+        assert got[g][2] == pytest.approx(py_gini(vs), abs=1e-12)
+    assert got["even"][2] == 0.0
+    assert got["skew"][2] > 0.85
+
+
+def test_gini_null_on_zero_total_or_singleton(spark):
+    df = spark.createDataFrame(
+        [("z", 0), ("z", 0), ("s", 7)], "g string, v int"
+    ).select("g", F.col("v").cast("decimal(18,4)").alias("v"))
+    got = {r.g: r.gini for r in evaluation.gini_coefficient(df, "v", ("g",)).collect()}
+    assert got == {"z": None, "s": None}
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_matches_reference(spark):
+    rng = random.Random(29)
+    subjects = [
+        (rng.randint(0, 12), rng.randint(0, 1)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(subjects, "duration long, event int")
+    got = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.log_survival)
+        for r in evaluation.kaplan_meier(df).collect()
+    }
+    want = py_km(subjects)
+    assert set(got) == set(want)
+    for d, (risk, dd, cens, ls) in want.items():
+        assert got[d][:3] == (risk, dd, cens)
+        if ls is None:
+            assert got[d][3] is None
+        else:
+            assert got[d][3] == pytest.approx(ls, abs=1e-12)
+    # survival is non-increasing over the defined prefix
+    defined = [got[d][3] for d in sorted(got) if got[d][3] is not None]
+    assert all(a >= b for a, b in zip(defined, defined[1:]))
+
+
+def test_kaplan_meier_absorption_nulls_suffix(spark):
+    # every subject dies at d=2: survival hits exactly 0 there
+    subjects = [(0, 0), (1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(subjects, "duration long, event int")
+    got = {
+        r.duration: r.log_survival for r in evaluation.kaplan_meier(df).collect()
+    }
+    assert got[0] == 0.0  # censor only: no hazard
+    assert got[1] < 0.0
+    assert got[2] is None
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def py_pmi(texts, min_count, k):
+    from collections import Counter
+
+    bi = Counter()
+    for t in texts:
+        tk = t.lower().split()
+        bi.update(" ".join(p) for p in zip(tk, tk[1:]))
+    n = sum(bi.values())
+    left = Counter()
+    right = Counter()
+    for g, c in bi.items():
+        a, b = g.split(" ")
+        left[a] += c
+        right[b] += c
+    out = []
+    for g, c in bi.items():
+        if c < min_count:
+            continue
+        a, b = g.split(" ")
+        pmi = float(
+            _round6(math.log((float(c) * float(n)) / (float(left[a]) * float(right[b]))))
+        )
+        out.append((g, c, left[a], right[b], pmi))
+    out.sort(key=lambda r: (-r[4], r[0]))
+    return out[:k]
+
+
+def test_pmi_matches_reference(spark):
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(80):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(2, 40))]
+        # plant a strong collocation
+        if rng.random() < 0.6:
+            toks += ["deep", "learning"]
+        texts.append(" ".join(toks))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r.bigram, r.cnt, r.c_left, r.c_right, r.pmi)
+        for r in text.pmi_collocations(df, min_count=3, k=20).collect()
+    ]
+    assert got == py_pmi(texts, 3, 20)
+    assert got[0][0] == "deep learning"  # the planted phrase tops the list
+
+
+def test_pmi_rejects_bad_min_count(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.pmi_collocations(df, min_count=0)
