@@ -562,3 +562,85 @@ def kmv_sketch_sink(
         .option("checkpointLocation", state_path + "._checkpoint")
         .start()
     )
+
+
+def agg_state_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    measure_col: str,
+    sign_col: str | None = None,
+    scale: int = 4,
+):
+    """Streaming incremental view maintenance via ``foreachBatch`` +
+    the persisted :func:`..operators.relational.agg_state` table — the
+    streaming face of ``apply_agg_delta``: every micro-batch applies as
+    a signed delta partial (``sign_col`` = +1 insert / -1 delete for
+    CDC streams; omit it for insert-only streams), so the state table
+    always equals the direct aggregate over all rows ever delivered,
+    bit-for-bit (counts + exact decimal sums are an abelian group —
+    no float drift, deletes subtract exactly, zero-count keys drop).
+
+    Unlike the KMV sink's hash-set merge, delta ADDITION is NOT
+    idempotent — replaying a committed batch would double-count. The
+    sink therefore carries its replay guard in the state itself: an
+    ``_applied_batch`` marker file inside the state directory
+    (underscore-prefixed — parquet readers ignore it) written
+    atomically with the two-phase staged/old/replace swap, so a batch
+    is applied exactly once across any crash/replay interleaving:
+    marker >= batch_id means the swap completed and the replay is a
+    no-op; a crash mid-swap restores ``.old`` (whose marker still
+    names the previous batch) and the replay re-applies cleanly.
+
+    Work per batch is ∝ batch (one delta-sized partial) + a
+    state-sized merge; at 100 TB bucket the state by key (the upsert
+    sink's layout) and the merge is a co-located one-exchange upsert.
+    """
+    import shutil
+
+    from ..operators.relational import apply_agg_delta
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        old = state_path + ".old"
+        if not os.path.isdir(state_path) and os.path.isdir(old):
+            os.replace(old, state_path)  # crashed mid-swap: restore
+        marker = os.path.join(state_path, "_applied_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= batch_id:
+                    return  # committed replay: exactly-once no-op
+        delta = (
+            batch_df.withColumn("_sign", F.lit(1))
+            if sign_col is None
+            else batch_df.withColumn("_sign", F.col(sign_col))
+        )
+        if os.path.isdir(state_path):
+            state = s.read.parquet(state_path)
+        else:
+            key_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in batch_df.select(*keys).schema.fields
+            )
+            state = s.createDataFrame(
+                [], f"{key_schema}, n_rows long, sum_dec decimal(18,{scale})"
+            )
+        merged = apply_agg_delta(
+            state, delta, keys, measure_col, sign_col="_sign", scale=scale
+        )
+        staged = state_path + f"._staged-{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.isdir(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(state_path, old)
+        os.replace(staged, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "._checkpoint")
+        .start()
+    )

@@ -659,3 +659,133 @@ def test_kmv_sketch_sink_equals_batch_sketch(spark, tmp_path):
     ).collect()[0]
     direct = sketches.kmv_distinct(full, "user_id", ["event_type"], k=16).collect()[0]
     assert tuple(est) == tuple(direct)
+
+
+# ---------------------------------------------------------------------------
+# agg_state_sink (streaming incremental view maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _write_order_files(spark, src, batches):
+    """batches: list of row-lists (o_custkey, o_totalprice, sign)."""
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(
+                rows, "o_custkey bigint, o_totalprice double, sign int"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/f{i}")
+        )
+
+
+def _orders_stream(spark, src):
+    return (
+        spark.readStream.schema(
+            "o_custkey bigint, o_totalprice double, sign int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+
+
+def test_agg_state_sink_matches_direct_aggregate(spark, tmp_path):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+    src = str(tmp_path / "ivm_src")
+    b0 = [(k % 7, float(k) + 0.25, 1) for k in range(60)]
+    b1 = [(k % 5, float(k) * 2 + 0.5, 1) for k in range(40)]
+    _write_order_files(spark, src, [b0, b1])
+    state = str(tmp_path / "ivm_state")
+    q = streams.agg_state_sink(
+        _orders_stream(spark, src), state, ["o_custkey"], "o_totalprice"
+    )
+    q.awaitTermination()
+    want = sorted(
+        tuple(r)
+        for r in relational.agg_state(
+            spark.read.parquet(f"{src}/f*"), ["o_custkey"], "o_totalprice"
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert got == want
+
+
+def test_agg_state_sink_cdc_deletes_drop_keys(spark, tmp_path):
+    src = str(tmp_path / "cdc_src")
+    # batch 0 inserts keys 1..3; batch 1 deletes ALL key-2 rows and one
+    # key-3 row
+    b0 = [(1, 10.0, 1), (2, 20.0, 1), (2, 5.0, 1), (3, 7.0, 1), (3, 8.0, 1)]
+    b1 = [(2, 20.0, -1), (2, 5.0, -1), (3, 8.0, -1)]
+    _write_order_files(spark, src, [b0, b1])
+    state = str(tmp_path / "cdc_state")
+    q = streams.agg_state_sink(
+        _orders_stream(spark, src),
+        state,
+        ["o_custkey"],
+        "o_totalprice",
+        sign_col="sign",
+    )
+    q.awaitTermination()
+    got = {
+        r.o_custkey: (r.n_rows, float(r.sum_dec))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {1: (1, 10.0), 3: (1, 7.0)}  # key 2 gone entirely
+
+
+def test_agg_state_sink_checkpoint_loss_replay_is_noop(spark, tmp_path):
+    """Losing the streaming checkpoint replays every batch from id 0;
+    the _applied_batch marker must make each replay a no-op instead of
+    double-counting (delta addition is not idempotent)."""
+    import shutil
+
+    src = str(tmp_path / "rp_src")
+    b0 = [(1, 3.0, 1), (2, 4.0, 1)]
+    b1 = [(1, 5.0, 1)]
+    _write_order_files(spark, src, [b0, b1])
+    state = str(tmp_path / "rp_state")
+    q = streams.agg_state_sink(
+        _orders_stream(spark, src), state, ["o_custkey"], "o_totalprice"
+    )
+    q.awaitTermination()
+    first = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    shutil.rmtree(state + "._checkpoint")  # lose the checkpoint entirely
+    q2 = streams.agg_state_sink(
+        _orders_stream(spark, src), state, ["o_custkey"], "o_totalprice"
+    )
+    q2.awaitTermination()
+    again = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert again == first
+
+
+def test_agg_state_sink_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash between replace(state->old) and replace(staged->state):
+    on restart the sink must restore .old and re-apply the batch."""
+    src = str(tmp_path / "cr_src")
+    b0 = [(1, 3.0, 1)]
+    _write_order_files(spark, src, [b0])
+    state = str(tmp_path / "cr_state")
+    q = streams.agg_state_sink(
+        _orders_stream(spark, src), state, ["o_custkey"], "o_totalprice"
+    )
+    q.awaitTermination()
+    # simulate the mid-swap crash: live dir renamed to .old, no new dir
+    os.replace(state, state + ".old")
+    (
+        spark.createDataFrame(
+            [(1, 4.0, 1)], "o_custkey bigint, o_totalprice double, sign int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{src}/f1")
+    )
+    q2 = streams.agg_state_sink(
+        _orders_stream(spark, src), state, ["o_custkey"], "o_totalprice"
+    )
+    q2.awaitTermination()
+    got = [
+        (r.n_rows, float(r.sum_dec))
+        for r in spark.read.parquet(state).collect()
+    ]
+    assert got == [(2, 7.0)]
