@@ -108,6 +108,14 @@ HEADLINE = [
     "attribution_linear_credit",
     "bootstrap_ci_totalprice",
     "rfm_segmentation",
+    # r05 seventh-session additions
+    "bfs_hops_items",
+    "scrub_repeated_segments",
+    "seasonal_hourly_events",
+    "roc_auc_doclen_lang",
+    "gini_customer_spend",
+    "kaplan_meier_conversion",
+    "pmi_collocations",
 ]
 
 
