@@ -235,3 +235,53 @@ def kaplan_meier(
             "log_survival"
         ),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: int = 10,
+    scale: int = 4,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    feature-engineering standby for high-cardinality categories:
+    ``enc = (sum_cat + m * global_mean) / (n_cat + m)`` — a rare
+    category shrinks toward the global mean (an empirical-Bayes prior
+    with pseudo-count ``m = smoothing``), a frequent one keeps its own
+    mean; m = 0 degenerates to the raw per-category mean.
+
+    Determinism: both sums are exact decimal reductions; the global
+    mean is ONE correctly-rounded division, the encoding ONE fixed
+    float expression over exactly-derived operands — no iterated float
+    arithmetic anywhere (the category and global aggregates the
+    encoding mixes are the same numbers in any engine, partitioning,
+    or run).
+
+    Plan: one map-side-combined aggregation per level (category /
+    global), the one-row global broadcast onto the category table.
+    Never a join back to raw rows — at 100 TB the output is
+    category-cardinality-sized. Output: ``(category_col, n, cat_mean,
+    encoded)``.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    dec = F.col(target_col).cast(f"decimal(18,{scale})")
+    per_cat = df.groupBy(category_col).agg(
+        F.count(F.lit(1)).alias("_nc"), F.sum(dec).alias("_sc")
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(dec).alias("_s")
+    )
+    gm = F.col("_s").cast("double") / F.col("_n").cast("double")
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        category_col,
+        F.col("_nc").cast("bigint").alias("n"),
+        (F.col("_sc").cast("double") / F.col("_nc").cast("double")).alias(
+            "cat_mean"
+        ),
+        (
+            (F.col("_sc").cast("double") + F.lit(float(smoothing)) * gm)
+            / (F.col("_nc").cast("double") + F.lit(float(smoothing)))
+        ).alias("encoded"),
+    )

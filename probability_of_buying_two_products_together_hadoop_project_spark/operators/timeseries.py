@@ -501,3 +501,44 @@ def seasonal_hourly(
         seasonal.alias("seasonal"),
         (F.col("cnt").cast("double") - seasonal).alias("residual"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: per key, the longest run of CONSECUTIVE active
+    calendar days, the total number of runs (islands), and total active
+    days — the retention/engagement streak summary (the pattern behind
+    "7-day streak" product metrics and burst-of-activity cohorting).
+
+    The classic island key is ``day - row_number`` over the DISTINCT
+    active days: consecutive days advance both by one, so the
+    difference is constant within a run and unique across runs — pure
+    integer date arithmetic, no iterated state, oracle-exact.
+
+    Plan: raw events reduce map-side to distinct (key, day) rows; one
+    key-partitioned window assigns row numbers (per-key active-day
+    counts are calendar-bounded, never event-volume-bounded); two
+    reductions collapse islands then keys, all sharing the key
+    exchange. Output: ``(*group_cols, longest_streak, n_streaks,
+    active_days)``.
+    """
+    days = df.select(
+        *group_cols, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_day")
+    islands = days.select(
+        *group_cols,
+        "_day",
+        F.date_sub("_day", F.row_number().over(w)).alias("_isl"),
+    )
+    runs = islands.groupBy(*group_cols, "_isl").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy(*group_cols).agg(
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("_len").cast("bigint").alias("active_days"),
+    )

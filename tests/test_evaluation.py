@@ -242,3 +242,97 @@ def test_pmi_rejects_bad_min_count(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         text.pmi_collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def py_streaks(day_sets):
+    out = {}
+    for u, days in day_sets.items():
+        ds = sorted(set(days))
+        runs = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        out[u] = (max(runs), len(runs), len(ds))
+    return out
+
+
+def test_activity_streaks_matches_reference(spark):
+    import datetime
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (  # noqa: E501
+        timeseries,
+    )
+
+    rng = random.Random(17)
+    base = datetime.date(2024, 3, 1)
+    day_sets = {
+        u: [
+            base + datetime.timedelta(days=rng.randint(0, 40))
+            for _ in range(rng.randint(1, 60))
+        ]
+        for u in range(12)
+    }
+    rows = [
+        (u, datetime.datetime.combine(d, datetime.time(hour=rng.randint(0, 23))))
+        for u, ds in day_sets.items()
+        for d in ds
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.user_id: (r.longest_streak, r.n_streaks, r.active_days)
+        for r in timeseries.activity_streaks(df).collect()
+    }
+    assert got == py_streaks(day_sets)
+
+
+# ---------------------------------------------------------------------------
+# target_encode
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_matches_reference(spark):
+    rows = [("a", 10.0)] * 3 + [("a", 20.0)] + [("b", 100.0)] + [
+        ("c", 1.0),
+        ("c", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "cat string, v double")
+    got = {
+        r.cat: (r.n, r.cat_mean, r.encoded)
+        for r in evaluation.target_encode(df, "cat", "v", smoothing=2).collect()
+    }
+    gm = sum(v for _, v in rows) / len(rows)
+    for cat in ("a", "b", "c"):
+        vs = [v for c, v in rows if c == cat]
+        want_enc = (sum(vs) + 2 * gm) / (len(vs) + 2)
+        assert got[cat][0] == len(vs)
+        assert got[cat][1] == pytest.approx(sum(vs) / len(vs), abs=1e-12)
+        assert got[cat][2] == pytest.approx(want_enc, abs=1e-12)
+    # shrinkage direction: the singleton category moves toward the prior
+    assert abs(got["b"][2] - gm) < abs(got["b"][1] - gm)
+
+
+def test_target_encode_zero_smoothing_is_raw_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 4.0), ("a", 6.0), ("b", 10.0)], "cat string, v double"
+    )
+    got = {
+        r.cat: r.encoded
+        for r in evaluation.target_encode(df, "cat", "v", smoothing=0).collect()
+    }
+    assert got == {"a": 5.0, "b": 10.0}
+
+
+def test_target_encode_rejects_negative_smoothing(spark):
+    df = spark.createDataFrame([("a", 1.0)], "cat string, v double")
+    with pytest.raises(ValueError):
+        evaluation.target_encode(df, "cat", "v", smoothing=-1)
