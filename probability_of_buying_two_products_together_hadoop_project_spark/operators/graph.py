@@ -435,8 +435,12 @@ def bfs_hops(
         edges = edges.repartition("src")
     edges = edges.localCheckpoint(eager=True)
     if seed is None:
-        # symmetric edge lists carry every node as a src
-        seed = edges.agg(F.min("src").alias("node"))
+        # symmetric edge lists carry every node as a src; the filter
+        # drops the NULL row the aggregate produces on an EMPTY edge
+        # list (no edges -> no seed -> empty output, not a null node)
+        seed = edges.agg(F.min("src").alias("node")).filter(
+            F.col("node").isNotNull()
+        )
     settled = seed.select(
         "node", F.lit(0).cast("long").alias("hops")
     ).localCheckpoint(eager=True)

@@ -86,3 +86,43 @@ def test_containment_empty_docs(spark):
         "doc_id bigint, text string, source string",
     )
     assert dedup.containment_pairs(blank).count() == 0
+
+
+def test_seventh_session_ops_empty_and_singleton(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        evaluation,
+        graph,
+        text,
+    )
+
+    for df, n in ((_empty_events(spark), 0), (_one_event(spark), 1)):
+        assert timeseries.seasonal_hourly(df).count() == n
+        assert timeseries.activity_streaks(df).count() == n
+
+    empty_subj = spark.createDataFrame([], "duration long, event int")
+    assert evaluation.kaplan_meier(empty_subj).count() == 0
+    one_subj = spark.createDataFrame([(3, 1)], "duration long, event int")
+    [r] = evaluation.kaplan_meier(one_subj).collect()
+    assert (r.n_risk, r.n_events, r.log_survival) == (1, 1, None)  # absorbed
+
+    empty_scored = spark.createDataFrame([], "g string, y int, score int")
+    assert evaluation.roc_auc(empty_scored, "y", "score", ("g",)).count() == 0
+    one_scored = spark.createDataFrame([("a", 1, 5)], "g string, y int, score int")
+    [r] = evaluation.roc_auc(one_scored, "y", "score", ("g",)).collect()
+    assert r.auc is None
+
+    empty_vals = spark.createDataFrame([], "g string, v decimal(18,4)")
+    assert evaluation.gini_coefficient(empty_vals, "v", ("g",)).count() == 0
+
+    empty_cat = spark.createDataFrame([], "cat string, v double")
+    assert evaluation.target_encode(empty_cat, "cat", "v").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.pmi_collocations(empty_docs).count() == 0
+    assert text.scrub_repeated_segments(empty_docs).count() == 0
+    one_doc = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    [r] = text.scrub_repeated_segments(one_doc).collect()
+    assert (r.n_segments, r.n_kept, r.clean_text) == (0, 0, "")
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert graph.bfs_hops(empty_edges, max_hops=2).count() == 0
