@@ -336,3 +336,57 @@ def test_target_encode_rejects_negative_smoothing(spark):
     df = spark.createDataFrame([("a", 1.0)], "cat string, v double")
     with pytest.raises(ValueError):
         evaluation.target_encode(df, "cat", "v", smoothing=-1)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: rounding-tie hunting (the BM25-lesson guard) for KM + AUC
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+subjects_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.integers(0, 1)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(subjects_strategy)
+def test_kaplan_meier_hypothesis_vs_reference(spark, subjects):
+    df = spark.createDataFrame(subjects, "duration long, event int")
+    got = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.log_survival)
+        for r in evaluation.kaplan_meier(df).collect()
+    }
+    want = py_km(subjects)
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert got[d][:3] == w[:3]
+        if w[3] is None:
+            assert got[d][3] is None
+        else:
+            # exact: both sides sum identical 6dp decimals
+            assert got[d][3] == w[3]
+
+
+scored_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(min_value=-3, max_value=3)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scored_strategy)
+def test_roc_auc_hypothesis_vs_bruteforce(spark, pairs):
+    df = spark.createDataFrame(
+        [("g", y, s) for y, s in pairs], "g string, y int, score int"
+    )
+    [r] = evaluation.roc_auc(df, "y", "score", ("g",)).collect()
+    want = py_auc(pairs)
+    if want is None:
+        assert r.auc is None
+    else:
+        assert r.auc == pytest.approx(want, abs=1e-12)
