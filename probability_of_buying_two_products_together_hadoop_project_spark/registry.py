@@ -8167,7 +8167,16 @@ _POIS = (
     "feasible at 100 TB",
 )
 def q_bootstrap(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # The replicate fan-out multiplies per-row compute 32x (an md5 per
+    # (replicate, row)); when the input arrives in fewer partitions
+    # than cores (one parquet file here) the whole pipeline runs on one
+    # task. Pre-spread the scan: one tiny row-count-sized exchange buys
+    # full-width hashing (measured 22.0 s -> 1.6 s at sf0.1).
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
     reps = spark.range(32).select(F.col("id").cast("int").alias("b"))
     u = (
         F.conv(
