@@ -5586,8 +5586,13 @@ _CMS_PROBES_SQL = "[" + ", ".join(f"'{w}'" for w in _CMS_PROBES) + "]"
     "the driver pins every cell crossing the estimate",
 )
 def q_countmin(spark, sf_dir):
-    tok = _t(spark, sf_dir, "documents").select(
-        F.explode(text.normalized_tokens("text")).alias("word")
+    # token explode + 4 md5s/token run BEFORE the first exchange; a
+    # single-file scan would serialize all of it on one task (the
+    # bootstrap lesson) — pre-spread the doc rows first
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(F.explode(text.normalized_tokens("text")).alias("word"))
     )
     def bucket(word_col, d_col):
         return F.pmod(
