@@ -941,3 +941,74 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("fr"),
     ).select("media_id", "fr.frame_idx", F.octet_length("fr.frame").alias("frame_bytes"))
+
+
+def resize_nearest_py(
+    width: int, height: int, px: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a 3-byte-per-pixel buffer: output
+    pixel (y, x) copies source pixel (y*height DIV out_h,
+    x*width DIV out_w) — pure integer index arithmetic (floor
+    division), so the result is a deterministic byte function of the
+    input in any engine or runtime. The standard decimation/upsample
+    kernel when interpolation (float blending — order-dependent and
+    library-divergent) is explicitly NOT wanted in a verification
+    pipeline."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target must be >= 1x1, got {out_w}x{out_h}")
+    if width < 1 or height < 1:
+        raise ValueError(f"source must be >= 1x1, got {width}x{height}")
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = sy * width * 3
+        o = y * out_w * 3
+        for x in range(out_w):
+            sx = x * width // out_w
+            s = row + sx * 3
+            out[o : o + 3] = px[s : s + 3]
+            o += 3
+    return bytes(out)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """Image RESIZE over the binary media column — the missing quarter
+    of the decode / feature-extract / resize / frame-sample quartet:
+    decode (BMP or PNG, the real pure-Python codecs), nearest-neighbor
+    resample to (out_w, out_h), re-encode as BMP. Arrow-batched
+    ``mapInPandas``: payloads never leave the executors, the batch
+    shape is the real one a libvips/Pillow kernel would slot into —
+    swap ``resize_nearest_py`` for the library call and nothing else
+    changes.
+
+    Output: (media_id, src_width, src_height, width, height, payload
+    [resized BMP], pixel_hex [uppercase hex of the resized pixel
+    buffer — the cross-engine verification column: nearest-neighbor
+    indexing is integer floor division, so a SQL oracle regenerates
+    these bytes exactly]).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_image(bytes(payload))
+                rz = resize_nearest_py(w, h, px, out_w, out_h)
+                rows.append(
+                    (mid, w, h, out_w, out_h, encode_bmp(out_w, out_h, rz),
+                     rz.hex().upper())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height", "width",
+                    "height", "payload", "pixel_hex",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id bigint, src_width int, src_height int, width int, "
+        "height int, payload binary, pixel_hex string",
+    )

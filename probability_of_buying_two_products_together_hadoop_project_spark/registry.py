@@ -8249,6 +8249,42 @@ def q_bootstrap(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize_verified",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hh,
+             octet_length(encode(text)) AS n,
+             CAST(greatest(ceil(octet_length(encode(text)) / 48.0), 1)
+               AS BIGINT) AS sh
+      FROM documents
+    ), p AS (
+      SELECT doc_id, sh,
+             hh || repeat('00', CAST(48 * sh - n AS INT)) AS ph
+      FROM b
+    )
+    SELECT doc_id AS media_id, 16 AS src_width, CAST(sh AS INT) AS src_height,
+           8 AS width, 6 AS height,
+           array_to_string(list_transform(range(0, 48),
+             k -> substr(ph,
+                    6 * (((k // 8) * sh // 6) * 16 + (k % 8) * 2) + 1, 6)),
+             '') AS pixel_hex
+    FROM p
+    """,
+    "Byte-exact image RESIZE (the decode/feature/resize/frame-sample "
+    "quartet's missing quarter): each document's 16-wide BMP decodes, "
+    "nearest-neighbor resamples to 8x6, re-encodes — all in one Arrow "
+    "mapInPandas batch. Nearest-neighbor is pure integer floor-division "
+    "indexing (never float interpolation — order-dependent and library-"
+    "divergent), so the DuckDB oracle regenerates the resized pixel "
+    "buffer bit-for-bit from the source text bytes (the BMP body is the "
+    "zero-padded utf-8 text; 16*3 stride needs no BMP row padding)",
+)
+def q_multimodal_resize(spark, sf_dir):
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media, out_w=8, out_h=6).drop("payload")
+
+
+@register(
     "set_ops_bag_semantics",
     """
     WITH a AS (
@@ -9147,6 +9183,7 @@ _ROTATION_TAIL = {
     "pmi_collocations": "r05-local",
     "activity_streaks_events": "r05-local",
     "target_encode_segment": "r05-local",
+    "multimodal_resize_verified": "r05-local",
 }
 
 

@@ -397,3 +397,45 @@ def test_png_subbyte_validation():
     )
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(multimodal.PNG_SIG + chunk)
+
+
+# ---------------------------------------------------------------------------
+# resize_media (nearest-neighbor)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_nearest_py_identity_and_downsample():
+    # 2x2 image, distinct pixels
+    px = bytes(range(12))
+    assert multimodal.resize_nearest_py(2, 2, px, 2, 2) == px
+    # 1x1 target picks the top-left source pixel
+    assert multimodal.resize_nearest_py(2, 2, px, 1, 1) == px[0:3]
+    # upsample 1x1 -> 2x2 replicates the pixel
+    one = bytes([9, 8, 7])
+    assert multimodal.resize_nearest_py(1, 1, one, 2, 2) == one * 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        multimodal.resize_nearest_py(2, 2, px, 0, 1)
+
+
+def test_resize_media_roundtrip_and_reference(spark):
+    rows = [(1, "hello world, this is a longer doc " * 4), (2, "tiny"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.media_bmp_from_documents(docs)
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_media(media, out_w=8, out_h=6).collect()
+    }
+    for doc_id, text in rows:
+        r = out[doc_id]
+        # python mirror straight from the construction contract
+        data = text.encode()
+        sh = max(-(-len(data) // 48), 1)
+        src = data + b"\x00" * (48 * sh - len(data))
+        want = multimodal.resize_nearest_py(16, sh, src, 8, 6)
+        assert r.pixel_hex == want.hex().upper()
+        assert (r.src_width, r.src_height, r.width, r.height) == (16, sh, 8, 6)
+        # the re-encoded BMP payload decodes back to the same bytes
+        w2, h2, px2 = multimodal.decode_bmp(bytes(r.payload))
+        assert (w2, h2, px2) == (8, 6, want)
