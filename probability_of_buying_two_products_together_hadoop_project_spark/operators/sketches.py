@@ -216,3 +216,77 @@ def kmv_set_ops(
         est_jacc.alias("est_jaccard"),
         (est_jacc * est_union).alias("est_intersection"),
     )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mergeable O(k) QUANTILE sketch — the KMV idea pointed at order
+    statistics instead of distinct counts: keep the k rows whose
+    ``md5(id)`` hashes are smallest (a deterministic uniform sample —
+    the hash image of the id space is uniform, so min-by-hash is
+    coordination-free reservoir sampling with the repo's rerun-stable
+    draw), then answer quantiles with DISCRETE picks inside the
+    sample. Mergeable the same way KMV is: k-min-by-hash of a union is
+    computable from the parts' k-minima, so shard sketches compose
+    without re-scans — the O(k) path next to the EXACT
+    ``grouped_value_cum`` machinery (distinct-value-sized) when a
+    bounded-size answer is worth a sampling error of ~O(1/sqrt(k)).
+
+    Everything is deterministic: the draw is the md5 contract, the
+    per-quantile answer is the sample's value at 1-based rank
+    ``ceil(q * n_sample)`` under the total order (value, h) — a PICKED
+    element, never an interpolated float — so an ANSI-SQL oracle
+    regenerates every output bit.
+
+    Plan: one distinct-(group, id) pass (corpus-sized, map-side
+    combined), then the bounded two-level hash tournament (module
+    docstring); quantile extraction windows see <= k rows per group.
+
+    Output: ``(*group_cols, n_sample, q_<num>_<den>...)``.
+    """
+    hashed = (
+        df.select(
+            *group_cols,
+            F.col(id_col).alias("_qid"),
+            F.col(value_col).alias("_qv"),
+        )
+        .distinct()
+        .select(*group_cols, _h32(F.col("_qid")).alias("h"), "_qv", "_qid")
+    )
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(n_buckets))
+    ).orderBy("h", "_qv", "_qid")
+    local = hashed.withColumn("_lrk", F.row_number().over(w1)).filter(
+        F.col("_lrk") <= k
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h", "_qv", "_qid")
+    sample = (
+        local.withColumn("_hrk", F.row_number().over(w2))
+        .filter(F.col("_hrk") <= k)
+        .drop("_lrk", "_hrk")  # _qid stays: the total-order tiebreak for
+        # 32-bit hash collisions (the sample must be a deterministic SET)
+    )
+    wv = Window.partitionBy(*group_cols).orderBy("_qv", "h", "_qid")
+    wg = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        "_qv",
+        F.row_number().over(wv).alias("_vrk"),
+        F.count(F.lit(1)).over(wg).alias("_ns"),
+    )
+    aggs = [F.max("_ns").cast("bigint").alias("n_sample")]
+    for num, den in quantiles:
+        tgt = F.expr(f"CAST(({num} * _ns + {den - 1}) DIV {den} AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("_vrk") >= tgt, F.col("_qv"))).alias(
+                f"q_{num}_{den}"
+            )
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

