@@ -116,6 +116,10 @@ HEADLINE = [
     "gini_customer_spend",
     "kaplan_meier_conversion",
     "pmi_collocations",
+    "activity_streaks_events",
+    "target_encode_segment",
+    "multimodal_resize_verified",
+    "sample_quantiles_orders",
 ]
 
 

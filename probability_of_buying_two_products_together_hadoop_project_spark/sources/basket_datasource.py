@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -197,6 +198,54 @@ class BasketTextStreamReader(SimpleDataSourceStreamReader):
         return list(self._rows(new))
 
 
+class BasketTextStreamWriter(DataSourceStreamWriter):
+    """Streaming sink side — the fourth quadrant of the connector matrix
+    (batch read / batch write / stream read / stream write). Per
+    micro-batch, each task writes a dot-prefixed in-progress file;
+    ``commit(messages, batchId)`` renames them to deterministic
+    ``part-<batchId>-<i>`` names and drops a ``_batch-<batchId>.committed``
+    marker INSIDE the directory. Exactly-once under replay: a committed
+    batch's marker short-circuits the re-commit (the replay's in-progress
+    files are deleted, never exposed), and uncommitted files stay
+    invisible to the reader's prefix filter — the same two-phase contract
+    as the parquet upsert sink, expressed in the DataSource API."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("basket_text requires a path option")
+        self.path = path
+
+    def write(self, iterator) -> _WroteFile:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.inprogress")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                items = " ".join(row.items) if row.items else ""
+                fh.write(f"{row.customer} {items}".rstrip() + "\n")
+        return _WroteFile(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self.path, f"_batch-{batchId}.committed")
+        if os.path.exists(marker):
+            for m in messages:  # replayed batch: drop, never expose twice
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{batchId:05d}-{i:05d}")
+            os.replace(m.path, final)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(str(len(messages)))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class BasketTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -213,6 +262,9 @@ class BasketTextDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> BasketTextStreamReader:
         return BasketTextStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> BasketTextStreamWriter:
+        return BasketTextStreamWriter(self.options)
 
 
 def register(spark) -> None:

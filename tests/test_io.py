@@ -334,3 +334,69 @@ def test_events_loader_pins_utc_on_foreign_session(spark, sf_smoke):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_basket_text_stream_writer_end_to_end(spark, tmp_path):
+    """Stream baskets through BOTH custom-connector halves: basket_text
+    stream reader -> basket_text stream writer; the written directory
+    must batch-read back to exactly the source baskets, and the commit
+    markers must name each batch."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    src = tmp_path / "bsw_src"
+    src.mkdir()
+    (src / "f0.txt").write_text("Mary 1 2 3\nBob 4 5\n")
+    (src / "f1.txt").write_text("Eve 6 1\n")
+    basket_datasource.register(spark)
+    out = str(tmp_path / "bsw_out")
+    q = (
+        spark.readStream.format("basket_text")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("basket_text")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "bsw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = sorted(
+        (r.customer, tuple(r.items))
+        for r in basket_datasource.read_baskets(spark, out).collect()
+    )
+    assert back == [
+        ("Bob", ("4", "5")),
+        ("Eve", ("6", "1")),
+        ("Mary", ("1", "2", "3")),
+    ]
+    import os as _os
+
+    names = set(_os.listdir(out))
+    assert any(n.startswith("_batch-") and n.endswith(".committed") for n in names)
+    assert not any(n.endswith(".inprogress") for n in names)
+
+
+def test_basket_text_stream_writer_replay_is_noop(spark, tmp_path):
+    """A replayed (already-committed) batch must not duplicate rows: the
+    commit marker short-circuits and the replay's files are dropped."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    w = basket_datasource.BasketTextStreamWriter({"path": str(tmp_path / "o")})
+
+    class Row:
+        def __init__(self, c, i):
+            self.customer, self.items = c, i
+
+    m1 = w.write(iter([Row("A", ["1"])]))
+    w.commit([m1], 7)
+    # replay of batch 7
+    m2 = w.write(iter([Row("A", ["1"])]))
+    w.commit([m2], 7)
+    import os as _os
+
+    outs = [n for n in _os.listdir(tmp_path / "o") if n.startswith("part-")]
+    assert len(outs) == 1
