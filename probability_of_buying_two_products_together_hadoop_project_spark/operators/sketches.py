@@ -290,3 +290,85 @@ def hash_sample_quantiles(
             )
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def countmin_cells(
+    keys: DataFrame,
+    key_col: str = "word",
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch CELL TABLE for a key stream: ``(d, bucket, c)``
+    rows, one per touched cell — the mergeable form (cell-wise addition
+    composes shards and micro-batches; `countmin_word_freq` pins
+    mergeability and the md5 hash family against the DuckDB oracle).
+    ``weight_col`` turns it into a weighted sketch (sums instead of
+    counts)."""
+    spark = keys.sparkSession
+    ds = spark.range(depth).select(F.col("id").cast("int").alias("d"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("d").cast("string"),
+                        F.lit("|"),
+                        F.col(key_col),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        keys.crossJoin(F.broadcast(ds))
+        .select("d", bucket.alias("bucket"), w.alias("_w"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
+
+
+def countmin_lookup(
+    cells: DataFrame, probes: DataFrame, key_col: str = "word",
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point estimates from a cell table: min over the key's depth
+    cells (absent cell = 0). Output (key_col, est)."""
+    spark = probes.sparkSession
+    ds = spark.range(depth).select(F.col("id").cast("int").alias("d"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col("d").cast("string"),
+                        F.lit("|"),
+                        F.col(key_col),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+    lk = probes.crossJoin(F.broadcast(ds)).select(
+        key_col, "d", bucket.alias("bucket")
+    )
+    return (
+        lk.join(cells, ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est")
+        )
+    )

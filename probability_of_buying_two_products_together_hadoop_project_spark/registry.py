@@ -5594,41 +5594,9 @@ def q_countmin(spark, sf_dir):
         .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
         .select(F.explode(text.normalized_tokens("text")).alias("word"))
     )
-    def bucket(word_col, d_col):
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cms"), d_col.cast("string"), F.lit("|"), word_col
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1024),
-        )
-
-    spark = tok.sparkSession
-    ds = spark.range(4).select(F.col("id").cast("int").alias("d"))
-    cells = (
-        tok.crossJoin(F.broadcast(ds))
-        .select("d", bucket(F.col("word"), F.col("d")).alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    cells = sketches.countmin_cells(tok, "word", depth=4, width=1024)
     probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "word string")
-    lookups = probes.crossJoin(F.broadcast(ds)).select(
-        "word", "d", bucket(F.col("word"), F.col("d")).alias("bucket")
-    )
-    est = (
-        lookups.join(cells, ["d", "bucket"], "left")
-        .groupBy("word")
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est"))
-    )
+    est = sketches.countmin_lookup(cells, probes, "word", depth=4, width=1024)
     exact = (
         tok.filter(F.col("word").isin(list(_CMS_PROBES)))
         .groupBy("word")

@@ -596,9 +596,37 @@ def agg_state_sink(
     state-sized merge; at 100 TB bucket the state by key (the upsert
     sink's layout) and the merge is a co-located one-exchange upsert.
     """
-    import shutil
-
     from ..operators.relational import apply_agg_delta
+
+    def merge_fn(s, state: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        delta = (
+            batch_df.withColumn("_sign", F.lit(1))
+            if sign_col is None
+            else batch_df.withColumn("_sign", F.col(sign_col))
+        )
+        if state is None:
+            key_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in batch_df.select(*keys).schema.fields
+            )
+            state = s.createDataFrame(
+                [], f"{key_schema}, n_rows long, sum_dec decimal(18,{scale})"
+            )
+        return apply_agg_delta(
+            state, delta, keys, measure_col, sign_col="_sign", scale=scale
+        )
+
+    return _exactly_once_swap_sink(stream_df, state_path, merge_fn)
+
+def _exactly_once_swap_sink(stream_df: DataFrame, state_path: str, merge_fn):
+    """Shared foreachBatch protocol for NON-idempotent state merges
+    (delta addition, cell addition): an ``_applied_batch`` marker file
+    inside the state directory (underscore-prefixed — parquet readers
+    ignore it) written atomically with the two-phase
+    staged/old/replace swap guarantees each batch applies exactly once
+    across any crash/replay interleaving. ``merge_fn(spark, state_or_
+    None, batch_df)`` returns the next state DataFrame."""
+    import shutil
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -610,24 +638,10 @@ def agg_state_sink(
             with open(marker) as fh:
                 if int(fh.read().strip()) >= batch_id:
                     return  # committed replay: exactly-once no-op
-        delta = (
-            batch_df.withColumn("_sign", F.lit(1))
-            if sign_col is None
-            else batch_df.withColumn("_sign", F.col(sign_col))
+        state = (
+            s.read.parquet(state_path) if os.path.isdir(state_path) else None
         )
-        if os.path.isdir(state_path):
-            state = s.read.parquet(state_path)
-        else:
-            key_schema = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in batch_df.select(*keys).schema.fields
-            )
-            state = s.createDataFrame(
-                [], f"{key_schema}, n_rows long, sum_dec decimal(18,{scale})"
-            )
-        merged = apply_agg_delta(
-            state, delta, keys, measure_col, sign_col="_sign", scale=scale
-        )
+        merged = merge_fn(s, state, batch_df)
         staged = state_path + f"._staged-{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
         with open(os.path.join(staged, "_applied_batch"), "w") as fh:
@@ -644,3 +658,36 @@ def agg_state_sink(
         .option("checkpointLocation", state_path + "._checkpoint")
         .start()
     )
+
+
+def countmin_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming Count-Min maintenance — the frequency-sketch face of
+    the sink family (KMV = distinct, agg_state = exact group measures,
+    this = heavy-hitter frequencies): each micro-batch's cell table
+    ADDS into the persisted one, so the state always equals the sketch
+    of every key ever delivered (cell-wise addition is the sketch's
+    mergeability contract, pinned cross-engine by countmin_word_freq).
+    Addition is not idempotent, so the sink rides the shared
+    marker-in-state exactly-once protocol. State is O(depth x width)
+    FOREVER; estimates any time via ``sketches.countmin_lookup``."""
+    from ..operators.sketches import countmin_cells
+
+    def merge_fn(s, state: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        cells = countmin_cells(
+            batch_df.select(F.col(key_col)), key_col, depth=depth, width=width
+        )
+        if state is None:
+            return cells
+        return (
+            state.unionByName(cells)
+            .groupBy("d", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return _exactly_once_swap_sink(stream_df, state_path, merge_fn)

@@ -789,3 +789,45 @@ def test_agg_state_sink_recovers_from_crashed_swap(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     ]
     assert got == [(2, 7.0)]
+
+
+def test_countmin_sink_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches through the Count-Min sink: persisted cells
+    must equal the one-shot sketch of all rows (cell-wise addition is
+    the mergeability contract), and lookups must match."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import sketches
+
+    src = str(tmp_path / "cms_src")
+    words1 = [("spark",)] * 30 + [("join",)] * 10 + [("scan",)] * 3
+    words2 = [("spark",)] * 15 + [("agg",)] * 7
+    for name, rows in (("f0", words1), ("f1", words2)):
+        (
+            spark.createDataFrame(rows, "word string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+    stream = (
+        spark.readStream.schema("word string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    state = str(tmp_path / "cms_state")
+    q = streams.countmin_sink(stream, state, "word", depth=4, width=64)
+    q.awaitTermination()
+    full = spark.read.parquet(f"{src}/f*")
+    want = sorted(
+        tuple(r)
+        for r in sketches.countmin_cells(full, "word", depth=4, width=64).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert got == want
+    probes = spark.createDataFrame([("spark",), ("agg",), ("never",)], "word string")
+    est = {
+        r.word: r.est
+        for r in sketches.countmin_lookup(
+            spark.read.parquet(state), probes, "word", depth=4, width=64
+        ).collect()
+    }
+    assert est["spark"] >= 45 and est["agg"] >= 7  # CMS never undercounts
+    assert est["never"] <= est["scan"] if "scan" in est else True
