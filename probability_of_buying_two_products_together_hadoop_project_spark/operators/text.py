@@ -1560,3 +1560,47 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(k)
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease screen — the classic complexity score a
+    curation pipeline thresholds next to the lang/quality/repetition
+    screens: ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)``.
+
+    Counting contracts (all INTEGER, all single regexp passes over the
+    whole text — no per-token HOF lambda):
+    - words: the repo's shared whitespace-token contract;
+    - sentences: runs of ``[.!?]+`` (documents that never end a
+      sentence count 1 — the conventional clamp);
+    - syllables: vowel-group runs ``[aeiouy]+`` over the lowered text.
+      Whole-text counting equals per-word counting exactly: a vowel
+      group cannot span a word boundary (whitespace is not a vowel).
+    The score itself is ONE fixed float expression over three exact
+    integers — engine-deterministic. NULL for token-less documents.
+
+    Output: (id_col, n_words, n_sentences, n_syllables, flesch).
+    """
+    tk = normalized_tokens(text_col)
+    n_words = F.size(tk).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+        ).alias("flesch"),
+    )

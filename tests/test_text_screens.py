@@ -218,3 +218,48 @@ def test_scrub_rejects_bad_params(spark):
         text.scrub_repeated_segments(d, seg_len=0)
     with pytest.raises(ValueError):
         text.scrub_repeated_segments(d, max_count=0)
+
+
+# ---------------------------------------------------------------------------
+# readability_scores
+# ---------------------------------------------------------------------------
+
+
+def py_flesch(t):
+    import re
+
+    words = len(t.lower().strip().split())
+    sents = max(len(re.findall(r"[.!?]+", t)), 1)
+    syll = len(re.findall(r"[aeiouy]+", t.lower()))
+    if words == 0:
+        return (0, sents, syll, None)
+    return (
+        words,
+        sents,
+        syll,
+        206.835 - 1.015 * (words / sents) - 84.6 * (syll / words),
+    )
+
+
+def test_readability_matches_reference(spark):
+    texts = {
+        1: "The cat sat. The dog ran! Was it fun?",
+        2: "Incomprehensibility characterizes multisyllabic terminology.",
+        3: "no terminal punctuation here at all",
+        4: "",
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in text.readability_scores(
+            _docs(spark, sorted(texts.items()))
+        ).collect()
+    }
+    for i, t in texts.items():
+        w, s, y, f = py_flesch(t)
+        assert got[i][:3] == (w, s, y)
+        if f is None:
+            assert got[i][3] is None
+        else:
+            assert abs(got[i][3] - f) < 1e-9
+    # simple prose reads easier than the polysyllabic monster
+    assert got[1][3] > got[2][3]
