@@ -120,6 +120,8 @@ HEADLINE = [
     "target_encode_segment",
     "multimodal_resize_verified",
     "sample_quantiles_orders",
+    "readability_flesch",
+    "schema_drift_orders",
 ]
 
 

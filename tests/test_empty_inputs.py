@@ -126,3 +126,24 @@ def test_seventh_session_ops_empty_and_singleton(spark):
 
     empty_edges = spark.createDataFrame([], "src string, dst string")
     assert graph.bfs_hops(empty_edges, max_hops=2).count() == 0
+
+
+def test_seventh_session_late_ops_empty(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        evaluation,  # noqa: F401
+        multimodal,
+        sketches,
+        text,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.readability_scores(empty_docs).count() == 0
+
+    empty_media = spark.createDataFrame([], "media_id long, payload binary")
+    assert multimodal.resize_media(empty_media).count() == 0
+
+    empty_rows = spark.createDataFrame([], "g string, id long, v double")
+    assert sketches.hash_sample_quantiles(empty_rows, "id", "v", ["g"]).count() == 0
+    one = spark.createDataFrame([("g", 1, 5.0)], "g string, id long, v double")
+    [r] = sketches.hash_sample_quantiles(one, "id", "v", ["g"], k=4).collect()
+    assert (r.n_sample, r.q_1_2) == (1, 5.0)
