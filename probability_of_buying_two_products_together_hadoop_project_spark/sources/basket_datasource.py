@@ -276,3 +276,90 @@ def read_baskets(spark, path: str):
     """Read reference-format basket text through the custom DataSource."""
     register(spark)
     return spark.read.format("basket_text").option("path", path).load()
+
+
+class _GenPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticBasketReader(DataSourceReader):
+    """Deterministic basket GENERATOR — the dbgen-style scale-test
+    source: no input files, rows are a pure function of (seed,
+    basket_id), so any cluster size regenerates the identical corpus.
+    ``n_baskets`` baskets split over ``n_partitions`` input partitions
+    (each generates its own id range — embarrassingly parallel, zero
+    I/O, zero skew by construction).
+
+    Generation contract (pinned by tests, reproducible anywhere): per
+    basket, an LCG seeded with ``md5-free integer mixing`` (SplitMix64
+    steps — no Python hashing in the row loop) draws basket size in
+    [min_items, max_items] and item ids in [1, n_items]. Customer name
+    is ``C<basket_id>``.
+    """
+
+    _MASK = (1 << 64) - 1
+
+    def __init__(self, options: dict):
+        self.n_baskets = int(options.get("n_baskets", 1000))
+        self.n_items = int(options.get("n_items", 100))
+        self.min_items = int(options.get("min_items", 2))
+        self.max_items = int(options.get("max_items", 12))
+        self.seed = int(options.get("seed", 42))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        if self.min_items < 1 or self.max_items < self.min_items:
+            raise ValueError("need 1 <= min_items <= max_items")
+
+    def partitions(self):
+        per = -(-self.n_baskets // self.n_partitions)
+        return [
+            _GenPartition(i * per, min((i + 1) * per, self.n_baskets))
+            for i in range(self.n_partitions)
+            if i * per < self.n_baskets
+        ]
+
+    @classmethod
+    def _mix(cls, x: int) -> int:
+        # SplitMix64 finalizer: deterministic, stdlib-free, fast
+        x = (x + 0x9E3779B97F4A7C15) & cls._MASK
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & cls._MASK
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & cls._MASK
+        return x ^ (x >> 31)
+
+    def read(self, partition: _GenPartition):
+        span = self.max_items - self.min_items + 1
+        for b in range(partition.start, partition.end):
+            h = self._mix(self.seed ^ (b << 1))
+            size = self.min_items + (h % span)
+            items = []
+            for j in range(size):
+                h = self._mix(h + j + 1)
+                items.append(str(1 + (h % self.n_items)))
+            yield (f"C{b}", items)
+
+
+class SyntheticBasketDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_baskets"
+
+    def schema(self) -> str:
+        return "customer string, items array<string>"
+
+    def reader(self, schema) -> SyntheticBasketReader:
+        return SyntheticBasketReader(self.options)
+
+
+def register_synthetic(spark) -> None:
+    spark.dataSource.register(SyntheticBasketDataSource)
+
+
+def generate_baskets(spark, **options):
+    """Generate a deterministic synthetic basket corpus, e.g.
+    ``generate_baskets(spark, n_baskets=10_000, n_partitions=32)``."""
+    register_synthetic(spark)
+    r = spark.read.format("synthetic_baskets")
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()

@@ -400,3 +400,57 @@ def test_basket_text_stream_writer_replay_is_noop(spark, tmp_path):
 
     outs = [n for n in _os.listdir(tmp_path / "o") if n.startswith("part-")]
     assert len(outs) == 1
+
+
+def test_synthetic_basket_generator_deterministic_and_partitioned(spark):
+    """The generator source: same options -> identical corpus on any
+    partitioning; rows are a pure function of (seed, basket_id)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    a = basket_datasource.generate_baskets(
+        spark, n_baskets=500, n_items=50, seed=7, n_partitions=4
+    )
+    b = basket_datasource.generate_baskets(
+        spark, n_baskets=500, n_items=50, seed=7, n_partitions=13
+    )
+    rows_a = sorted((r.customer, tuple(r.items)) for r in a.collect())
+    rows_b = sorted((r.customer, tuple(r.items)) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 500
+    # python mirror of the SplitMix64 contract for a spot basket
+    rdr = basket_datasource.SyntheticBasketReader(
+        {"n_baskets": "500", "n_items": "50", "seed": "7"}
+    )
+    [(cust, items)] = list(rdr.read(basket_datasource._GenPartition(123, 124)))
+    assert (cust, tuple(items)) in rows_a
+    # sizes respect the [min_items, max_items] contract
+    sizes = {len(i) for _, i in rows_a}
+    assert min(sizes) >= 2 and max(sizes) <= 12
+    # different seed -> different corpus
+    c = basket_datasource.generate_baskets(
+        spark, n_baskets=500, n_items=50, seed=8, n_partitions=4
+    )
+    rows_c = sorted((r.customer, tuple(r.items)) for r in c.collect())
+    assert rows_c != rows_a
+
+
+def test_synthetic_baskets_feed_the_flagship(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import basket
+    from probability_of_buying_two_products_together_hadoop_project_spark.sources import (
+        basket_datasource,
+    )
+
+    baskets = basket_datasource.generate_baskets(
+        spark, n_baskets=300, n_items=20, seed=3, n_partitions=6
+    )
+    probs = basket.cooccurrence_pairs(baskets)
+    rows = probs.collect()
+    assert rows
+    # per-item probabilities sum to 1 (the reference invariant)
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r.item] += r.prob
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
