@@ -81,3 +81,28 @@ def test_bfs_broadcast_mode_never_reshuffles_edges(spark):
     plan = explain.formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_readability_zero_exchanges(spark, sf_smoke):
+    df = text.readability_scores(_docs(spark, sf_smoke))
+    n = explain.count_exchanges(df)
+    assert n == 0, f"readability must be a pure projection, got {n} exchanges"
+
+
+def test_sample_quantiles_bounded_windows(spark, sf_smoke):
+    """No single-partition funnel: every rank window partitions by the
+    group (and hash bucket); the plan carries no empty-partition-spec
+    Window over data-sized input."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        sketches,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_smoke, "orders.parquet"))
+    df = sketches.hash_sample_quantiles(
+        orders, "o_orderkey", "o_totalprice", ["o_orderpriority"], k=16
+    )
+    plan = explain.formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"Arguments: \[.*?partitionBy=\[\]", plan):
+        raise AssertionError(f"unpartitioned window found: {m.group(0)[:120]}")

@@ -263,3 +263,31 @@ def test_readability_matches_reference(spark):
             assert abs(got[i][3] - f) < 1e-9
     # simple prose reads easier than the polysyllabic monster
     assert got[1][3] > got[2][3]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(6)]), max_size=30).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy, st.sampled_from([2, 3, 8]), st.sampled_from([1, 2]))
+def test_scrub_hypothesis_vs_reference(spark, texts, seg_len, max_count):
+    tx = {i + 1: t for i, t in enumerate(texts)}
+    want = py_scrub(tx, seg_len=seg_len, max_count=max_count)
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+        for r in text.scrub_repeated_segments(
+            _docs(spark, sorted(tx.items())),
+            seg_len=seg_len,
+            max_count=max_count,
+        ).collect()
+    }
+    assert got == want
