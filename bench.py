@@ -122,6 +122,7 @@ HEADLINE = [
     "sample_quantiles_orders",
     "readability_flesch",
     "schema_drift_orders",
+    "temperature_mix_sources",
 ]
 
 

@@ -995,3 +995,76 @@ def quantile_bins(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    budget_num: int = 1,
+    budget_den: int = 2,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source rebalancing at T = 2 (weights ∝
+    sqrt(n_s) — the multilingual-LM standard for up-weighting
+    low-resource sources without explicit per-source knobs; exponent
+    1/2 is the canonical choice): sample each source with probability
+    ``min(1, B * w_s / (W * n_s))`` where ``w_s = sqrt(n_s)``,
+    ``W = Σ w_s``, and the row budget ``B = N * budget_num/budget_den``
+    — in expectation the output has B rows distributed ∝ sqrt of
+    source sizes.
+
+    Why T = 2 specifically: IEEE-754 ``sqrt`` is CORRECTLY ROUNDED
+    (unlike pow/exp/ln), so the weight of each source is one
+    deterministic double; quantized to a 6dp decimal and exactly
+    summed, every keep-probability is a fixed float expression over
+    engine-identical operands, and the md5 dyadic draw then picks the
+    identical rows in any engine. An arbitrary-T variant would need
+    exp(alpha*ln n) — iterated transcendentals this repo's numerics
+    rules forbid across oracle boundaries.
+
+    Plan: one map-side-combined source-count aggregation (source-
+    cardinality rows), broadcast back onto one narrow filter scan —
+    rows decide locally from content, nothing data-sized shuffles.
+    """
+    if budget_num < 0 or budget_den < 1:
+        raise ValueError("budget must be a non-negative rational")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w6 = F.round(F.sqrt(F.col("_n").cast("double")), 6).cast("decimal(18,6)")
+    weights = counts.select(source_col, "_n", w6.alias("_w"))
+    tot = weights.agg(
+        F.sum("_n").alias("_nn"), F.sum("_w").alias("_ww")
+    )
+    probs = weights.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (
+                F.expr(f"CAST(_nn * {budget_num} DIV {budget_den} AS BIGINT)")
+                .cast("double")
+                * F.col("_w").cast("double")
+            )
+            / (F.col("_ww").cast("double") * F.col("_n").cast("double")),
+        ).alias("_keep_p"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "", F.lit(salt), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return (
+        df.join(F.broadcast(probs), source_col)
+        .filter(u < F.col("_keep_p"))
+        .drop("_keep_p")
+    )

@@ -9036,6 +9036,44 @@ def q_readability(spark, sf_dir):
     return text.readability_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "temperature_mix_sources",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) AS w
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT SUM(n) AS nn, SUM(w) AS ww FROM c
+    ), p AS (
+      SELECT c.source,
+             least(1.0,
+               (CAST(CAST(t.nn * 1 // 2 AS BIGINT) AS DOUBLE)
+                  * CAST(c.w AS DOUBLE))
+               / (CAST(t.ww AS DOUBLE) * CAST(c.n AS DOUBLE))) AS keep_p
+      FROM c CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN p ON d.source = p.source
+    WHERE (('0x' || substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT + 0.5) / 4294967296.0 < p.keep_p
+    """,
+    "Temperature-based source rebalancing at T=2 (keep probability ∝ "
+    "sqrt(n_s)/n_s, half-corpus budget) — the multilingual-LM standard "
+    "for up-weighting low-resource sources. T=2 is the one temperature "
+    "with a cross-engine-exact formulation: IEEE sqrt is CORRECTLY "
+    "ROUNDED (pow/exp/ln are not), so 6dp-quantized weights + exact "
+    "decimal sums + the md5 dyadic draw pick identical rows in both "
+    "engines. Source-cardinality aggregate broadcasts onto one narrow "
+    "filter scan — rows decide locally, nothing data-sized shuffles",
+)
+def q_temperature_mix(spark, sf_dir):
+    return relational.temperature_mix(
+        _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ).select("doc_id", "source")
+
+
 def _stats_stack(df, cols):
     """One-scan per-column stats as (col_name, n_rows, n_nulls, ndv,
     min_s, max_s) rows — the table_stats construction, reused for
@@ -9360,6 +9398,7 @@ _ROTATION_TAIL = {
     "sample_quantiles_orders": "r05-local",
     "readability_flesch": "r05-local",
     "schema_drift_orders": "r05-local",
+    "temperature_mix_sources": "r05-local",
 }
 
 

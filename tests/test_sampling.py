@@ -320,3 +320,62 @@ def test_stratified_split_exact_quotas(spark, sf_oracle):
         n = sum(splits.values())
         assert splits.get("train", 0) == (n * 80) // 100, source
         assert splits.get("train", 0) + splits.get("val", 0) == (n * 90) // 100
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix (T=2 source rebalancing)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_matches_reference_and_rebalances(spark):
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        relational,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in relational.temperature_mix(df).collect()
+    )
+    # python mirror
+    counts = {"big": 900, "small": 100}
+    w = {s: Decimal(repr(round(math.sqrt(n), 6))) for s, n in counts.items()}
+    ww = float(sum(w.values()))
+    nn = sum(counts.values())
+    keep = {
+        s: min(1.0, (nn * 1 // 2) * float(w[s]) / (ww * n))
+        for s, n in counts.items()
+    }
+    want = sorted(
+        (i, s)
+        for i, s in rows
+        if (int(hashlib.md5(f"tmix{i}".encode()).hexdigest()[:8], 16) + 0.5)
+        / float(1 << 32)
+        < keep[s]
+    )
+    assert got == want
+    # rebalancing direction: the small source keeps a larger FRACTION
+    kept = {"big": 0, "small": 0}
+    for _, s in got:
+        kept[s] += 1
+    assert kept["small"] / 100 > kept["big"] / 900
+    assert relational.temperature_mix(df).count() > 0
+
+
+def test_temperature_mix_rejects_bad_budget(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        relational,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        relational.temperature_mix(df, budget_den=0)
