@@ -123,6 +123,7 @@ HEADLINE = [
     "readability_flesch",
     "schema_drift_orders",
     "temperature_mix_sources",
+    "spearman_spend_frequency",
 ]
 
 

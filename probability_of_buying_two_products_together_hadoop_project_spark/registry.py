@@ -9074,6 +9074,67 @@ def q_temperature_mix(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "spearman_spend_frequency",
+    """
+    WITH b AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS x,
+             COUNT(*) AS y
+      FROM orders GROUP BY o_custkey
+    ), rx AS (
+      SELECT x, 2 * (SUM(COUNT(*)) OVER (ORDER BY x)) - COUNT(*) + 1 AS rx2
+      FROM b GROUP BY x
+    ), ry AS (
+      SELECT y, 2 * (SUM(COUNT(*)) OVER (ORDER BY y)) - COUNT(*) + 1 AS ry2
+      FROM b GROUP BY y
+    ), r AS (
+      SELECT rx2, ry2 FROM b JOIN rx USING (x) JOIN ry USING (y)
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(rx2) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(ry2) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(rx2 * rx2) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(ry2 * ry2) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(rx2 * ry2) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS spearman
+    FROM m
+    """,
+    "Spearman rank correlation between per-customer total spend and "
+    "order frequency (do bigger spenders also order more often?) — "
+    "Pearson over tie-averaged ranks in 2x-scaled integers (the "
+    "ROC-AUC trick; scaling cancels in the correlation), five exact "
+    "decimal(38,0) integer moments, ONE fixed float formula whose "
+    "sqrt is correctly rounded. Ranks come from the bucketed parallel "
+    "prefix (no global sort); the builtin corr() is both the wrong "
+    "statistic and partitioning-dependent — this is neither",
+)
+def q_spearman(spark, sf_dir):
+    b = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    return evaluation.spearman_corr(
+        b,
+        "x",
+        "y",
+        x_bucket=F.floor(F.col("x") / F.lit(100000)),
+        y_bucket=F.col("y"),
+    )
+
+
 def _stats_stack(df, cols):
     """One-scan per-column stats as (col_name, n_rows, n_nulls, ndv,
     min_s, max_s) rows — the table_stats construction, reused for
@@ -9399,6 +9460,7 @@ _ROTATION_TAIL = {
     "readability_flesch": "r05-local",
     "schema_drift_orders": "r05-local",
     "temperature_mix_sources": "r05-local",
+    "spearman_spend_frequency": "r05-local",
 }
 
 

@@ -390,3 +390,59 @@ def test_roc_auc_hypothesis_vs_bruteforce(spark, pairs):
         assert r.auc is None
     else:
         assert r.auc == pytest.approx(want, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def py_spearman(pairs):
+    from collections import Counter
+
+    def ranks(vals):
+        cnt = Counter(vals)
+        cum = {}
+        cc = 0
+        for v in sorted(cnt):
+            cc += cnt[v]
+            cum[v] = 2 * cc - cnt[v] + 1  # 2x-scaled tie-averaged rank
+        return [cum[v] for v in vals]
+
+    xs = ranks([x for x, _ in pairs])
+    ys = ranks([y for _, y in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    syy = sum(a * a for a in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    rng = random.Random(53)
+    pairs = [(rng.randint(0, 20), rng.randint(0, 8)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "x int, y int")
+    [r] = evaluation.spearman_corr(df, "x", "y").collect()
+    assert r.n == 300
+    assert r.spearman == pytest.approx(py_spearman(pairs), abs=1e-12)
+
+
+def test_spearman_perfect_monotone_and_constant(spark):
+    inc = [(i, i * i) for i in range(30)]  # monotone, nonlinear
+    df = spark.createDataFrame(inc, "x int, y int")
+    [r] = evaluation.spearman_corr(df, "x", "y").collect()
+    assert r.spearman == pytest.approx(1.0, abs=1e-12)
+    dec = [(i, -3 * i) for i in range(30)]
+    [r2] = evaluation.spearman_corr(
+        spark.createDataFrame(dec, "x int, y int"), "x", "y"
+    ).collect()
+    assert r2.spearman == pytest.approx(-1.0, abs=1e-12)
+    const = [(i, 7) for i in range(10)]
+    [r3] = evaluation.spearman_corr(
+        spark.createDataFrame(const, "x int, y int"), "x", "y"
+    ).collect()
+    assert r3.spearman is None
