@@ -124,6 +124,7 @@ HEADLINE = [
     "schema_drift_orders",
     "temperature_mix_sources",
     "spearman_spend_frequency",
+    "classification_report_langid",
 ]
 
 

@@ -358,3 +358,76 @@ def spearman_corr(
             (n * sxy - sx * sy) / F.sqrt(varx * vary),
         ).alias("spearman"),
     )
+
+
+def classification_report(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 plus support from a (truth,
+    prediction) table — the metric sheet for grading any categorical
+    screen (language ID, quality tiers, nearest-centroid labels).
+    Classes are the union of truth and prediction labels, so a class
+    the model never predicts (or invents) still reports.
+
+    Exactness: tp / fp / fn are integer counts from ONE two-column
+    aggregation; each metric is a single correctly-rounded division
+    (F1 from the exact integer identity ``2tp / (2tp + fp + fn)`` —
+    never the float harmonic mean of two already-rounded rates).
+    Degenerate denominators yield NULL, not 0.0 (a class with no
+    predictions has UNDEFINED precision — collapsing it to 0 poisons
+    macro averages).
+
+    Plan: one (truth, prediction) pair aggregation (map-side combined;
+    the pair table is |classes|^2-bounded), then class-level sums over
+    that tiny table. Output: ``(label, support, tp, fp, fn, precision,
+    recall, f1)``.
+    """
+    pairs = df.groupBy(
+        F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    tp = pairs.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("_n").alias("tp")
+    )
+    truth = pairs.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_n").alias("support")
+    )
+    preds = pairs.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("n_pred")
+    )
+    rep = (
+        truth.join(preds, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tpn = F.col("tp").cast("double")
+    return rep.select(
+        "label",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            tpn / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("support") > 0, tpn / F.col("support").cast("double")
+        ).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (F.lit(2.0) * tpn)
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                "double"
+            ),
+        ).alias("f1"),
+    )

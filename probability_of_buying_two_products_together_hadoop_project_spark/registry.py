@@ -9135,6 +9135,67 @@ def q_spearman(spark, sf_dir):
     )
 
 
+@register(
+    "classification_report_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS h_en,
+        len(list_filter(tk, x -> list_contains(['el','la','de','y','un','es'], x))) AS h_es,
+        len(list_filter(tk, x -> list_contains(['le','la','de','et','un','est'], x))) AS h_fr
+      FROM toks
+    ), pr AS (
+      SELECT lang AS t,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) < 2 THEN 'und'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr' END AS p
+      FROM hits
+    ), pairs AS (
+      SELECT t, p, COUNT(*) AS n FROM pr GROUP BY t, p
+    ), truth AS (SELECT t AS label, SUM(n) AS support FROM pairs GROUP BY t),
+    preds AS (SELECT p AS label, SUM(n) AS n_pred FROM pairs GROUP BY p),
+    tp AS (SELECT t AS label, n AS tp FROM pairs WHERE t = p),
+    rep AS (
+      SELECT COALESCE(truth.label, preds.label) AS label,
+             CAST(COALESCE(support, 0) AS BIGINT) AS support,
+             CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(n_pred, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+             CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+      FROM truth FULL OUTER JOIN preds ON truth.label = preds.label
+      LEFT JOIN tp ON COALESCE(truth.label, preds.label) = tp.label
+    )
+    SELECT label, support, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           CASE WHEN support > 0
+             THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+             THEN 2.0 * CAST(tp AS DOUBLE)
+                  / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+    FROM rep
+    """,
+    "Per-class precision/recall/F1 + support, grading the language-ID "
+    "screen against the corpus's true lang labels — the metric sheet "
+    "for any categorical screen. Exact integer tp/fp/fn from one "
+    "(truth, prediction) aggregation (|classes|^2-bounded pair table); "
+    "F1 via the integer identity 2tp/(2tp+fp+fn), never a harmonic "
+    "mean of rounded rates; undefined denominators stay NULL so macro "
+    "averages aren't poisoned",
+)
+def q_classification_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return evaluation.classification_report(joined, "lang", "pred_lang")
+
+
 def _stats_stack(df, cols):
     """One-scan per-column stats as (col_name, n_rows, n_nulls, ndv,
     min_s, max_s) rows — the table_stats construction, reused for
@@ -9461,6 +9522,7 @@ _ROTATION_TAIL = {
     "schema_drift_orders": "r05-local",
     "temperature_mix_sources": "r05-local",
     "spearman_spend_frequency": "r05-local",
+    "classification_report_langid": "r05-local",
 }
 
 

@@ -446,3 +446,30 @@ def test_spearman_perfect_monotone_and_constant(spark):
         spark.createDataFrame(const, "x int, y int"), "x", "y"
     ).collect()
     assert r3.spearman is None
+
+
+# ---------------------------------------------------------------------------
+# classification_report
+# ---------------------------------------------------------------------------
+
+
+def test_classification_report_matches_reference(spark):
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2       # a: tp=8 fn=2
+        + [("b", "b")] * 5 + [("b", "c")] * 1     # b: tp=5 fn=1, fp=2 (from a)
+        + [("c", "a")] * 3                         # c never predicted right
+        + [("d", "e")] * 2                         # e never in truth
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {
+        r.label: (r.support, r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+        for r in evaluation.classification_report(df, "t", "p").collect()
+    }
+    assert got["a"] == (10, 8, 3, 2, 8 / 11, 0.8, 16 / 21)
+    assert got["b"] == (6, 5, 2, 1, 5 / 7, 5 / 6, 10 / 13)
+    assert got["c"][:4] == (3, 0, 1, 3) and got["c"][4] == 0.0 and got["c"][5] == 0.0
+    # e: present only as a prediction -> support 0, recall NULL
+    assert got["e"][:4] == (0, 0, 2, 0)
+    assert got["e"][4] == 0.0 and got["e"][5] is None
+    # d: never predicted -> precision NULL (not 0.0)
+    assert got["d"][:4] == (2, 0, 0, 2) and got["d"][4] is None
