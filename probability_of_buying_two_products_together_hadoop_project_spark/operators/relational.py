@@ -1004,6 +1004,7 @@ def temperature_mix(
     budget_num: int = 1,
     budget_den: int = 2,
     salt: str = "tmix",
+    sqrt_steps: int = 1,
 ) -> DataFrame:
     """Temperature-based source rebalancing at T = 2 (weights ∝
     sqrt(n_s) — the multilingual-LM standard for up-weighting
@@ -1029,8 +1030,17 @@ def temperature_mix(
     """
     if budget_num < 0 or budget_den < 1:
         raise ValueError("budget must be a non-negative rational")
+    if not 1 <= sqrt_steps <= 4:
+        raise ValueError(f"sqrt_steps must be in [1, 4], got {sqrt_steps}")
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    w6 = F.round(F.sqrt(F.col("_n").cast("double")), 6).cast("decimal(18,6)")
+    # sqrt_steps composes exact temperatures: 1 -> T=2 (w = n^(1/2)),
+    # 2 -> T=4 (w = n^(1/4)), ... — each step is one correctly-rounded
+    # IEEE sqrt, so any engine computes the identical weight; arbitrary
+    # T would need pow/exp/ln, which are not correctly rounded
+    w = F.col("_n").cast("double")
+    for _ in range(sqrt_steps):
+        w = F.sqrt(w)
+    w6 = F.round(w, 6).cast("decimal(18,6)")
     weights = counts.select(source_col, "_n", w6.alias("_w"))
     tot = weights.agg(
         F.sum("_n").alias("_nn"), F.sum("_w").alias("_ww")

@@ -379,3 +379,63 @@ def test_temperature_mix_rejects_bad_budget(spark):
 
     with _pt.raises(ValueError):
         relational.temperature_mix(df, budget_den=0)
+
+
+def test_temperature_mix_t4_flattens_harder_than_t2(spark):
+    """sqrt_steps=2 (T=4, w=n^(1/4)) up-weights the small source more
+    aggressively than T=2; both draws mirror the python contract."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        relational,
+    )
+
+    rows = [(i, "big") for i in range(1600)] + [
+        (5000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def py_mix(steps):
+        counts = {"big": 1600, "small": 100}
+        def wgt(n):
+            v = float(n)
+            for _ in range(steps):
+                v = math.sqrt(v)
+            return Decimal(repr(round(v, 6)))
+        w = {s: wgt(n) for s, n in counts.items()}
+        ww, nn = float(sum(w.values())), sum(counts.values())
+        keep = {
+            s: min(1.0, (nn // 2) * float(w[s]) / (ww * n))
+            for s, n in counts.items()
+        }
+        return sorted(
+            (i, s)
+            for i, s in rows
+            if (int(hashlib.md5(f"tmix{i}".encode()).hexdigest()[:8], 16) + 0.5)
+            / float(1 << 32)
+            < keep[s]
+        )
+
+    for steps in (1, 2):
+        got = sorted(
+            (r.doc_id, r.source)
+            for r in relational.temperature_mix(df, sqrt_steps=steps).collect()
+        )
+        assert got == py_mix(steps)
+
+    def frac_small(drawn):
+        kept = {"big": 0, "small": 0}
+        for _, s in drawn:
+            kept[s] += 1
+        return kept["small"] / 100, kept["big"] / 1600
+
+    s2_small, s2_big = frac_small(py_mix(1))
+    s4_small, s4_big = frac_small(py_mix(2))
+    # T=4 keeps a larger share of the small source relative to the big one
+    assert s4_small / max(s4_big, 1e-9) > s2_small / max(s2_big, 1e-9)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        relational.temperature_mix(df, sqrt_steps=0)
