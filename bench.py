@@ -125,6 +125,7 @@ HEADLINE = [
     "temperature_mix_sources",
     "spearman_spend_frequency",
     "classification_report_langid",
+    "source_vocab_overlap",
 ]
 
 

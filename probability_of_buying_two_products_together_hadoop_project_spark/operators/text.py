@@ -1604,3 +1604,65 @@ def readability_scores(
             - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
         ).alias("flesch"),
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus
+    diagnostic that finds shards mirroring each other's content
+    (crawl/re-crawl, mirrored sites, re-exported dumps) BEFORE the
+    expensive document-level near-dup pass: two sources with
+    near-identical vocabularies are dedup candidates as wholes.
+
+    Engine shape: tokens reduce to DISTINCT (source, token) map-side;
+    pair counts come from a token-keyed self-join of that reduced
+    table — work per token is (sources sharing it)^2, bounded by the
+    SOURCE count squared, never by corpus volume (sources are an
+    operational constant: hundreds at 100 TB, so the join output is
+    <= |sources|^2 x vocab and collapses immediately in a map-side
+    partial agg). Per-source vocab sizes broadcast onto the canonical
+    (a < b) pair table; ``jaccard = shared / (va + vb - shared)`` is
+    one float division of exact integers.
+
+    Output: (src_a, src_b, vocab_a, vocab_b, shared, jaccard) for
+    pairs with jaccard >= ``min_jaccard``.
+    """
+    tk = normalized_tokens(text_col)
+    st = (
+        docs.select(F.col(source_col).alias("_s"), F.explode(tk).alias("_t"))
+        .distinct()
+    )
+    a, b = st.alias("a"), st.alias("b")
+    shared = (
+        a.join(b, "_t")
+        .filter(F.col("a._s") < F.col("b._s"))
+        .groupBy(
+            F.col("a._s").alias("src_a"), F.col("b._s").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = st.groupBy(F.col("_s")).agg(F.count(F.lit(1)).alias("_v"))
+    va = sizes.select(F.col("_s").alias("src_a"), F.col("_v").alias("vocab_a"))
+    vb = sizes.select(F.col("_s").alias("src_b"), F.col("_v").alias("vocab_b"))
+    out = (
+        shared.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("shared").cast("bigint").alias("shared"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)

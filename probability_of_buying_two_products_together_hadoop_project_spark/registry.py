@@ -9196,6 +9196,46 @@ def q_classification_report(spark, sf_dir):
     return evaluation.classification_report(joined, "lang", "pred_lang")
 
 
+@register(
+    "source_vocab_overlap",
+    """
+    WITH st AS (
+      SELECT DISTINCT source AS s, t FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(
+                 lower(trim(text)), '\\s+'), x -> x != '')) AS t
+        FROM documents)
+    ), sh AS (
+      SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS shared
+      FROM st a JOIN st b ON a.t = b.t AND a.s < b.s
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT s, COUNT(*) AS v FROM st GROUP BY s
+    )
+    SELECT src_a, src_b,
+           CAST(va.v AS BIGINT) AS vocab_a, CAST(vb.v AS BIGINT) AS vocab_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(shared AS DOUBLE)
+             / CAST(va.v + vb.v - shared AS DOUBLE) AS jaccard
+    FROM sh JOIN sz va ON sh.src_a = va.s JOIN sz vb ON sh.src_b = vb.s
+    WHERE CAST(shared AS DOUBLE)
+            / CAST(va.v + vb.v - shared AS DOUBLE) >= 0.2
+    """,
+    "Pairwise vocabulary Jaccard between sources — the shard-level "
+    "mirror detector run BEFORE document near-dup (re-crawls and "
+    "re-exported dumps show up as whole-source vocabulary overlap). "
+    "Distinct (source, token) reduces map-side; the token-keyed self-"
+    "join does (sources sharing the token)^2 work per token — bounded "
+    "by the source count squared, an operational constant, never by "
+    "corpus volume; per-source sizes broadcast onto the canonical "
+    "pair table; jaccard is one division of exact integers",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    return text.source_vocab_overlap(
+        _t(spark, sf_dir, "documents"), min_jaccard=0.2
+    )
+
+
 def _stats_stack(df, cols):
     """One-scan per-column stats as (col_name, n_rows, n_nulls, ndv,
     min_s, max_s) rows — the table_stats construction, reused for
@@ -9523,6 +9563,7 @@ _ROTATION_TAIL = {
     "temperature_mix_sources": "r05-local",
     "spearman_spend_frequency": "r05-local",
     "classification_report_langid": "r05-local",
+    "source_vocab_overlap": "r05-local",
 }
 
 

@@ -291,3 +291,52 @@ def test_scrub_hypothesis_vs_reference(spark, texts, seg_len, max_count):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_vocab_overlap_matches_reference(spark):
+    docs = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta epsilon", "s1"),
+        (3, "alpha beta gamma zeta", "s2"),   # heavy overlap with s1
+        (4, "omega psi chi", "s3"),            # disjoint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r.src_a, r.src_b): (r.vocab_a, r.vocab_b, r.shared, r.jaccard)
+        for r in text.source_vocab_overlap(df).collect()
+    }
+    # python mirror
+    from collections import defaultdict
+
+    vocab = defaultdict(set)
+    for _, t, s in docs:
+        vocab[s] |= set(t.split())
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        sh = len(vocab[a] & vocab[b])
+        if sh:
+            want[(a, b)] = (
+                len(vocab[a]),
+                len(vocab[b]),
+                sh,
+                sh / len(vocab[a] | vocab[b]),
+            )
+    assert got == want
+    assert got[("s1", "s2")][3] > 0.4  # the mirrored pair stands out
+
+
+def test_source_vocab_overlap_threshold_filters(spark):
+    docs = [
+        (1, "a b c", "x"),
+        (2, "a q r s t u v w", "y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    assert text.source_vocab_overlap(df, min_jaccard=0.5).count() == 0
+    assert text.source_vocab_overlap(df, min_jaccard=0.0).count() == 1
