@@ -126,6 +126,7 @@ HEADLINE = [
     "spearman_spend_frequency",
     "classification_report_langid",
     "source_vocab_overlap",
+    "classification_summary_langid",
 ]
 
 

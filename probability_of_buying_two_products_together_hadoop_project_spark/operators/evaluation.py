@@ -431,3 +431,42 @@ def classification_report(
             ),
         ).alias("f1"),
     )
+
+
+def classification_summary(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """One-row roll-up of :func:`classification_report`: overall
+    accuracy (= micro-F1 for single-label classification) plus
+    MACRO-averaged precision / recall / F1 — averaged over classes
+    with DEFINED metrics only (classes whose denominator is zero are
+    excluded, not imputed as 0 — the NULL-handling contract of the
+    per-class report carried through the mean; both engines then
+    average the identical value set).
+
+    Determinism: accuracy is one division of exact integers; each
+    macro mean is an exact decimal sum of per-class single-division
+    doubles divided by the defined-class count. Output: (n_rows,
+    n_classes, accuracy, macro_precision, macro_recall, macro_f1).
+    """
+    rep = classification_report(df, true_col, pred_col)
+    dec = "decimal(18,6)"
+    return rep.agg(
+        F.sum("support").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        (
+            F.sum("tp").cast("double") / F.sum("support").cast("double")
+        ).alias("accuracy"),
+        (
+            F.sum(F.round(F.col("precision"), 6).cast(dec)).cast("double")
+            / F.count("precision").cast("double")
+        ).alias("macro_precision"),
+        (
+            F.sum(F.round(F.col("recall"), 6).cast(dec)).cast("double")
+            / F.count("recall").cast("double")
+        ).alias("macro_recall"),
+        (
+            F.sum(F.round(F.col("f1"), 6).cast(dec)).cast("double")
+            / F.count("f1").cast("double")
+        ).alias("macro_f1"),
+    )

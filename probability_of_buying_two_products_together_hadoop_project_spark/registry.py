@@ -9236,6 +9236,78 @@ def q_source_vocab_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "classification_summary_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(tk, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+        len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS h_en,
+        len(list_filter(tk, x -> list_contains(['el','la','de','y','un','es'], x))) AS h_es,
+        len(list_filter(tk, x -> list_contains(['le','la','de','et','un','est'], x))) AS h_fr
+      FROM toks
+    ), pr AS (
+      SELECT lang AS t,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) < 2 THEN 'und'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+             ELSE 'fr' END AS p
+      FROM hits
+    ), pairs AS (
+      SELECT t, p, COUNT(*) AS n FROM pr GROUP BY t, p
+    ), truth AS (SELECT t AS label, SUM(n) AS support FROM pairs GROUP BY t),
+    preds AS (SELECT p AS label, SUM(n) AS n_pred FROM pairs GROUP BY p),
+    tp AS (SELECT t AS label, n AS tp FROM pairs WHERE t = p),
+    rep AS (
+      SELECT COALESCE(truth.label, preds.label) AS label,
+             COALESCE(support, 0) AS support,
+             COALESCE(tp.tp, 0) AS tp,
+             COALESCE(n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+             COALESCE(support, 0) - COALESCE(tp.tp, 0) AS fn
+      FROM truth FULL OUTER JOIN preds ON truth.label = preds.label
+      LEFT JOIN tp ON COALESCE(truth.label, preds.label) = tp.label
+    ), m AS (
+      SELECT label, support, tp,
+        CASE WHEN tp + fp > 0
+          THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prc,
+        CASE WHEN support > 0
+          THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS rcl,
+        CASE WHEN 2 * tp + fp + fn > 0
+          THEN 2.0 * CAST(tp AS DOUBLE)
+               / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+      FROM rep
+    )
+    SELECT CAST(SUM(support) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(CAST(SUM(tp) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(support) AS VARCHAR) AS DOUBLE) AS accuracy,
+           CAST(CAST(SUM(CAST(round(prc, 6) AS DECIMAL(18,6))) AS VARCHAR)
+             AS DOUBLE) / CAST(COUNT(prc) AS DOUBLE) AS macro_precision,
+           CAST(CAST(SUM(CAST(round(rcl, 6) AS DECIMAL(18,6))) AS VARCHAR)
+             AS DOUBLE) / CAST(COUNT(rcl) AS DOUBLE) AS macro_recall,
+           CAST(CAST(SUM(CAST(round(f1, 6) AS DECIMAL(18,6))) AS VARCHAR)
+             AS DOUBLE) / CAST(COUNT(f1) AS DOUBLE) AS macro_f1
+    FROM m
+    """,
+    "One-row roll-up of the language-ID classification report: overall "
+    "accuracy (exact integer division) + macro precision/recall/F1 "
+    "averaged over classes with DEFINED metrics only (NULL denominators "
+    "excluded, not imputed as 0 — imputing poisons macro averages). "
+    "Macro means are exact sums of 6dp-quantized per-class values, so "
+    "both engines average the identical set",
+)
+def q_classification_summary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return evaluation.classification_summary(joined, "lang", "pred_lang")
+
+
 def _stats_stack(df, cols):
     """One-scan per-column stats as (col_name, n_rows, n_nulls, ndv,
     min_s, max_s) rows — the table_stats construction, reused for
@@ -9564,6 +9636,7 @@ _ROTATION_TAIL = {
     "spearman_spend_frequency": "r05-local",
     "classification_report_langid": "r05-local",
     "source_vocab_overlap": "r05-local",
+    "classification_summary_langid": "r05-local",
 }
 
 

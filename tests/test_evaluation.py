@@ -473,3 +473,34 @@ def test_classification_report_matches_reference(spark):
     assert got["e"][4] == 0.0 and got["e"][5] is None
     # d: never predicted -> precision NULL (not 0.0)
     assert got["d"][:4] == (2, 0, 0, 2) and got["d"][4] is None
+
+
+def test_classification_summary_matches_report(spark):
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2
+        + [("b", "b")] * 5 + [("b", "c")] * 1
+        + [("c", "a")] * 3
+        + [("d", "e")] * 2
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    [s] = evaluation.classification_summary(df, "t", "p").collect()
+    assert s.n_rows == len(rows)
+    assert s.accuracy == pytest.approx((8 + 5) / len(rows), abs=1e-12)
+    rep = evaluation.classification_report(df, "t", "p").collect()
+    for metric, col in (
+        ("macro_precision", "precision"),
+        ("macro_recall", "recall"),
+        ("macro_f1", "f1"),
+    ):
+        defined = [
+            float(
+                Decimal(repr(round(getattr(r, col), 6))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            for r in rep
+            if getattr(r, col) is not None
+        ]
+        assert getattr(s, metric) == pytest.approx(
+            sum(defined) / len(defined), abs=1e-9
+        )
