@@ -122,11 +122,12 @@ def test_kmv_merge_equals_full_rebuild(spark, n_a, n_b):
     b_keys = [f"b{i}" for i in range(n_b)] + a_keys[: n_a // 2]  # overlap
     if not a_keys and not b_keys:
         return
-    da = spark.createDataFrame([("g", x) for x in a_keys] or [("g", None)], ["grp", "key"]).filter(F.col("key").isNotNull())
-    db = spark.createDataFrame([("g", x) for x in b_keys] or [("g", None)], ["grp", "key"]).filter(F.col("key").isNotNull())
-    full = spark.createDataFrame(
-        [("g", x) for x in a_keys + b_keys], ["grp", "key"]
-    )
+    # explicit schema: the None-placeholder fallback cannot infer the key
+    # type when hypothesis draws an empty side (n_a=0 falsifying example)
+    schema = "grp string, key string"
+    da = spark.createDataFrame([("g", x) for x in a_keys], schema)
+    db = spark.createDataFrame([("g", x) for x in b_keys], schema)
+    full = spark.createDataFrame([("g", x) for x in a_keys + b_keys], schema)
     sa = sketches.kmv_sample(da, "key", ["grp"], k=k)
     sb = sketches.kmv_sample(db, "key", ["grp"], k=k)
     merged = sketches.kmv_estimate(
