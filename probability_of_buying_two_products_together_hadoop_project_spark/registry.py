@@ -9445,23 +9445,61 @@ def q_schema_drift(spark, sf_dir):
 # evidence is thus never more than one round old, and any query whose
 # implementation changes must rotate into the window the same round.
 #
-# r05 tail: full half-swap. Every r03-evidence tail member (evidence would
-# turn two rounds old this round) rotates back into the window, together
-# with the 11 late-r04 local-gate entries and r05's six new queries
-# (q21/q2/q11, fuzzy_name_pairs_collapsed, multimodal_features_verified,
-# cooccurrence_pairs_skewed). The tail below holds the 50 queries the r04
-# driver checked (CORRECTNESS_r04.json: 45 hash-matched + 5 declared
-# rows-only) — all implementations untouched by r05's edits (the r05
-# changes are new functions plus the _t timezone guard, which is
-# result-neutral for the UTC sessions every checked row ran under) —
-# plus FOUR r03-tail stragglers the 50-slot window cannot fit
-# (104 registered queries alternate through a 50-slot window; the
-# overflow is the 4 most type-shift-insensitive batteries: pure scalar
-# expression suites over static dims and a props-only JSON projection
-# that reads no timestamp). Those four carry r05-local evidence: the
-# full-registry tools/oracle_check.py pass recorded this session.
+# r06 tail: no CORRECTNESS_r05 artifact was ever produced (the driver's
+# bench/verify pass was skipped between r05 and r06 — PROGRESS.jsonl shows
+# the round flip with no correctness/bench files written), so the r05
+# window's 16 never-checked members KEEP their slots and the 34 members
+# holding r03 driver rows rotate to the tail (labelled "r03", their
+# implementations untouched; freshest supporting evidence is the r05/r06
+# full-registry local oracle passes). The freed 34 slots go to the
+# highest-priority never-driver-checked r05-local entries: the remaining
+# 8 TPC-H shapes (Q8/Q9/Q12/Q14/Q15/Q16/Q19/Q20 — the whole 22-query
+# battery is now in-window), every hash-pinned "_verified"/incremental
+# twin, the curation/mixing/sharding pipeline, CDC/SCD2, time-series
+# gap-fill + rollup composition, fixed-point PageRank/k-means, and the
+# corpus-LM/TF-IDF text stack. ~76 r05-local entries remain tail-side
+# for the r07/r08 windows (217 queries alternate through 50 slots).
 _ROTATION_TAIL = {
-    # r04 driver window (CORRECTNESS_r04.json), implementations untouched
+    # Last driver hash-match row r03 (CORRECTNESS_r03.json); implementations
+    # untouched since. These sat in the r05 window, but no CORRECTNESS_r05
+    # artifact was produced (driver-side; bench/verify skipped between r05 and
+    # r06), so their evidence remains the r03 row + the r05/r06 full-registry
+    # local oracle passes. Rotate back in at r07.
+    "cooccurrence_pairs": "r03",
+    "cooccurrence_topk": "r03",
+    "cooccurrence_stripes": "r03",
+    "cooccurrence_pairs_joined": "r03",
+    "pair_rules": "r03",
+    "fpgrowth_itemsets": "r03",
+    "fpgrowth_itemsets_pairs": "r03",
+    "fpgrowth_rules_pairs": "r03",
+    "window_rank_variants": "r03",
+    "having_big_customers": "r03",
+    "agg_rollup_lineitem": "r03",
+    "agg_cube_orders": "r03",
+    "window_running_orders": "r03",
+    "topk_orders_per_customer": "r03",
+    "unpivot_lineitem_measures": "r03",
+    "corpus_bigrams": "r03",
+    "stratified_sample_orders": "r03",
+    "set_ops_segments": "r03",
+    "scalar_string_math_funcs": "r03",
+    "scalar_date_funcs": "r03",
+    "agg_grouping_sets": "r03",
+    "pivot_order_status_by_year": "r03",
+    "scalar_array_funcs": "r03",
+    "events_view_purchase_outer": "r03",
+    "events_sessionize": "r03",
+    "dedup_exact": "r03",
+    "doc_winnow_fingerprint": "r03",
+    "jaccard_prefiltered": "r03",
+    "minhash_near_dup": "r03",
+    "multimodal_meta": "r03",
+    "multimodal_frame_sample": "r03",
+    "embedding_topk": "r03",
+    "embedding_close_pairs_by_label": "r03",
+    "embedding_srp_lsh_topk": "r03",
+    # Green driver rows from the recorded round, implementations untouched.
     "q1_pricing_summary": "r04",
     "q3_top_revenue_orders": "r04",
     "q5_region_revenue": "r04",
@@ -9512,58 +9550,18 @@ _ROTATION_TAIL = {
     "multimodal_png_roundtrip": "r04",
     "embedding_cosine_near_dup": "r04",
     "embedding_ivf_topk": "r04",
-    # r05 late additions (the 8 remaining TPC-H shapes): window is booked
-    # this round; evidence = the same-session full local oracle pass.
-    # Rotate into the r06 window.
-    "q8_market_share": "r05-local",
-    "q9_product_profit": "r05-local",
-    "q12_late_shipments": "r05-local",
-    "q14_promo_revenue": "r05-local",
-    "q15_top_supplier": "r05-local",
-    "q16_supplier_part_count": "r05-local",
-    "q19_disjunctive_revenue": "r05-local",
-    "q20_excess_supply": "r05-local",
-    "doc_winnow_fingerprint_verified": "r05-local",
-    "mix_sources_weighted": "r05-local",
-    "curate_corpus_deduped": "r05-local",
-    "token_shards_4k": "r05-local",
-    # r05 continuation session additions: window is booked; evidence =
-    # this session's full local oracle pass. Rotate into the r06 window.
-    "decontaminate_bloom": "r05-local",
-    "scd2_user_event_type": "r05-local",
-    "redact_pii_customers": "r05-local",
-    "embedding_ivf_topk_verified": "r05-local",
-    "orc_source_supplier_agg": "r05-local",
-    "dedup_incremental_batch": "r05-local",
-    "zorder_locality_orders": "r05-local",
-    "vocab_build_min5": "r05-local",
-    "table_stats_orders": "r05-local",
-    "train_val_test_split": "r05-local",
-    "minhash_incremental_verified": "r05-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
     "collation_case_insensitive": "r05-local",
-    # r03-tail overflow: window is full; full local oracle pass this session
     "json_extract_events": "r05-local",
     "scalar_map_funcs": "r05-local",
     "scalar_regexp_funcs": "r05-local",
     "scalar_conditional_funcs": "r05-local",
-    # r05 third-session additions: window still booked; evidence = this
-    # session's oracle pass at sf0.01 AND sf0.1. Rotate into the r06 window.
-    "resample_gapfill_events": "r05-local",
-    "rollup_hour_day_compose": "r05-local",
-    "boilerplate_gram_screen": "r05-local",
-    "bigram_lm_score": "r05-local",
-    "pagerank_cooccurrence": "r05-local",
-    "sequence_pack_512": "r05-local",
     "value_histogram_events": "r05-local",
-    "agg_corr_regression": "r05-local",
-    "cooccurrence_sessions": "r05-local",
     "anomaly_zscore_events": "r05-local",
     "diverse_sample_embeddings": "r05-local",
     "window_percentile_norm": "r05-local",
-    "tfidf_cosine_pairs": "r05-local",
     "embedding_centroids": "r05-local",
     "nearest_centroid_confusion": "r05-local",
     "split_leakage_near_dup": "r05-local",
@@ -9593,7 +9591,6 @@ _ROTATION_TAIL = {
     "snapshot_diff_orders": "r05-local",
     "bpe_learn_merges": "r05-local",
     "bpe_encode_vocab": "r05-local",
-    "kmeans_embeddings": "r05-local",
     "join_bloom_prefiltered_revenue": "r05-local",
     "incremental_agg_orders": "r05-local",
     "embedding_pq_adc_topk": "r05-local",
@@ -9605,7 +9602,6 @@ _ROTATION_TAIL = {
     "golden_record_docs": "r05-local",
     "mad_outlier_events": "r05-local",
     "quantile_bins_orders": "r05-local",
-    "kmv_incremental_verified": "r05-local",
     "event_debounce_1d": "r05-local",
     "burst_hourly_events": "r05-local",
     "autocorr_hourly_events": "r05-local",
