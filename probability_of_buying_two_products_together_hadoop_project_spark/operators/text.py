@@ -1666,3 +1666,106 @@ def source_vocab_overlap(
         )
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 512,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of a TARGET-domain hashed n-gram LM over
+    the RAW-corpus LM. Downstream selection keeps the top-weight (or
+    Gumbel-resampled) documents — the published recipe for focusing a
+    100 TB crawl on a target domain using only cheap hashed features.
+
+    ``target`` is a boolean Column over ``docs`` marking the target
+    domain (e.g. ``F.col("lang") == "en"``). Features are hashed
+    unigram+bigram buckets (md5 mod ``width`` — the repo's
+    oracle-replicable hash convention); both LMs are add-one smoothed
+    over the same ``width`` buckets, so every bucket has mass and there
+    is no OOV branch.
+
+    Engine shape (the bigram-LM no-join-backs pattern): token grams
+    aggregate straight to (doc, bucket, cnt) multiplicities; the two
+    model count vectors are WINDOW sums over those rows (partition by
+    bucket) — no model table is materialized or joined back; the two
+    corpus totals broadcast as a 1-row frame. Per-bucket log terms
+    round to 6dp decimals and multiply integer counts BEFORE the exact
+    decimal sum (the BM25 rule), so weights are engine-independent.
+    Cost: 3 keyed exchanges, all on rows ∝ distinct (doc, bucket) —
+    bounded by docs × width regardless of corpus token volume.
+    """
+    tk = normalized_tokens(text_col)
+    d = docs.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        tk.alias("_tk"),
+    ).filter(F.size("_tk") >= 1)
+    grams = F.concat(
+        F.col("_tk"),
+        F.when(F.size("_tk") >= 2, ngram_array(F.col("_tk"), 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    db = (
+        d.select(id_col, "_is_target", F.explode(grams).alias("_g"))
+        .select(
+            id_col,
+            "_is_target",
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("_g"))), 1, 8), 16, 10)
+                .cast("bigint")
+                % F.lit(width)
+            ).alias("_b"),
+        )
+        .groupBy(id_col, "_is_target", "_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wb = Window.partitionBy("_b")
+    tot = db.agg(
+        F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("n_t"),
+        F.sum("cnt").cast("double").alias("n_r"),
+    )
+    lam_t = F.round(
+        F.log(
+            (F.col("_ct").cast("double") + F.lit(1.0))
+            / (F.col("n_t") + F.lit(float(width)))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lam_r = F.round(
+        F.log(
+            (F.col("_cr").cast("double") + F.lit(1.0))
+            / (F.col("n_r") + F.lit(float(width)))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        db.withColumn(
+            "_ct",
+            F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(F.lit(0))).over(wb),
+        )
+        .withColumn("_cr", F.sum("cnt").over(wb))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            "_is_target",
+            "cnt",
+            (F.col("cnt") * (lam_t - lam_r)).alias("_w"),
+        )
+    )
+    # Final 4dp rounding happens in the DECIMAL domain (HALF_UP in both
+    # engines: Spark BigDecimal, DuckDB round(decimal)) — rounding the
+    # double cast instead hits the decimal-half vs binary-half tie
+    # divergence (observed at sf0.1: one doc's exact -0.340450 sum).
+    return scored.groupBy(id_col).agg(
+        F.max(F.col("_is_target")).alias("is_target"),
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.round(F.sum("_w"), 4).cast("double").alias("log_weight"),
+    )

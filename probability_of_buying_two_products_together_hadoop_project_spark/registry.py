@@ -9431,6 +9431,65 @@ def q_schema_drift(spark, sf_dir):
     )
 
 
+
+@register(
+    "dsir_importance_en",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_target, unnest(
+               list_concat(tk, CASE WHEN len(tk) >= 2 THEN
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END)) AS gram
+      FROM tk WHERE len(tk) >= 1
+    ), db AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substring(md5('dsir|' || gram), 1, 8)) AS BIGINT)
+               % 512 AS b,
+             COUNT(*) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS DOUBLE)
+               AS n_t,
+             CAST(SUM(cnt) AS DOUBLE) AS n_r
+      FROM db
+    ), sc AS (
+      SELECT db.doc_id, db.is_target, db.cnt,
+        CAST(db.cnt AS DECIMAL(10,0)) * (
+          CAST(round(ln((CAST(SUM(CASE WHEN db.is_target THEN db.cnt ELSE 0
+                   END) OVER (PARTITION BY db.b) AS DOUBLE) + 1.0)
+                 / (tot.n_t + 512.0)), 6) AS DECIMAL(18,6))
+          - CAST(round(ln((CAST(SUM(db.cnt) OVER (PARTITION BY db.b)
+                   AS DOUBLE) + 1.0)
+                 / (tot.n_r + 512.0)), 6) AS DECIMAL(18,6))
+        ) AS w
+      FROM db CROSS JOIN tot
+    )
+    SELECT doc_id, MAX(is_target) AS is_target,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(CAST(round(SUM(w), 4) AS VARCHAR) AS DOUBLE) AS log_weight
+    FROM sc GROUP BY doc_id
+    """,
+    "DSIR data selection (Xie et al. 2023): per-document importance "
+    "weight = log-likelihood ratio of a target-domain (lang='en') "
+    "hashed unigram+bigram LM over the raw-corpus LM, add-one smoothed "
+    "over 512 md5 buckets. Model count vectors are window sums over "
+    "the (doc, bucket, cnt) rows (no join-backs); per-bucket log terms "
+    "round to 6dp decimals x integer counts before the exact decimal "
+    "sum, so weights are engine-independent. 3 keyed exchanges, all "
+    "bounded by docs x width — never corpus token volume",
+)
+def q_dsir_importance(spark, sf_dir):
+    return text.dsir_importance(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries

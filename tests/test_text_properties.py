@@ -147,3 +147,62 @@ def test_bloom_decontaminate_equals_exact(spark, doc_lists, m_bits):
         ).collect()
     }
     assert got == exact
+
+
+def py_dsir(doc_tokens, targets, width=512):
+    """Independent DSIR reference mirroring the operator's contract:
+    md5-bucketed unigram+bigram features, add-one smoothed target/raw
+    LMs, 6dp HALF_UP per-bucket log terms x integer counts, exact
+    decimal sum, 4dp HALF_UP (decimal-domain) total."""
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(("dsir|" + g).encode()).hexdigest()[:8], 16) % width
+
+    per_doc = {}
+    ct, cr = Counter(), Counter()
+    for did, toks in doc_tokens.items():
+        grams = list(toks) + py_ngrams(toks, 2)
+        if not grams:
+            continue
+        c = Counter(bucket(g) for g in grams)
+        per_doc[did] = c
+        for b, n in c.items():
+            cr[b] += n
+            if targets[did]:
+                ct[b] += n
+    n_t = sum(ct.values())
+    n_r = sum(cr.values())
+    out = {}
+    for did, c in per_doc.items():
+        s = Decimal(0)
+        for b, n in sorted(c.items()):
+            lam_t = _spark_round(math.log((ct[b] + 1.0) / (n_t + width)), "0.000001")
+            lam_r = _spark_round(math.log((cr[b] + 1.0) / (n_r + width)), "0.000001")
+            s += n * (lam_t - lam_r)
+        out[did] = float(s.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_dsir_matches_python_reference(spark, doc_lists):
+    doc_tokens = {i: toks for i, toks in enumerate(doc_lists)}
+    # alternate docs into the target domain; ensure at least one target
+    targets = {i: (i % 2 == 0) for i in doc_tokens}
+    rows = [(i, " ".join(toks)) for i, toks in doc_tokens.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "is_t", F.col("doc_id") % 2 == 0
+    )
+    got = {
+        r.doc_id: (r.is_target, r.n_grams, r.log_weight)
+        for r in text.dsir_importance(df, F.col("is_t")).collect()
+    }
+    want = py_dsir(doc_tokens, targets)
+    expected_ids = {i for i, toks in doc_tokens.items() if toks}
+    assert set(got) == expected_ids
+    for did in expected_ids:
+        toks = doc_tokens[did]
+        assert got[did][0] == targets[did]
+        assert got[did][1] == len(toks) + max(0, len(toks) - 1)
+        assert got[did][2] == want[did], (did, got[did], want[did])
