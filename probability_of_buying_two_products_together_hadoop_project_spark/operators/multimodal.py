@@ -2,9 +2,11 @@
 with typed metadata.
 
 Decode is REAL for 24-bit uncompressed BMP — a pure-Python parser below
-(BMP needs no codec library: fixed 54-byte header + padded BGR rows).
+(BMP needs no codec library: fixed 54-byte header + padded BGR rows) —
+for the complete PNG spec (stdlib zlib), and for 16-bit PCM RIFF/WAVE
+audio (``decode_wav``: a true chunk walk, no codec library needed).
 Formats that genuinely need codec libraries not present in this container
-(JPEG/PNG/audio/video) remain stubbed behind ``decode_image``'s
+(JPEG/compressed audio/video) remain stubbed behind ``decode_image``'s
 ``NotImplementedError`` branch, with a deterministic byte-histogram fake
 as the stand-in so the pipeline shape stays testable.
 
@@ -1011,4 +1013,213 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
         run,
         "media_id bigint, src_width int, src_height int, width int, "
         "height int, payload binary, pixel_hex string",
+    )
+
+
+# --- WAV codec (pure Python; RIFF/WAVE, 16-bit PCM little-endian) -------
+#
+# Audio needs no codec library either: canonical PCM WAV is a 44-byte
+# RIFF header plus raw little-endian int16 frames. This gives the audio
+# modality the same REAL-codec status as BMP/PNG (reference repo has no
+# media handling at all; this is the brief's multimodal extension surface).
+
+
+def encode_wav(sample_rate: int, channels: int, frame_bytes: bytes) -> bytes:
+    """Pack little-endian int16 PCM frames into a canonical RIFF/WAVE
+    file (44-byte header: fmt chunk then data chunk). ``frame_bytes``
+    length must be a whole number of frames (channels * 2 bytes)."""
+    if sample_rate <= 0 or channels <= 0:
+        raise ValueError("sample_rate and channels must be positive")
+    block_align = channels * 2
+    if len(frame_bytes) % block_align:
+        raise ValueError("frame_bytes must be a whole number of frames")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frame_bytes))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(frame_bytes))
+        + frame_bytes
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a RIFF/WAVE payload -> (sample_rate, channels, little-endian
+    int16 frame bytes). A real chunk WALK, not a fixed-offset read: fmt
+    and data may be separated by other chunks (LIST/INFO/fact), and RIFF
+    pads odd-sized chunks to word boundaries. Validates magic, PCM
+    format code, and 16-bit sample width."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too small")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # odd chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _brate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    if block_align != channels * 2:
+        raise ValueError("inconsistent block alignment")
+    if len(data) % block_align:
+        raise ValueError("truncated WAV frame data")
+    return sample_rate, channels, data
+
+
+def wav_from_text(text: str, sample_rate: int = 8000) -> bytes:
+    """Deterministic synthetic audio: each utf-8 byte b of the text
+    becomes one mono int16 sample (b - 128) * 256 — full int16 range
+    without overflow, zero-mean over uniform bytes. Gives every document
+    a REAL decodable audio payload derived only from its content (the
+    audio analogue of ``bmp_from_text``)."""
+    raw = (text or "").encode("utf-8")
+    frames = b"".join(struct.pack("<h", (b - 128) * 256) for b in raw)
+    return encode_wav(sample_rate, 1, frames)
+
+
+def media_wav_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Media table whose payloads are REAL decodable WAV files
+    (``wav_from_text``). Same shape as the image synthesizers:
+    Arrow-batched pandas UDF packs the bytes, metadata is extracted
+    JVM-side from the canonical header (sample rate = little-endian
+    int32 at byte offset 24 -> 1-indexed 25..28; channels = the int16
+    at offset 22 -> 23..24)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: wav_from_text(t, sample_rate))
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        make_wav(F.col("text")).alias("payload"),
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.expr(
+                "cast(conv(concat(hex(substring(payload, 28, 1)),"
+                " hex(substring(payload, 27, 1)),"
+                " hex(substring(payload, 26, 1)),"
+                " hex(substring(payload, 25, 1))), 16, 10) as int)"
+            ).alias("sample_rate"),
+            F.expr(
+                "cast(conv(concat(hex(substring(payload, 24, 1)),"
+                " hex(substring(payload, 23, 1))), 16, 10) as int)"
+            ).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("sq_sum", T.LongType(), True),
+        T.StructField("peak_abs", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_features_verified(media: DataFrame) -> DataFrame:
+    """Decoder-derived audio features restricted to INTEGER-EXACT
+    quantities — sample count, sample sum, sum of squares, peak
+    amplitude, strict zero crossings (adjacent product < 0) — so a SQL
+    oracle can recompute every value bit-for-bit from the source bytes
+    (the ``extract_features_verified`` rule: integer sums are
+    order-independent, float accumulations are not). RMS/energy follow
+    from sq_sum by one exact double expression OUTSIDE the decoder so
+    both engines share it. Arrow-batched ``mapInPandas``; numpy views
+    verify the decoder's little-endian int16 framing, not just the
+    header fields."""
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, frames = decode_wav(bytes(p))
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if s.size > 1 else 0
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        channels,
+                        int(s.size),
+                        int(s.sum()),
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def resample_decimate(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-decimation resample: keep every ``factor``-th frame (frame
+    indices 0, factor, 2*factor, ...) and re-encode at rate/factor —
+    the one resampling kernel that is BYTE-EXACT (no filter arithmetic),
+    so the whole decode -> decimate -> encode -> re-decode chain is
+    verifiable cross-engine. Emits the re-DECODED samples of the newly
+    encoded payload (round-trip inside the operator), as int32 values
+    for the JVM-side hash column."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, frames = decode_wav(bytes(p))
+                fr = np.frombuffer(frames, dtype="<i2").reshape(-1, channels)
+                out = np.ascontiguousarray(fr[::factor])
+                payload = encode_wav(rate // factor, channels, out.tobytes())
+                rate2, ch2, frames2 = decode_wav(payload)
+                s2 = np.frombuffer(frames2, dtype="<i2").astype(np.int32)
+                rows.append((mid, rate2, ch2, len(frames2) // (ch2 * 2),
+                             payload, list(s2)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels",
+                         "n_frames", "payload", "samples"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id bigint, sample_rate int, channels int, n_frames bigint, "
+        "payload binary, samples array<int>",
     )
