@@ -1141,3 +1141,139 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+    seed_tag: str = "km",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    corpus with k-means, then inside each cluster drop every member
+    whose cosine similarity to an ALREADY-KEPT member reaches
+    ``threshold``. Near-duplicate SEMANTICS (paraphrases, re-encodes,
+    templated variants) that token-level MinHash/SimHash miss.
+
+    Determinism end to end (every arithmetic step is the repo's
+    fixed-point contract, so a SQL oracle replays the whole pipeline):
+
+    - clustering is ``kmeans_lloyd`` (integer distances, trunc-division
+      updates, md5-draw seeds);
+    - the final assignment re-runs the integer argmin against the
+      trained centroids (ties to the smaller cid);
+    - the paper keeps, within a duplicate group, the member FARTHEST
+      from its centroid (lowest centroid similarity); the screen order
+      is therefore rank = (integer d2 to own centroid DESC, id ASC),
+      and member i is dropped iff some EARLIER-ranked j has
+      cos(i, j) >= threshold — exactly the paper's greedy upper-tri
+      screen, not a transitive closure;
+    - pair cosines are computed on the QUANTIZED integer vectors:
+      integer dot / (sqrt(int norm) * sqrt(int norm)) is one shared
+      IEEE expression over exact integers, so every similarity is
+      bit-identical cross-engine (no float-accumulation order risk);
+    - a vector whose QUANTIZED norm is zero (e.g. float32 subnormals)
+      has no direction: its pair cosines are NULL, so it is always
+      kept and never screens another member.
+
+    Scale shape: centroids (k x dim) broadcast for the assignment pass;
+    the pair stage is an equi-join on cid — work sum(|cluster|^2) * dim,
+    THE SemDeDup design cost, controlled by k (the paper runs 50k
+    clusters on LAION; cluster size ~ n/k keeps the quadratic local).
+    No all-pairs path: pairs never cross cluster boundaries.
+
+    Returns one row per input vector: (id, cid, rk, max_prior_sim,
+    kept) — max_prior_sim is NULL for each cluster's first-ranked
+    member, exact double otherwise.
+    """
+    cents = kmeans_lloyd(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        unit=unit, seed_tag=seed_tag,
+    ).select("cid", "pos", F.col("centroid_units").alias("qc"))
+    pts = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select(
+        "_id",
+        "pos",
+        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("qv"),
+    )
+    diff = F.col("qv") - F.col("qc")
+    d = (
+        pts.join(F.broadcast(cents), "pos")
+        .select("_id", "cid", (diff * diff).alias("_t"))
+        .groupBy("_id", "cid")
+        .agg(F.sum("_t").alias("_d2"))
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    assign = (
+        d.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "cid", "_d2")
+    )
+    qarr = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(unit))).cast("long"),
+        ).alias("_q"),
+    )
+    int_self_dot = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    w_rank = Window.partitionBy("cid").orderBy(F.col("_d2").desc(), F.col("_id").asc())
+    members = (
+        assign.join(qarr, "_id")
+        .select("_id", "cid", "_d2", "_q", int_self_dot.alias("_nq"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .localCheckpoint(eager=True)
+    )
+    a = members.select(
+        F.col("_id").alias("id_a"), "cid", F.col("rk").alias("rk_a"),
+        F.col("_q").alias("qa"), F.col("_nq").alias("na"),
+    )
+    b = members.select(
+        F.col("_id").alias("id_b"), "cid", F.col("rk").alias("rk_b"),
+        F.col("_q").alias("qb"), F.col("_nq").alias("nb"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # zero-quantized-norm vectors carry no direction: their cosine is
+    # UNDEFINED (NULL) — they are always kept and never screen others
+    # (max ignores NULLs). Explicit CASE in both engines, no div-by-0.
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        int_dot.cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+    )
+    prior = (
+        a.join(b, "cid")
+        .filter(F.col("rk_b") < F.col("rk_a"))
+        .select("id_a", cos.alias("_cos"))
+        .groupBy("id_a")
+        .agg(F.max("_cos").alias("max_prior_sim"))
+    )
+    return (
+        members.select(F.col("_id").alias(id_col), "cid", "rk")
+        .join(prior.withColumnRenamed("id_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.col("rk").cast("long").alias("rk"),
+            "max_prior_sim",
+            (
+                F.col("max_prior_sim").isNull()
+                | (F.col("max_prior_sim") < F.lit(float(threshold)))
+            ).alias("kept"),
+        )
+    )

@@ -6932,11 +6932,12 @@ def q_bpe_encode(spark, sf_dir):
     return text.bpe_encode_words(_t(spark, sf_dir, "documents"), n_merges=12)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, unit: int = 10**6) -> str:
-    """Unrolled fixed-point Lloyd's k-means as chained MATERIALIZED
-    CTEs — the IDENTICAL rounds of operators/similarity.py:kmeans_lloyd
-    (integer distances, trunc-division updates, md5 seed draw), so every
-    centroid unit matches bit-for-bit."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, unit: int = 10**6) -> str:
+    """Shared WITH-body for the fixed-point Lloyd's k-means oracles:
+    chained MATERIALIZED CTEs replaying the IDENTICAL rounds of
+    operators/similarity.py:kmeans_lloyd (integer distances,
+    trunc-division updates, md5 seed draw). Ends at c{iters}, the
+    trained centroid table."""
     steps = []
     prev = "c0"
     for r in range(1, iters + 1):
@@ -6974,11 +6975,63 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, unit: int = 10**6) -> str:
     ), c0 AS MATERIALIZED (
       SELECT s.cid, p.pos, p.qv AS qc, CAST(0 AS BIGINT) AS n_members
       FROM seeds s JOIN pts p USING (vec_id)
-    ),{",".join(steps)}
+    ),{",".join(steps)}"""
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, unit: int = 10**6) -> str:
+    """Unrolled fixed-point Lloyd's k-means: every centroid unit must
+    match kmeans_lloyd bit-for-bit."""
+    return f"""{_kmeans_ctes(k, iters, unit)}
     SELECT cid, CAST(pos AS BIGINT) AS pos,
            CAST(qc AS BIGINT) AS centroid_units,
            CAST(qc AS DOUBLE) / {unit}.0 AS centroid, n_members
-    FROM {prev}
+    FROM c{iters}
+    """
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 3, threshold: float = 0.35, unit: int = 10**6
+) -> str:
+    """SemDeDup unrolled: the k-means CTEs, a final integer-argmin
+    assignment, the (d2 DESC, id) screen order, and quantized-integer
+    pair cosines — every double is one shared IEEE expression over
+    exact integers, so kept/max_prior_sim match bit-for-bit."""
+    return f"""{_kmeans_ctes(k, iters, unit)},
+    af AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM (SELECT p.vec_id, c.cid,
+                     SUM((p.qv - c.qc) * (p.qv - c.qc)) AS d2
+              FROM pts p JOIN c{iters} c USING (pos)
+              GROUP BY p.vec_id, c.cid))
+      WHERE rk = 1
+    ), qarr AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {unit}.0) AS BIGINT)) AS q
+      FROM embeddings
+    ), mem AS MATERIALIZED (
+      SELECT a.vec_id, a.cid,
+             row_number() OVER (PARTITION BY a.cid
+                                ORDER BY a.d2 DESC, a.vec_id) AS rk,
+             q.q AS q,
+             CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS nq
+      FROM af a JOIN qarr q USING (vec_id)
+    ), prior AS (
+      SELECT a.vec_id,
+             MAX(CASE WHEN a.nq > 0 AND b.nq > 0 THEN
+                 CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                     p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE)))
+               END) AS max_prior_sim
+      FROM mem a JOIN mem b ON a.cid = b.cid AND b.rk < a.rk
+      GROUP BY a.vec_id
+    )
+    SELECT m.vec_id, m.cid, CAST(m.rk AS BIGINT) AS rk,
+           p.max_prior_sim,
+           (p.max_prior_sim IS NULL OR p.max_prior_sim < {threshold}) AS kept
+    FROM mem m LEFT JOIN prior p USING (vec_id)
     """
 
 
@@ -9597,6 +9650,28 @@ def q_audio_resample_decimate(spark, sf_dir):
                 "utf-8",
             )
         ).alias("samples_md5"),
+    )
+
+
+@register(
+    "semantic_dedup_embeddings",
+    _semantic_dedup_oracle(k=8, iters=3, threshold=0.35),
+    "SemDeDup (Abbas et al. 2023): k-means the embedding corpus (the "
+    "fixed-point Lloyd's loop, 3 rounds, k=8), then inside each cluster "
+    "drop every member whose quantized-integer cosine to an "
+    "earlier-ranked member reaches 0.35 — the paper's greedy "
+    "upper-triangular screen with rank = (distance to own centroid "
+    "DESC, id), keeping the farthest member of each duplicate group. "
+    "Semantic near-dups (paraphrases, re-encodes) that token-level "
+    "MinHash/SimHash miss. Pair cosines divide exact integer dots by "
+    "sqrt of exact integer norms in ONE shared IEEE expression, so "
+    "every similarity and kept flag matches DuckDB bit-for-bit. Pair "
+    "work is sum(|cluster|^2), the SemDeDup design cost, controlled by "
+    "k (paper: 50k clusters on LAION); no cross-cluster pairs exist",
+)
+def q_semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.35
     )
 
 
