@@ -9703,6 +9703,10 @@ def q_semantic_dedup(spark, sf_dir):
 # gap-fill + rollup composition, fixed-point PageRank/k-means, and the
 # corpus-LM/TF-IDF text stack. ~76 r05-local entries remain tail-side
 # for the r07/r08 windows (217 queries alternate through 50 slots).
+# Mid-r06 adjustment: the round added four queries (DSIR, the two WAV
+# audio oracles, SemDeDup); per the rotation rule they take window
+# slots, displacing the four lowest-risk members (orc/table-stats/
+# salted-collect/zorder, labelled r06-local below) to the tail front.
 _ROTATION_TAIL = {
     # Last driver hash-match row r03 (CORRECTNESS_r03.json); implementations
     # untouched since. These sat in the r05 window, but no CORRECTNESS_r05
@@ -9794,6 +9798,19 @@ _ROTATION_TAIL = {
     "multimodal_png_roundtrip": "r04",
     "embedding_cosine_near_dup": "r04",
     "embedding_ivf_topk": "r04",
+    # Displaced mid-r06 to make window room for the four queries ADDED
+    # this round (dsir_importance_en, audio_features_verified,
+    # audio_resample_decimate, semantic_dedup_embeddings — the rotation
+    # rule: new queries land in-window the same round). These four were
+    # the lowest-risk window members: each has bit-exact dual-SF local
+    # oracle evidence from r05 AND the r06 full-registry pass, and each
+    # shape has a driver-green sibling (csv/json for orc; the plain agg
+    # for salted-collect; salted_join_revenue r04) or 3-SF local parity
+    # (zorder, table stats). Front of the r07 window queue.
+    "orc_source_supplier_agg": "r06-local",
+    "table_stats_orders": "r06-local",
+    "salted_collect_priorities": "r06-local",
+    "zorder_locality_orders": "r06-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
