@@ -1078,3 +1078,71 @@ def temperature_mix(
         .filter(u < F.col("_keep_p"))
         .drop("_keep_p")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit (Sweeney 2002; Machanavajjhala
+    2007): group the relation by its QUASI-IDENTIFIER columns into
+    equivalence classes and report, per class, its size (k-anonymity:
+    every class must reach ``k`` rows or its members are re-identifiable
+    by linking the quasi-identifiers to an external table) and the number
+    of DISTINCT sensitive values (l-diversity: a class whose sensitive
+    column is constant leaks the attribute even at size >= k — the
+    homogeneity attack). The release gate is ``violates = NOT (size >= k
+    AND distinct >= l)``; suppression drops violating classes.
+
+    The relational complement of row-level ``pseudonymize``/``redact_pii``:
+    those hide direct identifiers, this measures what the REMAINING
+    columns still disclose jointly.
+
+    Shape: ONE hash aggregation on the quasi-identifier key (distinct
+    sensitive counted exactly via count(distinct) — two-phase partial
+    agg, no window); at 100 TB the class key distributes like any
+    group-by key. Returns one row per equivalence class.
+    """
+    if k < 1 or l_div < 1:
+        raise ValueError(f"k_anonymity_audit: k and l must be >= 1 ({k=}, {l_div=})")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive_distinct"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive_distinct",
+            (F.col("class_size") < F.lit(k)).alias("k_violation"),
+            (F.col("n_sensitive_distinct") < F.lit(l_div)).alias("l_violation"),
+            (
+                (F.col("class_size") < F.lit(k))
+                | (F.col("n_sensitive_distinct") < F.lit(l_div))
+            ).alias("violates"),
+        )
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """Suppression release: keep only rows whose equivalence class passes
+    the k-anonymity AND l-diversity gates of ``k_anonymity_audit``.
+    Implemented as a broadcast-able semi join against the (small) audit
+    relation restricted to passing classes — class count is bounded by
+    the quasi-identifier domain, not the row count."""
+    passing = (
+        k_anonymity_audit(df, quasi_cols, sensitive_col, k=k, l_div=l_div)
+        .filter(~F.col("violates"))
+        .select(*quasi_cols)
+    )
+    return df.join(F.broadcast(passing), quasi_cols, "left_semi")

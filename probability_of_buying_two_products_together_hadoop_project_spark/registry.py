@@ -9675,6 +9675,101 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "privacy_k_anonymity_orders",
+    """
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           o_orderpriority, o_orderstatus,
+           count(*) AS class_size,
+           count(DISTINCT CAST(floor(o_totalprice / 250000) AS INT))
+             AS n_sensitive_distinct,
+           count(*) < 5 AS k_violation,
+           count(DISTINCT CAST(floor(o_totalprice / 250000) AS INT)) < 2
+             AS l_violation,
+           (count(*) < 5
+            OR count(DISTINCT CAST(floor(o_totalprice / 250000) AS INT)) < 2)
+             AS violates
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    "k-anonymity / l-diversity privacy audit (Sweeney 2002; "
+    "Machanavajjhala 2007): equivalence classes over the "
+    "quasi-identifiers (order year, month, priority, status) with "
+    "class size (k=5 re-identification gate) and distinct sensitive "
+    "price-band count (l=2 homogeneity gate). The relational "
+    "complement of pseudonymize/redact: measures what the REMAINING "
+    "columns disclose jointly. ONE hash aggregation on the class key "
+    "(two-phase partial agg, no window); both SFs have live k- AND "
+    "l-violations so neither flag is vacuous",
+)
+def q_privacy_k_anonymity(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 250000).cast("int").alias("_band"),
+    )
+    return relational.k_anonymity_audit(
+        o,
+        ["o_year", "o_month", "o_orderpriority", "o_orderstatus"],
+        "_band",
+        k=5,
+        l_div=2,
+    )
+
+
+@register(
+    "privacy_suppress_orders",
+    """
+    WITH aud AS (
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             o_orderpriority, o_orderstatus
+      FROM orders
+      GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= 5
+         AND count(DISTINCT CAST(floor(o_totalprice / 250000) AS INT)) >= 2
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders o
+    JOIN aud ON year(o.o_orderdate) = aud.o_year
+            AND month(o.o_orderdate) = aud.o_month
+            AND o.o_orderpriority = aud.o_orderpriority
+            AND o.o_orderstatus = aud.o_orderstatus
+    GROUP BY 1
+    """,
+    "Suppression release behind the k-anonymity gate: rows whose "
+    "equivalence class fails k=5 or l=2 are dropped via a broadcast "
+    "semi join against the passing-class relation (bounded by the "
+    "quasi-identifier domain, never row count), then an exact-decimal "
+    "revenue summary proves the released relation deterministically. "
+    "The oracle restates the gate as GROUP BY ... HAVING + join",
+)
+def q_privacy_suppress(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") / 250000).cast("int").alias("_band"),
+    )
+    released = relational.k_anonymity_suppress(
+        o,
+        ["o_year", "o_month", "o_orderpriority", "o_orderstatus"],
+        "_band",
+        k=5,
+        l_div=2,
+    )
+    return released.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
