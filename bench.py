@@ -127,6 +127,13 @@ HEADLINE = [
     "classification_report_langid",
     "source_vocab_overlap",
     "classification_summary_langid",
+    # r06 additions
+    "dsir_importance_en",
+    "audio_features_verified",
+    "audio_resample_decimate",
+    "semantic_dedup_embeddings",
+    "privacy_k_anonymity_orders",
+    "privacy_suppress_orders",
 ]
 
 

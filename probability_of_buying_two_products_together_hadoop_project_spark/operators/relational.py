@@ -1146,3 +1146,41 @@ def k_anonymity_suppress(
         .select(*quasi_cols)
     )
     return df.join(F.broadcast(passing), quasi_cols, "left_semi")
+
+
+def content_fingerprint(
+    df: DataFrame, cols: list[str], label: str
+) -> DataFrame:
+    """Content-addressed dataset fingerprint: one row (dataset, n_rows,
+    content_hash) where content_hash is the EXACT decimal sum of each
+    row's 48-bit md5 prefix over the canonical '|'-joined column
+    rendering. Addition is commutative, so the digest is independent of
+    row order, partitioning, and parallelism — the property that makes
+    it a cheap full-content equality check between two copies of a
+    100 TB table (one scan, map-side partials, a 1-row reduce; no
+    shuffle of data). DECIMAL(38,0) accumulation is exact to ~10^24
+    rows; a bigint sum would overflow and ANSI mode would raise.
+
+    Columns must render identically across engines, so the caller
+    passes integer/string/date-derived columns only (floats render
+    engine-specifically — the snapshot_diff lesson); dates/timestamps
+    should be pre-cast to epoch integers by the caller.
+    """
+    row_digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_digest).cast("decimal(38,0)").alias("_h"),
+    ).select(
+        F.lit(label).alias("dataset"),
+        "n_rows",
+        # empty relation -> '0', not NULL, so fingerprints always compare
+        F.coalesce(F.col("_h").cast("string"), F.lit("0")).alias("content_hash"),
+    )

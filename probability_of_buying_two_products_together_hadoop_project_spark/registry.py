@@ -9770,6 +9770,72 @@ def q_privacy_suppress(spark, sf_dir):
     )
 
 
+@register(
+    "dataset_fingerprints",
+    """
+    SELECT 'orders' AS dataset, count(*) AS n_rows,
+           CAST(CAST(COALESCE(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' || o_orderpriority || '|' ||
+             CAST(epoch_us(o_orderdate) AS VARCHAR)), 1, 12))::BIGINT), 0)
+             AS DECIMAL(38,0)) AS VARCHAR) AS content_hash
+    FROM orders
+    UNION ALL
+    SELECT 'customer', count(*),
+           CAST(CAST(COALESCE(SUM(('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' ||
+             CAST(c_nationkey AS VARCHAR) || '|' ||
+             c_mktsegment), 1, 12))::BIGINT), 0) AS DECIMAL(38,0))
+             AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'nation', count(*),
+           CAST(CAST(COALESCE(SUM(('0x' || substr(md5(
+             CAST(n_nationkey AS VARCHAR) || '|' ||
+             CAST(n_regionkey AS VARCHAR) || '|' || n_name), 1, 12))::BIGINT),
+             0) AS DECIMAL(38,0)) AS VARCHAR)
+    FROM nation
+    """,
+    "Content-addressed dataset fingerprints: per table, an "
+    "order/partitioning-independent content hash (exact DECIMAL(38,0) "
+    "sum of each row's 48-bit md5 prefix over the canonical "
+    "'|'-joined non-float columns; timestamps as epoch integers) plus "
+    "the row count — the cheap full-content equality check for "
+    "validating a 100 TB copy/migration: one scan per table, map-side "
+    "partials, a 1-row reduce, NO data shuffle. Commutative addition "
+    "makes the digest identical under any row order, which is exactly "
+    "what a distributed rerun needs",
+)
+def q_dataset_fingerprints(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_ep"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        relational.content_fingerprint(
+            o,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "_ep"],
+            "orders",
+        )
+        .unionByName(
+            relational.content_fingerprint(
+                c, ["c_custkey", "c_nationkey", "c_mktsegment"], "customer"
+            )
+        )
+        .unionByName(
+            relational.content_fingerprint(
+                n, ["n_nationkey", "n_regionkey", "n_name"], "nation"
+            )
+        )
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries

@@ -1,0 +1,44 @@
+"""Content-fingerprint tests (`relational.content_fingerprint`): the
+digest must be invariant to row order and partitioning, sensitive to any
+value change, and exact on empty input."""
+
+import hashlib
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+
+def _py_fingerprint(rows):
+    total = 0
+    for r in rows:
+        s = "|".join(str(v) for v in r)
+        total += int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    return str(total)
+
+
+def _collect(df):
+    r = df.collect()[0]
+    return (r.dataset, r.n_rows, r.content_hash)
+
+
+def test_matches_python_and_ignores_order(spark):
+    rows = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    df1 = spark.createDataFrame(rows, "k bigint, v string")
+    df2 = spark.createDataFrame(list(reversed(rows)), "k bigint, v string").repartition(7)
+    fp1 = _collect(relational.content_fingerprint(df1, ["k", "v"], "t"))
+    fp2 = _collect(relational.content_fingerprint(df2, ["k", "v"], "t"))
+    assert fp1 == fp2 == ("t", 4, _py_fingerprint(rows))
+
+
+def test_detects_single_value_change(spark):
+    rows = [(1, "a"), (2, "b")]
+    changed = [(1, "a"), (2, "B")]
+    fp = _collect(relational.content_fingerprint(
+        spark.createDataFrame(rows, "k bigint, v string"), ["k", "v"], "t"))
+    fp2 = _collect(relational.content_fingerprint(
+        spark.createDataFrame(changed, "k bigint, v string"), ["k", "v"], "t"))
+    assert fp[1] == fp2[1] and fp[2] != fp2[2]
+
+
+def test_empty_relation_hashes_to_zero(spark):
+    df = spark.createDataFrame([], "k bigint, v string")
+    assert _collect(relational.content_fingerprint(df, ["k", "v"], "t")) == ("t", 0, "0")
