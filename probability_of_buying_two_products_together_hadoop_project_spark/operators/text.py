@@ -1689,15 +1689,19 @@ def dsir_importance(
     over the same ``width`` buckets, so every bucket has mass and there
     is no OOV branch.
 
-    Engine shape (the bigram-LM no-join-backs pattern): token grams
-    aggregate straight to (doc, bucket, cnt) multiplicities; the two
-    model count vectors are WINDOW sums over those rows (partition by
-    bucket) — no model table is materialized or joined back; the two
-    corpus totals broadcast as a 1-row frame. Per-bucket log terms
-    round to 6dp decimals and multiply integer counts BEFORE the exact
-    decimal sum (the BM25 rule), so weights are engine-independent.
-    Cost: 3 keyed exchanges, all on rows ∝ distinct (doc, bucket) —
-    bounded by docs × width regardless of corpus token volume.
+    Engine shape: token grams aggregate straight to (doc, bucket, cnt)
+    multiplicities, which are eagerly checkpointed — the ONE
+    corpus-sized pass (an earlier window-sum formulation recomputed the
+    scan+explode for the totals branch: Catalyst does not dedupe common
+    subplans and AQE produced no ReusedExchange, so the corpus was
+    scanned twice — measured, and the reason for this shape). Both LM
+    count vectors then reduce to a WIDTH-row model table (512 rows)
+    that BROADCASTS back onto the checkpointed rows; the corpus totals
+    derive from those 512 rows for free. Per-bucket log terms round to
+    6dp decimals and multiply integer counts BEFORE the exact decimal
+    sum (the BM25 rule), so weights are engine-independent. Cost: one
+    corpus scan + 3 keyed exchanges, all on rows ∝ distinct
+    (doc, bucket) — bounded by docs × width, never token volume.
     """
     tk = normalized_tokens(text_col)
     d = docs.select(
@@ -1724,13 +1728,17 @@ def dsir_importance(
         )
         .groupBy(id_col, "_is_target", "_b")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    wb = Window.partitionBy("_b")
-    tot = db.agg(
-        F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(F.lit(0)))
-        .cast("double")
-        .alias("n_t"),
-        F.sum("cnt").cast("double").alias("n_r"),
+    bm = db.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "_ct"
+        ),
+        F.sum("cnt").alias("_cr"),
+    )
+    tot = bm.agg(
+        F.sum("_ct").cast("double").alias("n_t"),
+        F.sum("_cr").cast("double").alias("n_r"),
     )
     lam_t = F.round(
         F.log(
@@ -1747,11 +1755,7 @@ def dsir_importance(
         6,
     ).cast("decimal(18,6)")
     scored = (
-        db.withColumn(
-            "_ct",
-            F.sum(F.when(F.col("_is_target"), F.col("cnt")).otherwise(F.lit(0))).over(wb),
-        )
-        .withColumn("_cr", F.sum("cnt").over(wb))
+        db.join(F.broadcast(bm), "_b")
         .crossJoin(F.broadcast(tot))
         .select(
             id_col,

@@ -9531,11 +9531,14 @@ def q_schema_drift(spark, sf_dir):
     "DSIR data selection (Xie et al. 2023): per-document importance "
     "weight = log-likelihood ratio of a target-domain (lang='en') "
     "hashed unigram+bigram LM over the raw-corpus LM, add-one smoothed "
-    "over 512 md5 buckets. Model count vectors are window sums over "
-    "the (doc, bucket, cnt) rows (no join-backs); per-bucket log terms "
-    "round to 6dp decimals x integer counts before the exact decimal "
-    "sum, so weights are engine-independent. 3 keyed exchanges, all "
-    "bounded by docs x width — never corpus token volume",
+    "over 512 md5 buckets. The (doc, bucket, cnt) relation checkpoints "
+    "after ONE corpus pass (a window-sum formulation double-scanned: "
+    "Catalyst dedupes no common subplans); the 512-row model table "
+    "broadcasts back and the totals derive from it for free. "
+    "Per-bucket log terms round to 6dp decimals x integer counts "
+    "before the exact decimal sum, so weights are engine-independent. "
+    "3 keyed exchanges, all bounded by docs x width — never corpus "
+    "token volume",
 )
 def q_dsir_importance(spark, sf_dir):
     return text.dsir_importance(
