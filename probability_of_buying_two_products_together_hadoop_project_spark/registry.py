@@ -9975,6 +9975,15 @@ _ROTATION_TAIL = {
     "table_stats_orders": "r06-local",
     "salted_collect_priorities": "r06-local",
     "zorder_locality_orders": "r06-local",
+    # Second displacement batch (privacy x2 + dataset_fingerprints took
+    # window slots): each one's machinery keeps an in-window checker —
+    # decontaminate_ngrams shares decontaminate_bloom's oracle SQL and
+    # must equal it; token_shards_4k drives the same parallel
+    # prefix-sum as vocab_build_min5; mix_sources_weighted draws from
+    # the same md5-permille law as train_val_test_split.
+    "decontaminate_bloom": "r06-local",
+    "vocab_build_min5": "r06-local",
+    "train_val_test_split": "r06-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
