@@ -1184,3 +1184,62 @@ def content_fingerprint(
         # empty relation -> '0', not NULL, so fingerprints always compare
         F.coalesce(F.col("_h").cast("string"), F.lit("0")).alias("content_hash"),
     )
+
+
+def cascade_forget(
+    root_keys: DataFrame,
+    key_col: str,
+    levels: list[tuple[str, DataFrame, str, str | None]],
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Right-to-be-forgotten cascade (the GDPR/CCPA deletion pipeline):
+    given a deletion-request key list, purge the root table and walk the
+    foreign-key chain so every dependent row goes too — customer ->
+    their orders -> those orders' line items. ``levels`` is the FK
+    chain: (table_name, df, fk_col joining the PREVIOUS level's keys,
+    this level's key col to cascade further or None at the leaf).
+
+    Returns (summary, kept): one (table, rows_before, rows_purged,
+    rows_after) summary row per level, plus each level's retained
+    relation for the caller to write back.
+
+    Shape: per level ONE left join against the (deduplicated) previous
+    level's key set marks doomed rows — the mark feeds both the count
+    aggregate and the kept/purged splits from a single pass, and the
+    purged side's keys cascade down. Deletion-request lists are tiny
+    (AQE broadcasts them); intermediate key sets (a deleted customer's
+    order keys) can be arbitrarily large, so no forced broadcast —
+    the join stays a plain equi-join that scales with the keys.
+    """
+    cur = root_keys.select(F.col(key_col).alias("_k")).distinct()
+    summaries = []
+    kept: dict[str, DataFrame] = {}
+    for name, df, fk, next_key in levels:
+        marked = df.join(
+            cur.withColumn("_doomed", F.lit(True)),
+            df[fk] == cur["_k"],
+            "left",
+        )
+        summaries.append(
+            marked.agg(
+                F.count(F.lit(1)).alias("rows_before"),
+                F.sum(F.when(F.col("_doomed"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("rows_purged"),
+            ).select(
+                F.lit(name).alias("tbl"),
+                "rows_before",
+                "rows_purged",
+                (F.col("rows_before") - F.col("rows_purged")).alias("rows_after"),
+            )
+        )
+        kept[name] = marked.filter(F.col("_doomed").isNull()).drop("_k", "_doomed")
+        if next_key is not None:
+            cur = (
+                marked.filter(F.col("_doomed"))
+                .select(F.col(next_key).alias("_k"))
+                .distinct()
+            )
+    summary = summaries[0]
+    for s in summaries[1:]:
+        summary = summary.unionByName(s)
+    return summary, kept

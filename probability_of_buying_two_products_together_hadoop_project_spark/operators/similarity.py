@@ -1143,6 +1143,50 @@ def pq_adc_topk(
     )
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+    seed_tag: str = "km",
+) -> DataFrame:
+    """Train ``kmeans_lloyd`` and run ONE further integer-argmin pass
+    assigning every vector to its trained centroid (ties to the smaller
+    cid) — the deterministic (id, cid, _d2) assignment table that
+    SemDeDup, cluster labeling, and IVF-style bucketing all start from.
+    Centroids (k x dim) broadcast; shuffle is the per-(point, cid)
+    integer partial sums, never raw vectors."""
+    cents = kmeans_lloyd(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        unit=unit, seed_tag=seed_tag,
+    ).select("cid", "pos", F.col("centroid_units").alias("qc"))
+    pts = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select(
+        "_id",
+        "pos",
+        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+        .cast("long")
+        .alias("qv"),
+    )
+    diff = F.col("qv") - F.col("qc")
+    d = (
+        pts.join(F.broadcast(cents), "pos")
+        .select("_id", "cid", (diff * diff).alias("_t"))
+        .groupBy("_id", "cid")
+        .agg(F.sum("_t").alias("_d2"))
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "cid", "_d2")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,
@@ -1191,32 +1235,9 @@ def semantic_dedup(
     kept) — max_prior_sim is NULL for each cluster's first-ranked
     member, exact double otherwise.
     """
-    cents = kmeans_lloyd(
+    assign = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         unit=unit, seed_tag=seed_tag,
-    ).select("cid", "pos", F.col("centroid_units").alias("qc"))
-    pts = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
-    ).select(
-        "_id",
-        "pos",
-        F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
-        .cast("long")
-        .alias("qv"),
-    )
-    diff = F.col("qv") - F.col("qc")
-    d = (
-        pts.join(F.broadcast(cents), "pos")
-        .select("_id", "cid", (diff * diff).alias("_t"))
-        .groupBy("_id", "cid")
-        .agg(F.sum("_t").alias("_d2"))
-    )
-    w_assign = Window.partitionBy("_id").orderBy(F.col("_d2").asc(), F.col("cid").asc())
-    assign = (
-        d.withColumn("_rk", F.row_number().over(w_assign))
-        .filter(F.col("_rk") == 1)
-        .select("_id", "cid", "_d2")
     )
     qarr = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -1275,5 +1296,70 @@ def semantic_dedup(
                 F.col("max_prior_sim").isNull()
                 | (F.col("max_prior_sim") < F.lit(float(threshold)))
             ).alias("kept"),
+        )
+    )
+
+
+def cluster_topics(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: int = 10**6,
+    seed_tag: str = "km",
+) -> DataFrame:
+    """Topic labeling for semantic clusters: k-means the embedding corpus
+    (``kmeans_assign``), join assignments back to the documents, and
+    label each cluster with its ``top_k`` most DISTINCTIVE terms —
+    ranked by (term count within the cluster DESC, number of clusters
+    containing the term ASC, term) — the corpus-exploration step that
+    follows clustering in every curation pipeline ("what IS cluster 3?").
+    The cluster-frequency penalty is the ``doc_top_terms`` tf-df rule
+    lifted from documents to clusters: globally common words lose to
+    cluster-specific ones. All-integer ranking, deterministic ties.
+
+    Shape: one (cid, term) hash agg over the exploded token join (the
+    corpus-sized pass), then a term-partitioned window and the per-cid
+    top-k window over the VOCAB x k reduced table. Assignment centroids
+    broadcast (see kmeans_assign); nothing quadratic anywhere.
+    """
+    from .text import normalized_tokens  # local: text does not import back
+
+    assign = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        unit=unit, seed_tag=seed_tag,
+    ).select(F.col("_id").alias(doc_id_col), "cid")
+    toks = docs.select(
+        F.col(doc_id_col),
+        F.explode(normalized_tokens(text_col)).alias("_w"),
+    )
+    ct = (
+        toks.join(assign, doc_id_col)
+        .groupBy("cid", "_w")
+        .agg(F.count(F.lit(1)).alias("n_in_cluster"))
+    )
+    cf = ct.withColumn(
+        "n_clusters_with_term",
+        F.count(F.lit(1)).over(Window.partitionBy("_w")),
+    )
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.col("n_in_cluster").desc(),
+        F.col("n_clusters_with_term").asc(),
+        F.col("_w").asc(),
+    )
+    return (
+        cf.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "cid",
+            F.col("_w").alias("term"),
+            "n_in_cluster",
+            "n_clusters_with_term",
+            F.col("rk").cast("long").alias("rk"),
         )
     )
