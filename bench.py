@@ -134,6 +134,8 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "privacy_k_anonymity_orders",
     "privacy_suppress_orders",
+    "cluster_topics_embeddings",
+    "gdpr_cascade_forget",
 ]
 
 
