@@ -1400,3 +1400,83 @@ def golden_record(
             "text",
         )
     )
+
+
+def fs_weights(m: float, u: float) -> tuple[str, str]:
+    """Fellegi-Sunter field weights as 6dp-decimal STRING literals:
+    agreement weight log2(m/u), disagreement weight log2((1-m)/(1-u)).
+    Quantized half-up in Python once — both engines then consume the
+    identical exact decimal constants (the BM25 rule applied to model
+    parameters), so scores are engine-independent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not (0.0 < u < m < 1.0):
+        raise ValueError(f"fs_weights needs 0 < u < m < 1 ({m=}, {u=})")
+    q = Decimal("0.000001")
+
+    def _q(x: float) -> str:
+        return str(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    return _q(math.log2(m / u)), _q(math.log2((1 - m) / (1 - u)))
+
+
+def fellegi_sunter_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: Column,
+    comparisons: list[tuple[str, Column, float, float]],
+    lower: float,
+    upper: float,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) — the
+    statistical framework behind every production entity-resolution
+    system: candidate pairs from a blocking join are scored by the sum
+    of per-field log-likelihood weights (agreement on field i is
+    log2(m_i/u_i) evidence FOR a match, disagreement log2((1-m_i)/(1-u_i))
+    evidence against), then classified match / possible / non_match by
+    the two decision thresholds.
+
+    ``comparisons`` is [(field_name, agreement_boolean_column, m, u)]
+    with the agreement column written against the joined pair (alias
+    the inputs ``a`` and ``b``). m/u are the match/unmatch agreement
+    probabilities; weights quantize to exact 6dp decimals ONCE
+    (``fs_weights``) so the decimal score sum — and therefore the
+    classification — is bit-identical cross-engine.
+
+    Scale shape: one equi-join on the blocking key (pair volume =
+    sum(block²), the record-linkage design cost — pick blocks like the
+    k-anonymity classes, bounded by the key domain); scoring is a
+    narrow projection; NULL agreement (missing field) contributes the
+    disagreement weight, the conservative Fellegi-Sunter convention.
+
+    Returns the pair-level frame with per-field agreement flags, the
+    exact decimal ``score``, and ``classification``.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            "fellegi_sunter_link: left/right column names must be disjoint "
+            f"(both sides land in the output); rename {sorted(clash)}"
+        )
+    lhs = left.alias("a")
+    rhs = right.alias("b")
+    pairs = lhs.join(rhs, block_on)
+    score = F.lit("0").cast("decimal(18,6)")
+    out_cols = []
+    for name, agree, m, u in comparisons:
+        wa, wd = fs_weights(m, u)
+        flag = F.coalesce(agree, F.lit(False))
+        pairs_col = f"agree_{name}"
+        out_cols.append(flag.alias(pairs_col))
+        score = score + F.when(flag, F.lit(wa).cast("decimal(18,6)")).otherwise(
+            F.lit(wd).cast("decimal(18,6)")
+        )
+    classification = (
+        F.when(F.col("score") >= F.lit(upper), F.lit("match"))
+        .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )
+    return (
+        pairs.select("a.*", "b.*", *out_cols, score.alias("score"))
+        .withColumn("classification", classification)
+    )
