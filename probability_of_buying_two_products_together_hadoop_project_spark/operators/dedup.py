@@ -1471,9 +1471,17 @@ def fellegi_sunter_link(
         score = score + F.when(flag, F.lit(wa).cast("decimal(18,6)")).otherwise(
             F.lit(wd).cast("decimal(18,6)")
         )
+    # thresholds compare in the DECIMAL domain: a double literal like
+    # 6.1 is not binary-representable and a decimal-vs-double promotion
+    # could flip an exact-tie classification between engines
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    lo = str(Decimal(repr(lower)).quantize(q, rounding=ROUND_HALF_UP))
+    hi = str(Decimal(repr(upper)).quantize(q, rounding=ROUND_HALF_UP))
     classification = (
-        F.when(F.col("score") >= F.lit(upper), F.lit("match"))
-        .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
+        F.when(F.col("score") >= F.lit(hi).cast("decimal(18,6)"), F.lit("match"))
+        .when(F.col("score") <= F.lit(lo).cast("decimal(18,6)"), F.lit("non_match"))
         .otherwise(F.lit("possible"))
     )
     return (

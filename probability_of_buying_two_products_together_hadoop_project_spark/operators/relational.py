@@ -1164,14 +1164,20 @@ def content_fingerprint(
     Columns must render identically across engines, so the caller
     passes integer/string/date-derived columns only (floats render
     engine-specifically — the snapshot_diff lesson); dates/timestamps
-    should be pre-cast to epoch integers by the caller.
+    should be pre-cast to epoch integers by the caller. NULL handling
+    is null-PROPAGATING concat (SQL's ||, not concat_ws which silently
+    drops the null and its separator — ('a', NULL) and (NULL, 'a')
+    would collide AND diverge from the SQL twin): a row with any NULL
+    column contributes nothing to the hash in BOTH engines; coalesce
+    nullable columns first if they must count.
     """
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
     row_digest = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
-            1,
-            12,
-        ),
+        F.substring(F.md5(F.concat(*parts)), 1, 12),
         16,
         10,
     ).cast("decimal(38,0)")
@@ -1214,6 +1220,12 @@ def cascade_forget(
     summaries = []
     kept: dict[str, DataFrame] = {}
     for name, df, fk, next_key in levels:
+        clash = {"_k", "_doomed"}.intersection(df.columns)
+        if clash:
+            raise ValueError(
+                f"cascade_forget: table {name!r} uses the working column "
+                f"names {sorted(clash)}; rename them first"
+            )
         marked = df.join(
             cur.withColumn("_doomed", F.lit(True)),
             df[fk] == cur["_k"],

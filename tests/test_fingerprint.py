@@ -39,6 +39,17 @@ def test_detects_single_value_change(spark):
     assert fp[1] == fp2[1] and fp[2] != fp2[2]
 
 
+def test_null_rows_drop_from_hash_in_both_engines(spark):
+    """SQL || propagates NULL; concat_ws silently drops it (and would
+    make ('a', NULL) collide with (NULL, 'a')). The operator follows the
+    ||-semantics: a row with any NULL contributes nothing, but still
+    counts in n_rows — and the digest of the remaining rows matches."""
+    rows = [(1, "a"), (2, None), (3, "c")]
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    got = _collect(relational.content_fingerprint(df, ["k", "v"], "t"))
+    assert got == ("t", 3, _py_fingerprint([(1, "a"), (3, "c")]))
+
+
 def test_empty_relation_hashes_to_zero(spark):
     df = spark.createDataFrame([], "k bigint, v string")
     assert _collect(relational.content_fingerprint(df, ["k", "v"], "t")) == ("t", 0, "0")
