@@ -136,6 +136,7 @@ HEADLINE = [
     "privacy_suppress_orders",
     "cluster_topics_embeddings",
     "gdpr_cascade_forget",
+    "record_linkage_fs",
 ]
 
 
