@@ -1080,6 +1080,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     audio_format, channels, sample_rate, _brate, block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise NotImplementedError("only 16-bit PCM WAV supported")
+    if channels < 1 or sample_rate < 1:
+        raise ValueError("WAV fmt declares zero channels or sample rate")
     if block_align != channels * 2:
         raise ValueError("inconsistent block alignment")
     if len(data) % block_align:

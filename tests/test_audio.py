@@ -79,6 +79,12 @@ def test_wav_validation_errors():
     struct.pack_into("<H", bad_bits, 32, 1)  # block align for 8-bit mono
     with pytest.raises(NotImplementedError):
         mm.decode_wav(bytes(bad_bits))
+    # zero-channel fmt must raise descriptively, not ZeroDivisionError
+    zero_ch = bytearray(good)
+    struct.pack_into("<H", zero_ch, 22, 0)
+    struct.pack_into("<H", zero_ch, 32, 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        mm.decode_wav(bytes(zero_ch))
 
 
 def test_wav_from_text_sample_law():
