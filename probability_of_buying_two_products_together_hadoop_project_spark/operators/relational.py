@@ -1148,6 +1148,24 @@ def k_anonymity_suppress(
     return df.join(F.broadcast(passing), quasi_cols, "left_semi")
 
 
+def row_digest_48(cols: list[str]) -> Column:
+    """The content-fingerprint row digest: the 48-bit md5 prefix of the
+    canonical '|'-joined column rendering as DECIMAL(38,0). NULL-
+    propagating concat (SQL's ||): any NULL column nulls the digest in
+    BOTH engines. Shared by the one-shot fingerprint and the CDC delta
+    applier so base + delta arithmetic is guaranteed the same law."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 12),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+
+
 def content_fingerprint(
     df: DataFrame, cols: list[str], label: str
 ) -> DataFrame:
@@ -1171,16 +1189,7 @@ def content_fingerprint(
     column contributes nothing to the hash in BOTH engines; coalesce
     nullable columns first if they must count.
     """
-    parts: list[Column] = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit("|"))
-        parts.append(F.col(c).cast("string"))
-    row_digest = F.conv(
-        F.substring(F.md5(F.concat(*parts)), 1, 12),
-        16,
-        10,
-    ).cast("decimal(38,0)")
+    row_digest = row_digest_48(cols)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_digest).cast("decimal(38,0)").alias("_h"),
@@ -1255,3 +1264,52 @@ def cascade_forget(
     for s in summaries[1:]:
         summary = summary.unionByName(s)
     return summary, kept
+
+
+def apply_fingerprint_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    cols: list[str],
+    label: str,
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Incremental fingerprint maintenance: the content hash is an
+    ADDITIVE monoid — fp(base ∪ inserts \ deletes) = fp(base)
+    + Σ digest(insert) - Σ digest(delete) — so a persisted
+    (dataset, n_rows, content_hash) state absorbs a CDC delta with
+    work ∝ delta, never a base rescan (the incremental_agg pattern
+    applied to copy validation: a 100 TB table's full-content check
+    stays current per delivery). DECIMAL(38,0) arithmetic is exact;
+    deletes subtract exactly (doubles could not).
+
+    ``delta`` carries ``sign_col`` = +1 (insert) / -1 (delete); the
+    maintained output equals ``content_fingerprint`` over the patched
+    base bit-for-bit (the registry oracle states exactly that).
+    """
+    d = delta.agg(
+        F.sum(F.col(sign_col).cast("bigint")).alias("n_rows"),
+        F.sum(
+            row_digest_48(cols) * F.col(sign_col).cast("decimal(38,0)")
+        ).alias("_h"),
+    ).select(
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.col("_h"), F.lit(0).cast("decimal(38,0)")).alias("_h"),
+    )
+    base = state.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("content_hash").cast("decimal(38,0)").alias("_h"),
+    )
+    return (
+        base.unionByName(d)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("_h").cast("decimal(38,0)").alias("_h"),
+        )
+        .select(
+            F.lit(label).alias("dataset"),
+            "n_rows",
+            F.coalesce(F.col("_h").cast("string"), F.lit("0")).alias(
+                "content_hash"
+            ),
+        )
+    )

@@ -53,3 +53,36 @@ def test_null_rows_drop_from_hash_in_both_engines(spark):
 def test_empty_relation_hashes_to_zero(spark):
     df = spark.createDataFrame([], "k bigint, v string")
     assert _collect(relational.content_fingerprint(df, ["k", "v"], "t")) == ("t", 0, "0")
+
+
+def test_delta_maintenance_equals_direct(spark):
+    """fp(base) + delta == fp(patched base): inserts add, deletes
+    subtract exactly; an empty delta is the identity."""
+    base_rows = [(1, "a"), (2, "b"), (3, "c")]
+    base = spark.createDataFrame(base_rows, "k bigint, v string")
+    state = relational.content_fingerprint(base, ["k", "v"], "t")
+    delta = spark.createDataFrame(
+        [(2, "b", -1), (9, "z", 1), (10, "y", 1)],
+        "k bigint, v string, _sign int",
+    )
+    got = _collect(relational.apply_fingerprint_delta(state, delta, ["k", "v"], "t"))
+    patched = [(1, "a"), (3, "c"), (9, "z"), (10, "y")]
+    direct = _collect(relational.content_fingerprint(
+        spark.createDataFrame(patched, "k bigint, v string"), ["k", "v"], "t"))
+    assert got == direct == ("t", 4, _py_fingerprint(patched))
+    empty = spark.createDataFrame([], "k bigint, v string, _sign int")
+    assert _collect(
+        relational.apply_fingerprint_delta(state, empty, ["k", "v"], "t")
+    ) == _collect(state)
+
+
+def test_delta_delete_everything_returns_zero(spark):
+    base_rows = [(1, "a"), (2, "b")]
+    base = spark.createDataFrame(base_rows, "k bigint, v string")
+    state = relational.content_fingerprint(base, ["k", "v"], "t")
+    delta = spark.createDataFrame(
+        [(1, "a", -1), (2, "b", -1)], "k bigint, v string, _sign int"
+    )
+    assert _collect(
+        relational.apply_fingerprint_delta(state, delta, ["k", "v"], "t")
+    ) == ("t", 0, "0")
