@@ -691,3 +691,40 @@ def countmin_sink(
         )
 
     return _exactly_once_swap_sink(stream_df, state_path, merge_fn)
+
+
+def fingerprint_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    cols: list[str],
+    label: str,
+    sign_col: str | None = None,
+):
+    """Streaming content-fingerprint maintenance — the copy-validation
+    face of the sink family (KMV = distinct, agg_state = group
+    measures, countmin = frequencies, this = whole-table content
+    equality): each micro-batch applies as signed 48-bit md5 row
+    digests into the persisted one-row (dataset, n_rows, content_hash)
+    state (``relational.apply_fingerprint_delta``), so the state always
+    equals ``content_fingerprint`` over every row ever delivered —
+    bit-for-bit, because digest addition over DECIMAL(38,0) is an
+    abelian group (deletes subtract exactly for CDC streams via
+    ``sign_col``). Addition is not idempotent, so the sink rides the
+    shared marker-in-state exactly-once protocol. State is ONE row
+    forever; validating a 100 TB replica then costs one fingerprint
+    scan of the replica and a one-row compare."""
+    from ..operators.relational import apply_fingerprint_delta
+
+    def merge_fn(s, state: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        delta = (
+            batch_df.withColumn("_sign", F.lit(1))
+            if sign_col is None
+            else batch_df.withColumn("_sign", F.col(sign_col))
+        )
+        if state is None:
+            state = s.createDataFrame(
+                [(label, 0, "0")], "dataset string, n_rows long, content_hash string"
+            )
+        return apply_fingerprint_delta(state, delta, cols, label, sign_col="_sign")
+
+    return _exactly_once_swap_sink(stream_df, state_path, merge_fn)

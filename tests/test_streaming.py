@@ -831,3 +831,78 @@ def test_countmin_sink_equals_batch_sketch(spark, tmp_path):
     }
     assert est["spark"] >= 45 and est["agg"] >= 7  # CMS never undercounts
     assert est["never"] <= est["scan"] if "scan" in est else True
+
+
+# fingerprint_sink (streaming copy-validation maintenance)
+
+
+def test_fingerprint_sink_equals_batch_fingerprint(spark, tmp_path):
+    """Two micro-batches through the fingerprint sink: the persisted
+    one-row state must equal the one-shot content_fingerprint of all
+    rows ever delivered (digest addition is the mergeability
+    contract), and a checkpoint-loss replay must be a no-op."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+    src = str(tmp_path / "fp_src")
+    rows1 = [(1, "a"), (2, "b"), (3, "c")]
+    rows2 = [(4, "d"), (5, "e")]
+    for name, rows in (("f0", rows1), ("f1", rows2)):
+        (
+            spark.createDataFrame(rows, "k bigint, v string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    state = str(tmp_path / "fp_state")
+    q = streams.fingerprint_sink(stream, state, ["k", "v"], "t")
+    q.awaitTermination()
+    want = relational.content_fingerprint(
+        spark.read.parquet(f"{src}/f*"), ["k", "v"], "t"
+    ).collect()[0]
+    got = spark.read.parquet(state).collect()[0]
+    assert (got.dataset, got.n_rows, got.content_hash) == (
+        want.dataset, want.n_rows, want.content_hash,
+    )
+    # checkpoint loss: a fresh query over the same files replays both
+    # batches; the marker-in-state guard must make them no-ops
+    import shutil
+
+    shutil.rmtree(state + "._checkpoint")
+    q2 = streams.fingerprint_sink(stream, state, ["k", "v"], "t")
+    q2.awaitTermination()
+    again = spark.read.parquet(state).collect()[0]
+    assert (again.n_rows, again.content_hash) == (got.n_rows, got.content_hash)
+
+
+def test_fingerprint_sink_cdc_deletes_subtract(spark, tmp_path):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+    src = str(tmp_path / "fpc_src")
+    b0 = [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    b1 = [(2, "b", -1), (9, "z", 1)]  # delete 2, insert 9
+    for name, rows in (("f0", b0), ("f1", b1)):
+        (
+            spark.createDataFrame(rows, "k bigint, v string, sign int")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/{name}")
+        )
+    stream = (
+        spark.readStream.schema("k bigint, v string, sign int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    state = str(tmp_path / "fpc_state")
+    q = streams.fingerprint_sink(stream, state, ["k", "v"], "t", sign_col="sign")
+    q.awaitTermination()
+    live = spark.createDataFrame(
+        [(1, "a"), (3, "c"), (9, "z")], "k bigint, v string"
+    )
+    want = relational.content_fingerprint(live, ["k", "v"], "t").collect()[0]
+    got = spark.read.parquet(state).collect()[0]
+    assert (got.n_rows, got.content_hash) == (want.n_rows, want.content_hash)
