@@ -8572,31 +8572,36 @@ def q_bounce_rate(spark, sf_dir):
 
 
 def _bfs_oracle(max_hops: int = 4, min_support: int = 2) -> str:
-    """Unrolled fixed-round BFS as chained CTEs over the shared
-    co-occurrence CTE — the oracle replays the IDENTICAL frontier
-    expansions the engine's dataflow loop runs (the PageRank oracle
-    pattern). All-integer hop labels; the anti-join is NOT EXISTS over
-    the settled set, matching the engine's left_anti exactly."""
+    """Unrolled fixed-round BFS as chained MATERIALIZED CTEs over the
+    shared co-occurrence CTE — the oracle replays the IDENTICAL
+    frontier expansions the engine's dataflow loop runs (the PageRank
+    oracle pattern). All-integer hop labels; the anti-join is NOT
+    EXISTS over the settled set, matching the engine's left_anti
+    exactly. MATERIALIZED is load-bearing (the k-core lesson): each
+    d{{k}} is referenced twice (the next frontier's NOT EXISTS and the
+    next settled union), so plain CTEs inline the chain exponentially
+    — measured 41 MINUTES / an OOM-prone plan at sf0.1 vs seconds
+    materialized, the round-6 full-gate failure."""
     steps = []
     prev_d, prev_f = "d0", "f0"
     for k in range(1, max_hops + 1):
         steps.append(f"""
-    f{k} AS (
+    f{k} AS MATERIALIZED (
       SELECT DISTINCT e.dst AS node FROM e JOIN {prev_f} f ON e.src = f.node
       WHERE NOT EXISTS (SELECT 1 FROM {prev_d} d WHERE d.node = e.dst)
-    ), d{k} AS (
+    ), d{k} AS MATERIALIZED (
       SELECT node, hops FROM {prev_d}
       UNION ALL SELECT node, CAST({k} AS BIGINT) FROM f{k}
     )""")
         prev_d, prev_f = f"d{k}", f"f{k}"
     return f"""
-    {_COOC_CTE}, e AS (
+    {_COOC_CTE}, e AS MATERIALIZED (
       SELECT item AS src, neighbor AS dst FROM counts
         WHERE pair_cnt >= {min_support} AND item != neighbor
       UNION
       SELECT neighbor AS src, item AS dst FROM counts
         WHERE pair_cnt >= {min_support} AND item != neighbor
-    ), d0 AS (
+    ), d0 AS MATERIALIZED (
       SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS hops FROM e
     ), f0 AS (SELECT node FROM d0),{",".join(steps)}
     SELECT node, hops FROM {prev_d}
