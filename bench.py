@@ -137,6 +137,8 @@ HEADLINE = [
     "cluster_topics_embeddings",
     "gdpr_cascade_forget",
     "record_linkage_fs",
+    "dataset_fingerprints",
+    "fingerprint_incremental_orders",
 ]
 
 
