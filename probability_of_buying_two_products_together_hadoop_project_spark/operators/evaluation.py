@@ -470,3 +470,102 @@ def classification_summary(
             / F.count("f1").cast("double")
         ).alias("macro_f1"),
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    n_bins: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) — the
+    evaluation companion to ``roc_auc`` (ranking quality) and
+    ``classification_report`` (thresholded quality): does a score of
+    0.8 actually mean 80% positives? ``score`` must already lie in
+    [0, 1] (use ``rank_score`` to turn any monotone signal into one).
+
+    Numerics (engine-exact end to end): the bin index is integer
+    ``floor(score * n_bins)`` clamped to the top bin; per-bin mean
+    predicted score is the exact decimal sum of 6dp-rounded scores
+    over the count (the BM25 rule — a double sum would be
+    order-dependent); observed positive rate is one integer/integer
+    division; the |gap| and the ECE (bin-weight x gap, summed over
+    <= n_bins rows in a single-partition window, bounded by n_bins)
+    are shared double expressions over those pinned values.
+
+    One hash aggregation on the bin index; everything after runs on
+    <= n_bins rows.
+    """
+    if n_bins < 1:
+        raise ValueError(f"calibration_curve: n_bins must be >= 1 ({n_bins=})")
+    s6 = F.round(score.cast("double"), 6).cast("decimal(18,6)")
+    b = F.least(
+        F.floor(score.cast("double") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per = (
+        df.select(
+            b.alias("bin"),
+            s6.alias("_s6"),
+            label.cast("boolean").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_y").cast("bigint")).alias("n_pos"),
+            F.sum("_s6").alias("_ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("_ssum").cast("double") / F.col("n")).alias("mean_score"),
+            (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
+    # the ECE sum runs in the DECIMAL domain: a double window-sum
+    # accumulates in engine-specific order and diverged in the last bit
+    # (0.2684810039999999 vs 0.268481004 — caught by the oracle); the
+    # per-bin gap doubles are engine-identical, so their 12dp decimal
+    # quantization is too, and decimal addition is order-free
+    term = F.round(gap, 12).cast("decimal(28,12)") * F.col("n")
+    total = F.sum("n").over(w)
+    return per.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        "n_pos",
+        "mean_score",
+        "pos_rate",
+        gap.alias("abs_gap"),
+        F.sum(term).over(w).alias("_wg"),
+        total.alias("_tot"),
+    ).select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        "pos_rate",
+        "abs_gap",
+        (F.col("_wg").cast("double") / F.col("_tot")).alias("ece"),
+    )
+
+
+def rank_score(
+    df: DataFrame, value_col: str, tiebreak_col: str, out_col: str = "score"
+) -> DataFrame:
+    """Normalize any monotone signal into a [0, 1] score by global rank:
+    score = (rank - 1) / (N - 1) with a deterministic (value, tiebreak)
+    total order (1 row -> score 0). The rank is the parallel-prefix-sum
+    shape at scale; here it rides row_number for the oracle's benefit.
+    """
+    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc())
+    n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return df.withColumn("_r", F.row_number().over(w)).withColumn(
+        out_col,
+        F.when(F.count(F.lit(1)).over(n) == 1, F.lit(0.0)).otherwise(
+            (F.col("_r") - 1).cast("double")
+            / (F.count(F.lit(1)).over(n) - 1).cast("double")
+        ),
+    ).drop("_r")
