@@ -139,6 +139,7 @@ HEADLINE = [
     "record_linkage_fs",
     "dataset_fingerprints",
     "fingerprint_incremental_orders",
+    "calibration_curve_doclen",
 ]
 
 
