@@ -9662,6 +9662,66 @@ def q_audio_resample_decimate(spark, sf_dir):
 
 
 @register(
+    "audio_resample_fir",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           2000 AS sample_rate,
+           1 AS channels,
+           CAST((n + 3) // 4 AS BIGINT) AS n_frames,
+           md5(COALESCE(array_to_string(list_transform(range(0, (n + 3) // 4),
+               m -> (
+                   (CASE WHEN 4*m < n THEN
+                      (('0x' || substr(h, 8*m + 1, 2))::BIGINT - 128) * 256
+                    ELSE 0 END)
+                 + 2 * (CASE WHEN 4*m + 1 < n THEN
+                      (('0x' || substr(h, 8*m + 3, 2))::BIGINT - 128) * 256
+                    ELSE 0 END)
+                 + (CASE WHEN 4*m + 2 < n THEN
+                      (('0x' || substr(h, 8*m + 5, 2))::BIGINT - 128) * 256
+                    ELSE 0 END)
+               ) // 4),
+               ','), '')) AS samples_md5
+    FROM b
+    """,
+    "Anti-aliased FIR resample (the decimation kernel generalized with a "
+    "real low-pass): output frame m is the triangular-tap window "
+    "trunc((x[4m] + 2*x[4m+1] + x[4m+2]) / 4) with zero padding past the "
+    "end — ALL-INTEGER arithmetic (int64 tap products, one "
+    "truncate-toward-zero division matching DuckDB // and Spark div; the "
+    "numpy side sign-splits because Python // floors), so every filtered "
+    "sample is bit-reproducible from the source bytes. The operator "
+    "re-encodes at rate/4 and re-DECODES its own payload (round-trip "
+    "inside the operator, like the decimate twin): samples_md5 hashes "
+    "the values re-read from the new WAV, the oracle regenerates the "
+    "identical filtered sequence from the text bytes. Map-only: "
+    "Arrow-batched mapInPandas, zero exchanges",
+)
+def q_audio_resample_fir(spark, sf_dir):
+    media = multimodal.media_wav_from_documents(_t(spark, sf_dir, "documents"))
+    rs = multimodal.resample_fir(media, factor=4, taps=(1, 2, 1))
+    return rs.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(F.col("samples"), lambda x: x.cast("string")),
+                    ",",
+                ),
+                "utf-8",
+            )
+        ).alias("samples_md5"),
+    )
+
+
+@register(
     "semantic_dedup_embeddings",
     _semantic_dedup_oracle(k=8, iters=3, threshold=0.35),
     "SemDeDup (Abbas et al. 2023): k-means the embedding corpus (the "
@@ -10345,6 +10405,11 @@ _ROTATION_TAIL = {
     # decontaminate_ngrams stays in-window exercising the same
     # md5-digest broadcast screen boilerplate_gram_screen rides on.
     "boilerplate_gram_screen": "r06-local",
+    # r07 displacements (new round-7 queries take window slots; each
+    # displaced member keeps an in-window checker of its machinery):
+    # audio_resample_fir supersedes the decimate round-trip (same codec
+    # walk, same re-encode/re-decode hash pin, plus the filter).
+    "audio_resample_decimate": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

@@ -159,6 +159,93 @@ def test_resample_factor_one_is_identity(spark):
         mm.resample_decimate(media, factor=0)
 
 
+def _py_fir(samples, factor, taps):
+    den = sum(taps)
+    out = []
+    n = len(samples)
+    for m in range(0, (n + factor - 1) // factor):
+        acc = sum(
+            t * (samples[m * factor + k] if m * factor + k < n else 0)
+            for k, t in enumerate(taps)
+        )
+        q, r = divmod(abs(acc), den)
+        out.append(q if acc >= 0 else -q)  # truncate toward zero
+    return out
+
+
+def test_resample_fir_mirror(spark):
+    texts = ["abcdefgh", "", "x", "héllo wörld again and again", "\x00\x7f" * 9]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    media = mm.media_wav_from_documents(docs)
+    got = {
+        r.media_id: (r.sample_rate, r.n_frames, list(r.samples))
+        for r in mm.resample_fir(media, factor=4, taps=(1, 2, 1)).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        src = [(b - 128) * 256 for b in raw]
+        want = _py_fir(src, 4, (1, 2, 1))
+        assert got[i] == (2000, len(want), want)
+
+
+def test_resample_fir_single_tap_equals_decimate(spark):
+    """taps=(1,) degenerates to pure decimation — same payload bytes."""
+    docs = spark.createDataFrame(
+        [(0, "sixteen characters of input!")], "doc_id bigint, text string"
+    )
+    media = mm.media_wav_from_documents(docs)
+    fir = mm.resample_fir(media, factor=3, taps=(1,)).collect()[0]
+    dec = mm.resample_decimate(media, factor=3).collect()[0]
+    assert bytes(fir.payload) == bytes(dec.payload)
+    assert list(fir.samples) == list(dec.samples)
+
+
+def test_resample_fir_truncation_toward_zero():
+    """Negative accumulators must truncate toward zero (DuckDB // and
+    Spark div), not floor like Python //: (-3) avg'd by 4 -> 0, not -1."""
+    assert _py_fir([-1, -1, -1], 4, (1, 2, 1)) == [-1]  # acc=-4 -> -1
+    assert _py_fir([-1, -1, 0], 4, (1, 2, 1)) == [0]    # acc=-3 -> 0  (floor would give -1)
+    import numpy as np
+
+    acc = np.asarray([-3, 3, -4, 5], dtype=np.int64)
+    out = np.sign(acc) * (np.abs(acc) // 4)
+    assert list(out) == [0, 0, -1, 1]
+
+
+def test_resample_fir_validation(spark):
+    docs = spark.createDataFrame([(0, "abc")], "doc_id bigint, text string")
+    media = mm.media_wav_from_documents(docs)
+    with pytest.raises(ValueError):
+        mm.resample_fir(media, factor=0)
+    with pytest.raises(ValueError):
+        mm.resample_fir(media, factor=2, taps=())
+    with pytest.raises(ValueError):
+        mm.resample_fir(media, factor=2, taps=(1, -1))
+
+
+def test_resample_fir_stereo_per_channel(spark):
+    """The tap window must convolve each channel independently — frames
+    stay interleaved (L, R) pairs, never cross-channel mixes."""
+    import numpy as np
+
+    stereo = _frames([100, -100, 200, -200, 300, -300, 400, -400])
+    payload = mm.encode_wav(8000, 2, stereo)
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    row = mm.resample_fir(media, factor=2, taps=(1, 2, 1)).collect()[0]
+    fr = np.frombuffer(
+        mm.decode_wav(payload)[2], dtype="<i2"
+    ).reshape(-1, 2)
+    left = _py_fir(list(fr[:, 0]), 2, (1, 2, 1))
+    right = _py_fir(list(fr[:, 1]), 2, (1, 2, 1))
+    inter = [v for pair in zip(left, right) for v in pair]
+    assert (row.sample_rate, row.channels, row.n_frames) == (4000, 2, len(left))
+    assert list(row.samples) == inter
+
+
 def test_resample_stereo_keeps_frames_together():
     """Decimation must drop whole FRAMES, not interleaved samples."""
     stereo = _frames([1, -1, 2, -2, 3, -3, 4, -4])  # 4 frames x 2 ch
