@@ -362,6 +362,97 @@ def burst_detect(
     )
 
 
+def cusum_detect(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    alarm_mean_mult: int = 4,
+) -> DataFrame:
+    """Page's CUSUM changepoint screen (Page 1954, Biometrika) over each
+    group's hourly count series — WITHOUT the sequential recurrence.
+    The textbook chart S_t = max(0, S_{t-1} + (x_t - k)) is a fold no
+    window function expresses, but it has a closed form: with prefix
+    sums P_t = sum_{j<=t} (x_j - k) and P_0 = 0,
+
+        S_t = P_t - min(0, min_{i<=t} P_i)
+
+    so the "inherently sequential" control chart is one window SUM plus
+    one window MIN over the bucket-sized hourly relation — two frames
+    sharing a single sort, parallel per group.
+
+    Determinism contract: the reference value k is the group's own mean
+    count T/n (detect drift above the series' long-run level). The mean
+    is fractional, so EVERY term scales by n: d_t = n*x_t - T, making
+    prefix sums, running minima, and the alarm comparison
+    ``cusum_scaled >= alarm_mean_mult * T`` (S_scaled = n*S and the
+    mean is T/n, so S >= mult*mean ⇔ n*S >= mult*T) exact integers —
+    no float recurrence, no rounding (the PageRank lesson applied to
+    control charts). Sums run in DECIMAL(38,0) so corpus-scale counts
+    cannot overflow an int64 mid-prefix (the roc_auc rank-sum rule).
+
+    Output per observed hourly bucket: the scaled statistic, the same
+    statistic in hourly-mean units as one exact double division
+    (S/mean = cusum_scaled / T), and the 1/0 bigint alarm flag
+    (tri-state-boolean lesson).
+    Gaps contribute nothing: the chart runs over observed buckets, the
+    documented semantics (a dense spine belongs to resample_gapfill).
+    """
+    if alarm_mean_mult < 1:
+        raise ValueError("alarm_mean_mult must be >= 1")
+    hc = hourly_counts(df, group_cols, ts_col)
+    wall = Window.partitionBy(*group_cols)
+    wrun = (
+        Window.partitionBy(*group_cols)
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1)).over(wall)
+    total = F.sum("cnt").over(wall)
+    d = (n * F.col("cnt") - total).cast(dec)
+    base = hc.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        n.alias("n_hours"),
+        total.alias("total_cnt"),
+        d.alias("_d"),
+    )
+    # two projections: window functions cannot nest, so the prefix sum
+    # materializes as a column before its running min (same partition +
+    # order spec — the sort is shared, one exchange)
+    prefixed = base.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        "n_hours",
+        "total_cnt",
+        F.sum("_d").over(wrun).alias("_pfx"),
+    )
+    scored = prefixed.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        "n_hours",
+        "total_cnt",
+        "_pfx",
+        F.least(F.lit(0).cast(dec), F.min("_pfx").over(wrun)).alias("_floor"),
+    )
+    s = (F.col("_pfx") - F.col("_floor")).cast(dec)
+    thresh = F.lit(alarm_mean_mult).cast(dec) * F.col("total_cnt").cast(dec)
+    return scored.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        s.alias("cusum_scaled"),
+        (s.cast("double") / F.col("total_cnt").cast("double")).alias(
+            "cusum_means"
+        ),
+        (s >= thresh).cast("bigint").alias("is_alarm"),
+    )
+
+
 def autocorr_lag1(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("event_type",),

@@ -7871,6 +7871,65 @@ def q_autocorr(spark, sf_dir):
 
 
 @register(
+    "cusum_changepoint_events",
+    """
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, hr, cnt,
+             count(*) OVER (PARTITION BY event_type) AS n_hours,
+             sum(cnt) OVER (PARTITION BY event_type) AS total_cnt
+      FROM hc
+    ),
+    p AS (
+      SELECT *,
+             sum(CAST(n_hours * cnt - total_cnt AS DECIMAL(38,0)))
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM s
+    ),
+    m AS (
+      SELECT *,
+             least(CAST(0 AS DECIMAL(38,0)),
+                   min(pfx) OVER (PARTITION BY event_type ORDER BY hr
+                                  ROWS UNBOUNDED PRECEDING)) AS fl
+      FROM p
+    )
+    SELECT event_type, hr, cnt,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(CAST(pfx - fl AS DECIMAL(38,0)) AS VARCHAR) AS cusum_scaled,
+           CAST(pfx - fl AS DOUBLE) / CAST(total_cnt AS DOUBLE)
+             AS cusum_means,
+           CAST(CASE WHEN pfx - fl >=
+                  CAST(4 AS DECIMAL(38,0)) * total_cnt
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+    FROM m
+    """,
+    "Page's CUSUM changepoint chart per event type WITHOUT the "
+    "sequential recurrence: S_t = max(0, S_{t-1} + x_t - mean) has the "
+    "closed form P_t - min(0, min_{i<=t} P_i) over drift-adjusted "
+    "prefix sums, so the control chart is one window SUM + one window "
+    "MIN sharing a single sort — parallel per group, never a fold. The "
+    "fractional mean T/n scales every term by n (d_t = n*x_t - T): "
+    "statistic, running min, and the alarm threshold (cumulative "
+    "excess >= 4 hourly means, compared as cusum_scaled >= 4*T since "
+    "S_scaled = n*S and mean = T/n) are "
+    "exact DECIMAL(38,0) integers — no float recurrence (PageRank "
+    "lesson), overflow-proof at corpus scale (roc_auc rank-sum rule); "
+    "the statistic column crosses the engine boundary as VARCHAR (the "
+    "dataset_fingerprints decimal-transport rule). cusum_means is ONE "
+    "exact double division both engines share; the alarm flag is a "
+    "1/0 bigint that never reads it",
+)
+def q_cusum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = timeseries.cusum_detect(ev, alarm_mean_mult=4)
+    return out.withColumn("cusum_scaled", F.col("cusum_scaled").cast("string"))
+
+
+@register(
     "ohlc_hourly_events",
     """
     WITH d AS (
@@ -10410,6 +10469,10 @@ _ROTATION_TAIL = {
     # audio_resample_fir supersedes the decimate round-trip (same codec
     # walk, same re-encode/re-decode hash pin, plus the filter).
     "audio_resample_decimate": "r07-local",
+    # cusum_changepoint_events took a slot; suppress composes the
+    # in-window privacy_k_anonymity_orders audit (same module, same
+    # class-size machinery) and keeps 3-SF local oracle evidence.
+    "privacy_suppress_orders": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

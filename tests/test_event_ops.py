@@ -80,6 +80,82 @@ def test_burst_detect_gap_and_flag_semantics(spark):
     assert out[3] == (2, None, None)  # hour 2 silent -> no comparison
 
 
+def _py_cusum_scaled(counts):
+    """The textbook SEQUENTIAL fold, scaled by n — the ground truth the
+    prefix-min closed form must reproduce exactly."""
+    n, total = len(counts), sum(counts)
+    s, out = 0, []
+    for c in counts:
+        s = max(0, s + (n * c - total))
+        out.append(s)
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=24))
+@SET
+def test_cusum_prefix_min_identity_matches_fold(spark, counts):
+    base = 3_600_000_000
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, "u", "view", h * base + j))
+            eid += 1
+    if not rows:
+        return  # all-zero hours produce no events at all
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    got = {
+        r["hr"].hour: int(r["cusum_scaled"])
+        for r in timeseries.cusum_detect(df).collect()
+    }
+    observed = [(h, c) for h, c in enumerate(counts) if c > 0]
+    want = _py_cusum_scaled([c for _, c in observed])
+    assert got == {h: w for (h, _), w in zip(observed, want)}
+
+
+def test_cusum_planted_level_shift_alarms(spark):
+    """10 quiet hours at 2/hr then 6 loud hours at 30/hr: the chart must
+    stay silent through the quiet regime and alarm inside the loud one."""
+    counts = [2] * 10 + [30] * 6
+    base = 3_600_000_000
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, "u", "view", h * base + j))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    out = {
+        r["hr"].hour: (int(r["cusum_scaled"]), r["is_alarm"], r["cusum_means"])
+        for r in timeseries.cusum_detect(df, alarm_mean_mult=4).collect()
+    }
+    n, total = len(counts), sum(counts)
+    # quiet regime: statistic pinned at 0 (counts below the global mean)
+    for h in range(10):
+        assert out[h] == (0, 0, 0.0)
+    # loud regime accumulates; the alarm fires once cumulative excess
+    # reaches 4 hourly means and stays on
+    fired = [h for h in range(10, 16) if out[h][1] == 1]
+    assert fired and fired == list(range(min(fired), 16))
+    # exact threshold semantics: scaled stat vs 4 * total (= 4 means
+    # in n-scaled units), means column = scaled / total
+    assert n == len(counts)
+    for h in range(10, 16):
+        assert out[h][1] == (1 if out[h][0] >= 4 * total else 0)
+        assert out[h][2] == out[h][0] / float(total)
+
+
+def test_cusum_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        timeseries.cusum_detect(None, alarm_mean_mult=0)
+
+
 def test_autocorr_matches_python_reference(spark):
     counts = [5, 7, 6, 9, 4, 8, 10, 3]
     base = 3_600_000_000
