@@ -237,6 +237,96 @@ def kaplan_meier(
     )
 
 
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the standard
+    distribution-drift test between two cohorts of one relation
+    (``side_col`` boolean: True = sample 1): D = sup_x |F1(x) - F2(x)|,
+    evaluated at every pooled distinct value (where the sup of step
+    ECDFs is attained).
+
+    Exactness: at each distinct value the ECDF gap is the RATIONAL
+    |c1*n2 - c2*n1| / (n1*n2); the numerator is an exact DECIMAL(38,0)
+    integer (c*n products reach n² — the roc_auc overflow rule), so the
+    argmax over values is pure integer comparison, engine-independent.
+    The reported ``ks_d`` is two correctly-rounded casts and one
+    division over pinned integers.
+
+    Plan: one (value, c1, c2) aggregation (map-side combined), then the
+    :func:`..operators.relational.global_prefix_sum` shape generalized
+    to two parallel running sums over one bucketed window — no
+    single-partition funnel, every window partition bounded by one
+    value-bucket — and a 1-row TakeOrderedAndProject (max gap, smallest
+    attaining value as the deterministic tie-break).
+
+    Output (one row): n1, n2, at_value (where the sup is attained),
+    d_num (the exact scaled numerator, VARCHAR — the
+    dataset_fingerprints decimal-transport rule), ks_d (double; null if
+    either sample is empty — KS is undefined, not 0/0).
+    """
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
+    dv = (
+        df.groupBy(value_col)
+        .agg(
+            F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
+        )
+        .withColumn("_vb", b)
+    )
+    w_local = (
+        Window.partitionBy("_vb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = dv.select(
+        value_col,
+        "_vb",
+        F.sum("_c1").over(w_local).alias("_lc1"),
+        F.sum("_c2").over(w_local).alias("_lc2"),
+    )
+    totals = dv.groupBy("_vb").agg(
+        F.sum("_c1").alias("_t1"), F.sum("_c2").alias("_t2")
+    )
+    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offsets = totals.select(
+        "_vb",
+        F.coalesce(F.sum("_t1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
+        F.sum("_t1").over(w_all).alias("_n1"),
+        F.sum("_t2").over(w_all).alias("_n2"),
+    )
+    dec = "decimal(38,0)"
+    cc1 = (F.col("_lc1") + F.col("_o1")).cast(dec)
+    cc2 = (F.col("_lc2") + F.col("_o2")).cast(dec)
+    gap = F.abs(
+        cc1 * F.col("_n2").cast(dec) - cc2 * F.col("_n1").cast(dec)
+    )
+    scored = local.join(F.broadcast(offsets), "_vb").select(
+        F.col(value_col).alias("at_value"),
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_n2").cast("long").alias("n2"),
+        gap.alias("_gap"),
+    )
+    top = scored.orderBy(F.col("_gap").desc(), F.col("at_value").asc()).limit(1)
+    ks = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("_gap").cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+    )
+    return top.select(
+        "n1",
+        "n2",
+        "at_value",
+        F.col("_gap").cast("string").alias("d_num"),
+        ks.alias("ks_d"),
+    )
+
+
 def target_encode(
     df: DataFrame,
     category_col: str,

@@ -7871,6 +7871,60 @@ def q_autocorr(spark, sf_dir):
 
 
 @register(
+    "ks_drift_totalprice",
+    """
+    WITH dv AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 0 ELSE 1 END) AS c2
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM dv
+    ),
+    g AS (
+      SELECT v, n1, n2,
+             abs(CAST(cc1 AS DECIMAL(38,0)) * n2
+                 - CAST(cc2 AS DECIMAL(38,0)) * n1) AS gap
+      FROM c
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           v AS at_value,
+           CAST(gap AS VARCHAR) AS d_num,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(CAST(gap AS VARCHAR) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS ks_d
+    FROM g ORDER BY gap DESC, v ASC LIMIT 1
+    """,
+    "Exact two-sample Kolmogorov-Smirnov drift test: D = sup |F1 - F2| "
+    "between early (pre-1998) and late order-value distributions, "
+    "evaluated at every pooled distinct value where the step-ECDF sup "
+    "lives. The gap is the exact RATIONAL |c1*n2 - c2*n1| / (n1*n2): "
+    "numerators are DECIMAL(38,0) integers (c*n reaches n² — the "
+    "roc_auc overflow rule), so the argmax is pure integer comparison; "
+    "d_num crosses engines as VARCHAR, ks_d is two correctly-rounded "
+    "casts + one division. Engine plan: the cumulative counts run as "
+    "TWO parallel bucketed prefix sums (the global_prefix_sum shape — "
+    "no single-partition funnel; the oracle states the naive global "
+    "window), then a 1-row TakeOrderedAndProject with value ASC as the "
+    "deterministic tie-break",
+)
+def q_ks_drift(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.ks_two_sample(
+        o, "o_totalprice", F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+
+
+@register(
     "cusum_changepoint_events",
     """
     WITH hc AS (
@@ -10473,6 +10527,10 @@ _ROTATION_TAIL = {
     # in-window privacy_k_anonymity_orders audit (same module, same
     # class-size machinery) and keeps 3-SF local oracle evidence.
     "privacy_suppress_orders": "r07-local",
+    # ks_drift_totalprice took a slot; fingerprint_incremental_orders
+    # stays in-window and its oracle IS the direct dataset_fingerprints
+    # recompute over the patched base (same content-hash law).
+    "dataset_fingerprints": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

@@ -93,6 +93,59 @@ def test_roc_auc_matches_bruteforce_with_ties(spark):
         assert got[g][2] == pytest.approx(want, abs=1e-12)
 
 
+def py_ks(xs, ys):
+    """Brute-force two-sample KS over the pooled support: returns
+    (d_num, at_value) with d_num = max |c1*n2 - c2*n1|, smallest value
+    attaining it."""
+    n1, n2 = len(xs), len(ys)
+    best, at = -1, None
+    for v in sorted(set(xs) | set(ys)):
+        c1 = sum(1 for x in xs if x <= v)
+        c2 = sum(1 for y in ys if y <= v)
+        gap = abs(c1 * n2 - c2 * n1)
+        if gap > best:
+            best, at = gap, v
+    return best, at
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    rng = random.Random(11)
+    xs = [rng.randint(0, 30) for _ in range(120)]
+    ys = [rng.randint(5, 40) for _ in range(80)]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v int, s boolean")
+    row = evaluation.ks_two_sample(df, "v", F.col("s")).collect()[0]
+    d_num, at = py_ks(xs, ys)
+    assert (row.n1, row.n2) == (len(xs), len(ys))
+    assert int(row.d_num) == d_num
+    assert row.at_value == at
+    assert row.ks_d == d_num / float(len(xs) * len(ys))
+
+
+def test_ks_identical_and_disjoint(spark):
+    xs = list(range(50))
+    # identical samples: D = 0 at the smallest pooled value
+    rows = [(v, True) for v in xs] + [(v, False) for v in xs]
+    row = evaluation.ks_two_sample(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert int(row.d_num) == 0 and row.ks_d == 0.0 and row.at_value == 0
+    # disjoint supports: D = 1 exactly
+    rows = [(v, True) for v in range(10)] + [(v + 100, False) for v in range(7)]
+    row = evaluation.ks_two_sample(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert row.ks_d == 1.0 and int(row.d_num) == 10 * 7 and row.at_value == 9
+
+
+def test_ks_empty_side_is_null(spark):
+    rows = [(v, True) for v in range(5)]
+    row = evaluation.ks_two_sample(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert row.n2 == 0 and row.ks_d is None
+
+
 def test_roc_auc_perfect_and_degenerate(spark):
     rows = [("a", 1, 10), ("a", 1, 9), ("a", 0, 1), ("a", 0, 2)] + [
         ("b", 1, 5),
