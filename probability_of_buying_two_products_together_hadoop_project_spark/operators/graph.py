@@ -152,6 +152,105 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    edge list (``src``, ``dst``) — the mutual-reinforcement ranking:
+    a good hub points at good authorities, a good authority is pointed
+    at by good hubs. On a bipartite buyer→product graph (the registry
+    fixture) hubs are broad, well-connected buyers and authorities the
+    products such buyers concentrate on — signal the degree alone
+    (plain count) cannot express.
+
+    Fixed-point contract (the PageRank rules, normalization included):
+    scores live in 1e-12 units; each half-step is an edge join + an
+    exact DECIMAL(38,0) sum (in-scores reach indegree × UNITS — int64
+    overflows at 100 TB indegrees, the roc_auc rule), then L1
+    normalization as ONE integer operation ``(raw * UNITS) div total``
+    — Spark's decimal ``div`` and DuckDB's HUGEINT ``//`` truncate
+    identically (probed; operands non-negative, so floor == trunc).
+    The float ``score`` is a single exact-input division at the end.
+    No float ever iterates and no normalization ever rounds — every
+    score bit is cross-engine reproducible by an unrolled-CTE oracle.
+
+    Fixed ``iters`` rounds (authority half-step then hub half-step),
+    uniform hub start. Per-round state is (node, units) — 16-byte rows,
+    broadcast-sized (``broadcast_scores``: localCheckpoint erases size
+    stats, so the hint must be explicit — the PageRank lesson); each
+    half-step checkpoints so lineage never re-executes prior rounds
+    (the k-core lesson). Output: one row per node and side —
+    ``(side='hub'|'authority', node, score_units, score)``; src and dst
+    live in separate ID spaces on bipartite graphs, so the side column
+    is part of the key.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    maybe_bcast = F.broadcast if broadcast_scores else (lambda df: df)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    srcs = edges.select("src").distinct().localCheckpoint(eager=True)
+    n_src = srcs.count()
+    dec = "decimal(38,0)"
+    empty = srcs.select(
+        F.lit("hub").alias("side"),
+        F.col("src").alias("node"),
+        F.lit(0).cast("long").alias("score_units"),
+        F.lit(0.0).alias("score"),
+    )
+    if n_src == 0:
+        return empty
+    if UNITS // n_src == 0:
+        raise ValueError("more sources than fixed-point units")
+
+    def normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        tot = raw.agg(F.sum("_raw").cast(dec).alias("_t"))
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                key,
+                F.expr(
+                    f"CAST((CAST(_raw AS {dec}) * CAST({UNITS} AS {dec}))"
+                    f" div _t AS LONG)"
+                ).alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = srcs.select(
+        "src", F.lit(UNITS // n_src).cast("long").alias("hu")
+    ).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(maybe_bcast(hubs), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("hu").cast(dec)).alias("_raw"))
+        )
+        auths = normalize(a_raw, "dst", "au")
+        h_raw = (
+            edges.join(maybe_bcast(auths), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("au").cast(dec)).alias("_raw"))
+        )
+        hubs = normalize(h_raw, "src", "hu")
+    as_score = lambda c: (c.cast("double") / F.lit(float(UNITS)))  # noqa: E731
+    return hubs.select(
+        F.lit("hub").alias("side"),
+        F.col("src").alias("node"),
+        F.col("hu").alias("score_units"),
+        as_score(F.col("hu")).alias("score"),
+    ).unionAll(
+        auths.select(
+            F.lit("authority").alias("side"),
+            F.col("dst").alias("node"),
+            F.col("au").alias("score_units"),
+            as_score(F.col("au")).alias("score"),
+        )
+    )
+
+
 def triangle_stats(
     pairs: DataFrame,
     a_col: str = "item",

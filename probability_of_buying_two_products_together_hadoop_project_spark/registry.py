@@ -7870,6 +7870,88 @@ def q_autocorr(spark, sf_dir):
     return timeseries.autocorr_lag1(ev)
 
 
+def _hits_oracle(iters: int) -> str:
+    """Unrolled-CTE HITS oracle: DuckDB regenerates every half-step in
+    HUGEINT (int128) arithmetic — SUM(HUGEINT) and ``//`` match Spark's
+    DECIMAL(38,0) sums and ``div`` exactly on these non-negative values
+    (probed: identical trunc). Every CTE is MATERIALIZED per the k-core
+    reference-count lesson (ar/hr are each read twice: once for the
+    normalize, once for the total)."""
+    u = 10**12
+    parts = [
+        "WITH e AS MATERIALIZED (",
+        "  SELECT DISTINCT o_custkey AS src, l_partkey AS dst",
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "),",
+        "s AS MATERIALIZED (SELECT DISTINCT src FROM e),",
+        "h0 AS MATERIALIZED (",
+        f"  SELECT src, CAST(CAST({u} AS HUGEINT)",
+        "    // (SELECT count(*) FROM s) AS BIGINT) AS hu FROM s",
+        "),",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED (",
+            "  SELECT dst, SUM(CAST(hu AS HUGEINT)) AS raw",
+            f"  FROM e JOIN {prev_h} USING (src) GROUP BY dst",
+            "),",
+            f"a{i} AS MATERIALIZED (",
+            f"  SELECT dst, CAST((raw * {u})",
+            f"    // (SELECT SUM(raw) FROM ar{i}) AS BIGINT) AS au FROM ar{i}",
+            "),",
+            f"hr{i} AS MATERIALIZED (",
+            "  SELECT src, SUM(CAST(au AS HUGEINT)) AS raw",
+            f"  FROM e JOIN a{i} USING (dst) GROUP BY src",
+            "),",
+            f"h{i} AS MATERIALIZED (",
+            f"  SELECT src, CAST((raw * {u})",
+            f"    // (SELECT SUM(raw) FROM hr{i}) AS BIGINT) AS hu FROM hr{i}",
+            "),",
+        ]
+        prev_h = f"h{i}"
+    parts[-1] = parts[-1].rstrip(",")  # close the WITH list
+    parts += [
+        f"SELECT 'hub' AS side, src AS node, hu AS score_units,",
+        f"       CAST(hu AS DOUBLE) / {u} AS score FROM h{iters}",
+        "UNION ALL",
+        f"SELECT 'authority' AS side, dst AS node, au AS score_units,",
+        f"       CAST(au AS DOUBLE) / {u} AS score FROM a{iters}",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "hits_customer_part",
+    _hits_oracle(iters=2),
+    "HITS hubs & authorities (Kleinberg 1999) over the directed "
+    "bipartite buyer->product graph (distinct (custkey, partkey) edges "
+    "through orders x lineitem): hubs are broad well-connected buyers, "
+    "authorities the products such buyers concentrate on — the "
+    "mutual-reinforcement signal a plain degree count cannot express; "
+    "completes the spectral pair with pagerank_cooccurrence. "
+    "Fixed-point end to end: 1e-12-unit scores, exact DECIMAL(38,0) "
+    "half-step sums (in-scores reach indegree x UNITS — int64 "
+    "overflows at 100 TB indegree), and L1 normalization as ONE "
+    "integer (raw * UNITS) div total — Spark decimal div == DuckDB "
+    "HUGEINT // (probed, trunc == floor on non-negative). 2 rounds "
+    "unrolled as MATERIALIZED CTEs; score tables broadcast "
+    "(localCheckpoint erases size stats — PageRank lesson); every "
+    "half-step checkpoints (k-core lineage lesson)",
+)
+def q_hits(spark, sf_dir):
+    from .operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    return graph.hits(edges, iters=2)
+
+
 @register(
     "ks_drift_totalprice",
     """
@@ -10531,6 +10613,10 @@ _ROTATION_TAIL = {
     # stays in-window and its oracle IS the direct dataset_fingerprints
     # recompute over the patched base (same content-hash law).
     "dataset_fingerprints": "r07-local",
+    # hits_customer_part took a slot; q8_market_share stays in-window
+    # exercising the same conditional-share double-agg shape over the
+    # multi-way join (q14 keeps 3-SF local oracle evidence).
+    "q14_promo_revenue": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

@@ -352,3 +352,84 @@ def test_bfs_hops_rejects_bad_horizon(spark):
         graph.bfs_hops(e, max_hops=0)
     with pytest.raises(ValueError):
         graph.bfs_hops(e, max_hops=17)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def py_hits(edges, iters=2):
+    """Pure-python mirror of the fixed-point HITS contract: exact integer
+    sums, L1 normalization as (raw * UNITS) // total (floor == trunc on
+    non-negatives)."""
+    srcs = sorted({s for s, _ in edges})
+    h = {s: UNITS // len(srcs) for s in srcs}
+    a = {}
+    for _ in range(iters):
+        raw_a = {}
+        for s, d in edges:
+            raw_a[d] = raw_a.get(d, 0) + h[s]
+        ta = sum(raw_a.values())
+        a = {d: (r * UNITS) // ta for d, r in raw_a.items()}
+        raw_h = {}
+        for s, d in edges:
+            raw_h[s] = raw_h.get(s, 0) + a[d]
+        th = sum(raw_h.values())
+        h = {s: (r * UNITS) // th for s, r in raw_h.items()}
+    return h, a
+
+
+def _hits_edges(spark, pairs):
+    return spark.createDataFrame(sorted(set(pairs)), "src string, dst string")
+
+
+def test_hits_matches_python_reference_random(spark):
+    rng = random.Random(23)
+    pairs = {
+        (f"u{rng.randint(0, 11)}", f"p{rng.randint(0, 15)}") for _ in range(80)
+    }
+    want_h, want_a = py_hits(sorted(pairs), iters=2)
+    rows = graph.hits(_hits_edges(spark, pairs), iters=2).collect()
+    got_h = {r.node: r.score_units for r in rows if r.side == "hub"}
+    got_a = {r.node: r.score_units for r in rows if r.side == "authority"}
+    assert got_h == want_h
+    assert got_a == want_a
+    for r in rows:
+        assert r.score == r.score_units / float(UNITS)
+
+
+def test_hits_star_authority_dominates(spark):
+    """Every buyer points at p0 plus one private product: p0 must be the
+    top authority and all hubs tie."""
+    pairs = [(f"u{i}", "p0") for i in range(5)] + [
+        (f"u{i}", f"q{i}") for i in range(5)
+    ]
+    rows = graph.hits(_hits_edges(spark, pairs), iters=2).collect()
+    auths = {r.node: r.score_units for r in rows if r.side == "authority"}
+    hubs = {r.node: r.score_units for r in rows if r.side == "hub"}
+    assert max(auths, key=auths.get) == "p0"
+    assert len(set(hubs.values())) == 1
+    # L1 normalization: each side sums to ~UNITS (floor slack < n)
+    assert UNITS - len(hubs) < sum(hubs.values()) <= UNITS
+    assert UNITS - len(auths) < sum(auths.values()) <= UNITS
+
+
+def test_hits_broadcast_and_generic_paths_agree(spark):
+    rng = random.Random(5)
+    pairs = {
+        (f"u{rng.randint(0, 7)}", f"p{rng.randint(0, 9)}") for _ in range(40)
+    }
+    e = _hits_edges(spark, pairs)
+    bc = {(r.side, r.node): r.score_units for r in graph.hits(e, iters=2).collect()}
+    gen = {
+        (r.side, r.node): r.score_units
+        for r in graph.hits(e, iters=2, broadcast_scores=False).collect()
+    }
+    assert bc == gen
+
+
+def test_hits_validation(spark):
+    e = _hits_edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        graph.hits(e, iters=0)
