@@ -1773,3 +1773,88 @@ def dsir_importance(
         F.sum("cnt").cast("bigint").alias("n_grams"),
         F.round(F.sum("_w"), 4).cast("double").alias("log_weight"),
     )
+
+
+def byte_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_q6: str = "2.000000",
+    high_q6: str = "5.200000",
+) -> DataFrame:
+    """Shannon entropy of each document's UTF-8 BYTE distribution — the
+    compression-ratio proxy every pretraining pipeline screens on: very
+    low entropy is repeated boilerplate/padding, very high is binary
+    noise or ciphertext; prose sits in between (~4.0-4.8 bits/byte).
+    Bytes, not characters, deliberately: byte histograms are encoding-
+    unambiguous (UTF-16 surrogate splitting vs UTF-8 codepoints would
+    diverge between engines), and the noise signal is byte-level anyway.
+
+    Determinism contract: per-(doc, byte) counts are exact integers;
+    each histogram term quantizes as ``cnt * round(log2(cnt/N), 6)``
+    into DECIMAL(18,6) BEFORE the per-doc sum (the bigram-LM rule: 6dp
+    log decimals x integer counts — never a float accumulation), so the
+    entropy sum and the decimal-domain band thresholds (``-es`` vs
+    ``low/high * N`` — the Fellegi-Sunter decimal-threshold rule) are
+    engine-exact. The float ``entropy`` column is one correctly-rounded
+    cast + division outside the aggregation.
+
+    Plan shape: byte explode (hex-pair substrings over a distributed
+    ``sequence()``, all codegen — the audio-oracle construction) is
+    map-side only; the single exchange carries (doc, byte, cnt) rows,
+    <= 256 per document regardless of document size. Empty documents
+    survive via the left join with band 'empty' and null entropy.
+    """
+    d6, d18 = "decimal(18,6)", "decimal(18,0)"
+    base = docs.select(
+        F.col(id_col),
+        F.hex(F.encode(F.col(text_col), "utf-8")).alias("_h"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8"))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    hist = (
+        base.filter(F.col("n_bytes") > 0)
+        .select(
+            id_col,
+            "_h",
+            "n_bytes",
+            F.explode(F.expr("sequence(0L, n_bytes - 1L)")).alias("_i"),
+        )
+        .select(
+            id_col,
+            "n_bytes",
+            F.expr("substring(_h, cast(2 * _i + 1 as int), 2)").alias("_byte"),
+        )
+        .groupBy(id_col, "n_bytes", "_byte")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    term = F.col("_cnt").cast(d18) * F.round(
+        F.log2(F.col("_cnt").cast("double") / F.col("n_bytes")), 6
+    ).cast(d6)
+    ent = hist.groupBy(id_col, "n_bytes").agg(
+        F.count(F.lit(1)).alias("n_distinct_bytes"),
+        F.sum(term).alias("_es"),
+    )
+    neg = -F.col("_es")
+    lo = F.lit(low_q6).cast(d6) * F.col("n_bytes").cast(d18)
+    hi = F.lit(high_q6).cast(d6) * F.col("n_bytes").cast(d18)
+    band = (
+        F.when(F.col("_es").isNull(), F.lit("empty"))
+        .when(neg < lo, F.lit("repetitive"))
+        .when(neg > hi, F.lit("noise"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        base.select(id_col, "n_bytes")
+        .join(ent.drop("n_bytes"), id_col, "left")
+        .select(
+            id_col,
+            "n_bytes",
+            F.coalesce(F.col("n_distinct_bytes"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_bytes"),
+            (neg.cast("double") / F.col("n_bytes")).alias("entropy"),
+            band.alias("band"),
+        )
+    )

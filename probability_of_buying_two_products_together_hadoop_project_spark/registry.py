@@ -7953,6 +7953,57 @@ def q_hits(spark, sf_dir):
 
 
 @register(
+    "entropy_screen_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    e1 AS (
+      SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM b WHERE n > 0
+    ),
+    hist AS (
+      SELECT doc_id, n, substr(h, 2*i + 1, 2) AS byte, count(*) AS cnt
+      FROM e1 GROUP BY 1, 2, 3
+    ),
+    ent AS (
+      SELECT doc_id, n, count(*) AS nd,
+             SUM(CAST(cnt AS DECIMAL(18,0))
+                 * CAST(round(log2(CAST(cnt AS DOUBLE) / n), 6)
+                        AS DECIMAL(18,6))) AS es
+      FROM hist GROUP BY 1, 2
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_bytes,
+           CAST(COALESCE(ent.nd, 0) AS BIGINT) AS n_distinct_bytes,
+           CAST(CAST(-es AS VARCHAR) AS DOUBLE) / b.n AS entropy,
+           CASE WHEN es IS NULL THEN 'empty'
+                WHEN -es < CAST('2.000000' AS DECIMAL(18,6)) * b.n
+                  THEN 'repetitive'
+                WHEN -es > CAST('5.200000' AS DECIMAL(18,6)) * b.n
+                  THEN 'noise'
+                ELSE 'ok' END AS band
+    FROM b LEFT JOIN ent USING (doc_id)
+    """,
+    "Shannon entropy of each document's UTF-8 BYTE distribution — the "
+    "compression-ratio quality proxy (low = boilerplate/padding, high "
+    "= binary noise, prose ~4-4.8 bits/byte). Bytes, not characters: "
+    "byte histograms are encoding-unambiguous cross-engine (UTF-16 "
+    "surrogates vs UTF-8 codepoints would diverge). Each term "
+    "quantizes as cnt x round(log2(cnt/N), 6) into DECIMAL(18,6) "
+    "before the per-doc sum (the bigram-LM rule — floats never "
+    "accumulate) and the repetitive/ok/noise bands compare in the "
+    "decimal domain (-es vs threshold*N, the FS rule). Byte explode "
+    "is map-side codegen (hex-pair substrings over sequence() — the "
+    "audio-oracle construction); the one exchange carries <=256 "
+    "(doc, byte, cnt) rows per document at ANY document size",
+)
+def q_entropy_screen(spark, sf_dir):
+    return text.byte_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "ks_drift_totalprice",
     """
     WITH dv AS (
@@ -10617,6 +10668,10 @@ _ROTATION_TAIL = {
     # exercising the same conditional-share double-agg shape over the
     # multi-way join (q14 keeps 3-SF local oracle evidence).
     "q14_promo_revenue": "r07-local",
+    # entropy_screen_docs took a slot; q11_important_stock stays
+    # in-window exercising the same reused-agg-vs-global-scalar shape
+    # (q15 keeps 3-SF local oracle evidence).
+    "q15_top_supplier": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

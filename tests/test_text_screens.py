@@ -340,3 +340,53 @@ def test_source_vocab_overlap_threshold_filters(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string, source string")
     assert text.source_vocab_overlap(df, min_jaccard=0.5).count() == 0
     assert text.source_vocab_overlap(df, min_jaccard=0.0).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# byte-entropy screen
+# ---------------------------------------------------------------------------
+
+
+def _py_byte_entropy(text):
+    """Mirror of the quantized contract: per-byte counts, each term
+    cnt * round(log2(cnt/N), 6) quantized to 6dp, decimal sum."""
+    raw = text.encode("utf-8")
+    n = len(raw)
+    if n == 0:
+        return 0, None
+    cnts = Counter(raw)
+    es = Decimal(0)
+    for c in cnts.values():
+        t = Decimal(repr(round(math.log2(c / n), 6))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        es += c * t
+    return len(cnts), float(-es) / n
+
+
+def test_byte_entropy_matches_reference_and_bands(spark):
+    texts = {
+        1: "aaaaaaaaaaaa",                      # zero entropy -> repetitive
+        2: "the quick brown fox jumps over the lazy dog " * 3,  # prose -> ok
+        3: "",                                   # empty
+        4: "".join(chr(33 + i) for i in range(94)) * 2,  # ~6.55 bits -> noise
+        5: "héllo wörld",                        # multi-byte utf-8
+    }
+    df = _docs(spark, sorted(texts.items()))
+    got = {
+        r.doc_id: (r.n_bytes, r.n_distinct_bytes, r.entropy, r.band)
+        for r in text.byte_entropy(df).collect()
+    }
+    for i, t in texts.items():
+        nd, ent = _py_byte_entropy(t)
+        raw_n = len(t.encode("utf-8"))
+        assert got[i][0] == raw_n
+        assert got[i][1] == nd
+        if raw_n == 0:
+            assert got[i][2] is None and got[i][3] == "empty"
+        else:
+            assert got[i][2] == pytest.approx(ent, abs=1e-9)
+    assert got[1][3] == "repetitive" and got[1][2] == 0.0
+    assert got[2][3] == "ok"
+    assert got[4][3] == "noise"
+    assert got[5][3] in ("ok", "repetitive")  # short text, just no crash
