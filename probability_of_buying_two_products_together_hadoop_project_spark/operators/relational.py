@@ -592,11 +592,14 @@ def weighted_sample(
     Determinism contract: ``u = (h + 0.5) / 2^32`` from the md5 prefix
     of the salted key — content-hashed like :func:`hash_sample`, so
     reruns, retries, and the SQL oracle draw the identical sample. The
-    rank key is ``ln(u)/w`` (monotone in u^(1/w); avoids pow), computed
-    once per row from exact inputs: u is a dyadic rational double, the
-    division is one correctly-rounded op, and both engines' ln agree on
-    these inputs (the BM25-established parity); the final ordering
-    carries the full key tuple as tie-break so top-k is reproducible.
+    rank key is ``ln(u)/w`` (monotone in u^(1/w); avoids pow) with
+    ``ln(u)`` QUANTIZED to a 6dp decimal before the one correctly-
+    rounded division: raw ln is NOT cross-engine exact — measured r07,
+    JVM Math.log and libm log disagree by 1 ulp on 351/5000 md5-dyadic
+    uniforms — so an unquantized priority is hash-pinnable only by
+    luck. 6dp keeps ~22M distinct levels over ln's (-22, 0) range;
+    quantization collisions (and exact u collisions) break by the full
+    key tuple carried in the ordering, so top-k stays reproducible.
 
     Scale: narrow projection + a k-row ORDER BY LIMIT (Spark's
     TakeOrderedAndProject — per-partition heaps, no full sort, no
@@ -607,7 +610,8 @@ def weighted_sample(
     key = F.concat_ws("", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    priority = F.log(u) / F.col(weight_col).cast("double")
+    lnu_q = F.round(F.log(u), 6).cast("decimal(18,6)").cast("double")
+    priority = lnu_q / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col).cast("double") > 0)
         .withColumn("_aes_priority", priority)

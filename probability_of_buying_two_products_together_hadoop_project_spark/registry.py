@@ -6218,9 +6218,9 @@ def q_inverted_index(spark, sf_dir):
     """
     WITH d AS (
       SELECT o_orderkey, o_custkey, o_totalprice,
-             ln((CAST(('0x' || substring(
+             CAST(CAST(round(ln((CAST(('0x' || substring(
                    md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
-                 + 0.5) / 4294967296.0)
+                 + 0.5) / 4294967296.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
                / o_totalprice AS _aes_priority
       FROM orders WHERE o_totalprice > 0
     )
@@ -6231,9 +6231,13 @@ def q_inverted_index(spark, sf_dir):
     "(Efraimidis-Spirakis A-ES): inclusion probability proportional to "
     "o_totalprice via priority ln(u)/w from an md5-derived dyadic "
     "uniform — the per-ITEM weighted draw that complements "
-    "mix_sources' per-source quotas. Content-hashed, so reruns and the "
-    "oracle draw the identical sample (priority doubles hash-pinned "
-    "cross-engine); top-k via per-partition heaps, no full sort",
+    "mix_sources' per-source quotas. ln(u) quantizes to a 6dp decimal "
+    "before the division (raw ln measured 1-ulp engine-divergent on "
+    "7% of dyadic inputs — r07 hardening; full-tuple tie-break covers "
+    "quantization collisions), so the priority doubles hash-pin "
+    "cross-engine BY CONSTRUCTION. Content-hashed: reruns and the "
+    "oracle draw the identical sample; top-k via per-partition heaps, "
+    "no full sort",
 )
 def q_weighted_sample(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
@@ -9798,6 +9802,91 @@ def q_dsir_importance(spark, sf_dir):
 
 
 @register(
+    "dsir_select_gumbel100",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_target, unnest(
+               list_concat(tk, CASE WHEN len(tk) >= 2 THEN
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END)) AS gram
+      FROM tk WHERE len(tk) >= 1
+    ), db AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substring(md5('dsir|' || gram), 1, 8)) AS BIGINT)
+               % 512 AS b,
+             COUNT(*) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS DOUBLE)
+               AS n_t,
+             CAST(SUM(cnt) AS DOUBLE) AS n_r
+      FROM db
+    ), sc AS (
+      SELECT db.doc_id, db.is_target, db.cnt,
+        CAST(db.cnt AS DECIMAL(10,0)) * (
+          CAST(round(ln((CAST(SUM(CASE WHEN db.is_target THEN db.cnt ELSE 0
+                   END) OVER (PARTITION BY db.b) AS DOUBLE) + 1.0)
+                 / (tot.n_t + 512.0)), 6) AS DECIMAL(18,6))
+          - CAST(round(ln((CAST(SUM(db.cnt) OVER (PARTITION BY db.b)
+                   AS DOUBLE) + 1.0)
+                 / (tot.n_r + 512.0)), 6) AS DECIMAL(18,6))
+        ) AS w
+      FROM db CROSS JOIN tot
+    ), lw AS (
+      SELECT doc_id, MAX(is_target) AS is_target,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST(CAST(round(SUM(w), 4) AS VARCHAR) AS DOUBLE) AS log_weight
+      FROM sc GROUP BY doc_id
+    ), pr AS (
+      SELECT *, round(exp(log_weight), 6) AS weight,
+             CAST(CAST(round(ln((CAST(('0x' || substring(
+                   md5('dsel' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 + 0.5) / 4294967296.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
+               / round(exp(log_weight), 6) AS _aes_priority
+      FROM lw WHERE round(exp(log_weight), 6) > 0
+    )
+    SELECT doc_id, is_target, n_grams, log_weight, weight, _aes_priority
+    FROM pr ORDER BY _aes_priority DESC, doc_id LIMIT 100
+    """,
+    "DSIR's SELECTION stage: Gumbel-top-k data selection over the "
+    "importance weights (Xie et al. 2023 sample docs with probability "
+    "prop. to exp(log_weight) without replacement). Gumbel-top-k is "
+    "MATHEMATICALLY the Efraimidis-Spirakis exponential race — "
+    "argmax_k(lw + Gumbel(u)) == argmax_k(ln(u)/exp(lw)) — so the draw "
+    "composes the established ln-parity A-ES machinery "
+    "(relational.weighted_sample: md5-dyadic uniform, full-tuple "
+    "tie-break) with ONE exp() per doc on the 4dp-decimal-derived "
+    "log_weight. Raw exp() is 1-ulp engine-divergent (measured: JVM "
+    "Math.exp vs libm, 9/100 weights off in the last bit), so the "
+    "weight QUANTIZES to 6dp via round() — the dsir/bigram round-"
+    "parity contract — before the one correctly-rounded division; "
+    "weight and priority doubles then ride in the output hash, pinning "
+    "the whole draw cross-engine. Top-k via per-partition heaps "
+    "(TakeOrderedAndProject), zero extra exchanges over the importance "
+    "model",
+)
+def q_dsir_select(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lw = text.dsir_importance(docs, F.col("lang") == "en")
+    weighted = lw.select(
+        "doc_id",
+        "is_target",
+        "n_grams",
+        "log_weight",
+        F.round(F.exp(F.col("log_weight")), 6).alias("weight"),
+    )
+    return relational.weighted_sample(
+        weighted, ["doc_id"], "weight", k=100, salt="dsel"
+    )
+
+
+@register(
     "audio_features_verified",
     """
     WITH b AS (
@@ -10672,6 +10761,13 @@ _ROTATION_TAIL = {
     # in-window exercising the same reused-agg-vs-global-scalar shape
     # (q15 keeps 3-SF local oracle evidence).
     "q15_top_supplier": "r07-local",
+    # dsir_select_gumbel100 + weighted_sample_orders (implementation
+    # changed: 6dp-quantized ln(u) — the r07 transcendental-parity
+    # hardening) take two slots; q9_product_profit stays in-window
+    # exercising the q10 multi-join profit/revenue agg shape, and q20's
+    # nested semi-join chain covers q18's IN-over-grouped-fact shape.
+    "q10_returned_item_revenue": "r07-local",
+    "q18_large_quantity_orders": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
@@ -10701,7 +10797,6 @@ _ROTATION_TAIL = {
     "window_running_median_orders": "r05-local",
     "kcore_peel_items": "r05-local",
     "inverted_index_terms": "r05-local",
-    "weighted_sample_orders": "r05-local",
     "embedding_quantize_int8": "r05-local",
     "winsorize_values_events": "r05-local",
     "stratified_split_by_source": "r05-local",

@@ -267,6 +267,7 @@ def test_train_val_test_split_determinism_and_coverage(spark):
 def test_weighted_sample_matches_python_mirror(spark):
     import hashlib
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     rows = [(i, float(1 + (i * 7) % 50)) for i in range(500)]
     df = spark.createDataFrame(rows, "k bigint, w double")
@@ -274,7 +275,16 @@ def test_weighted_sample_matches_python_mirror(spark):
 
     def prio(key, w):
         h = int(hashlib.md5(f"t{key}".encode()).hexdigest()[:8], 16)
-        return math.log((h + 0.5) / 2**32) / w
+        # ln(u) quantizes to 6dp HALF_UP over the shortest repr — the
+        # r07 hardening (raw ln is 1-ulp engine-divergent on ~7% of
+        # dyadic inputs), mirrored exactly like the BM25 reference
+        lnu = math.log((h + 0.5) / 2**32)
+        lnu_q = float(
+            Decimal(repr(lnu)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        return lnu_q / w
 
     want = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:30]
     assert [r.k for r in got] == [k for k, _ in want]
