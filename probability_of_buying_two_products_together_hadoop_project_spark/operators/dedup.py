@@ -1488,3 +1488,140 @@ def fellegi_sunter_link(
         pairs.select("a.*", "b.*", *out_cols, score.alias("score"))
         .withColumn("classification", classification)
     )
+
+
+def fs_em(
+    pairs: DataFrame,
+    flag_cols: list[str],
+    iters: int = 3,
+    p0_units: int = 100_000,
+    m0_units: int = 900_000,
+    u0_units: int = 100_000,
+) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u/p parameters from
+    UNLABELED candidate pairs (Winkler 1988) — where the
+    :func:`fellegi_sunter_link` weights come from when no training
+    labels exist: treat match status as the latent variable, E-step the
+    per-pattern match probability, M-step the parameters, repeat.
+
+    Fixed-point contract (the PageRank/HITS rules): probabilities live
+    in 1e-6 units, pattern weights in 1e-12 units; the E-step product
+    ``p * prod_i (g_i ? m_i : 1e6 - m_i)`` is exact DECIMAL(38,0)
+    integer arithmetic and the one normalization per quantity is
+    ``(num * SCALE) div den`` — Spark decimal ``div`` == DuckDB HUGEINT
+    ``//`` (probed r07). 38 digits bound the field count:
+    6*(F+1) + 12 <= 38 requires F <= 3 (raise otherwise). Parameters
+    clamp to [1, 1e6-1] each round (standard EM guard against absorbing
+    0/1, and it keeps every denominator positive).
+
+    Scale: the ONLY corpus-sized work is one aggregation of the pair
+    relation into <= 2^F pattern-count rows; all ``iters`` EM rounds run
+    over that tiny table with 1-row parameter state (checkpointed per
+    round — the k-core lineage lesson). Output: one row per field
+    ``(field, m_units, u_units, p_units, m, u, p)`` with the floats
+    derived by one exact division each.
+    """
+    nf = len(flag_cols)
+    if nf == 0:
+        raise ValueError("fs_em needs at least one agreement column")
+    if nf > 3:
+        raise ValueError(
+            "fs_em fixed-point layout bounds fields at 3 "
+            f"(6*(F+1)+12 <= 38 decimal digits); got {nf}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    P6, P12 = 10**6, 10**12
+    for v, name in ((p0_units, "p0"), (m0_units, "m0"), (u0_units, "u0")):
+        if not 0 < v < P6:
+            raise ValueError(f"{name}_units must be in (0, 1e6), got {v}")
+    dec = "decimal(38,0)"
+    spark = pairs.sparkSession
+    pat = (
+        pairs.groupBy(
+            *[F.col(c).cast("boolean").alias(f"_g{i}") for i, c in enumerate(flag_cols)]
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    params = spark.range(1).select(
+        F.lit(p0_units).cast(dec).alias("_p"),
+        *[F.lit(m0_units).cast(dec).alias(f"_m{i}") for i in range(nf)],
+        *[F.lit(u0_units).cast(dec).alias(f"_u{i}") for i in range(nf)],
+    )
+
+    def clamp(c: Column) -> Column:
+        return F.greatest(
+            F.lit(1).cast(dec), F.least(F.lit(P6 - 1).cast(dec), c)
+        )
+
+    for _ in range(iters):
+        j = pat.crossJoin(F.broadcast(params))
+        num_m = F.col("_p")
+        num_u = F.lit(P6).cast(dec) - F.col("_p")
+        for i in range(nf):
+            g = F.col(f"_g{i}")
+            num_m = num_m * F.when(g, F.col(f"_m{i}")).otherwise(
+                F.lit(P6).cast(dec) - F.col(f"_m{i}")
+            )
+            num_u = num_u * F.when(g, F.col(f"_u{i}")).otherwise(
+                F.lit(P6).cast(dec) - F.col(f"_u{i}")
+            )
+        w = j.select(
+            "*",
+            num_m.alias("_num_m"),
+            num_u.alias("_num_u"),
+        ).select(
+            "*",
+            F.expr(
+                f"(_num_m * CAST({P12} AS {dec})) div (_num_m + _num_u)"
+            ).cast(dec).alias("_w"),
+        )
+        aggs = [
+            F.sum(F.col("_n") * F.col("_w")).cast(dec).alias("_tw"),
+            F.sum(
+                F.col("_n") * (F.lit(P12).cast(dec) - F.col("_w"))
+            ).cast(dec).alias("_tnw"),
+            F.sum("_n").cast(dec).alias("_nn"),
+        ]
+        for i in range(nf):
+            gi = F.when(F.col(f"_g{i}"), F.lit(1)).otherwise(F.lit(0))
+            aggs.append(
+                F.sum(gi * F.col("_n") * F.col("_w")).cast(dec).alias(f"_am{i}")
+            )
+            aggs.append(
+                F.sum(
+                    gi * F.col("_n") * (F.lit(P12).cast(dec) - F.col("_w"))
+                ).cast(dec).alias(f"_au{i}")
+            )
+        s = w.agg(*aggs)
+        new_cols = [
+            clamp(
+                F.expr(f"(_tw * CAST({P6} AS {dec})) div (_nn * CAST({P12} AS {dec}))").cast(dec)
+            ).alias("_p")
+        ]
+        for i in range(nf):
+            new_cols.append(
+                clamp(
+                    F.expr(f"(_am{i} * CAST({P6} AS {dec})) div _tw").cast(dec)
+                ).alias(f"_m{i}")
+            )
+            new_cols.append(
+                clamp(
+                    F.expr(f"(_au{i} * CAST({P6} AS {dec})) div _tnw").cast(dec)
+                ).alias(f"_u{i}")
+            )
+        params = s.select(*new_cols).localCheckpoint(eager=True)
+    rows = None
+    for i, name in enumerate(flag_cols):
+        r = params.select(
+            F.lit(name).alias("field"),
+            F.col(f"_m{i}").cast("long").alias("m_units"),
+            F.col(f"_u{i}").cast("long").alias("u_units"),
+            F.col("_p").cast("long").alias("p_units"),
+            (F.col(f"_m{i}").cast("double") / F.lit(float(P6))).alias("m"),
+            (F.col(f"_u{i}").cast("double") / F.lit(float(P6))).alias("u"),
+            (F.col("_p").cast("double") / F.lit(float(P6))).alias("p"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

@@ -10467,6 +10467,146 @@ def q_record_linkage_fs(spark, sf_dir):
     )
 
 
+def _fs_em_oracle(iters: int) -> str:
+    """Unrolled-CTE EM oracle over the record_linkage_fs pair fixture:
+    every E/M half-step in HUGEINT arithmetic (SUM(HUGEINT), ``//`` ==
+    Spark decimal div — the HITS parity), parameters clamped to
+    [1, 1e6-1] like the engine. MATERIALIZED per the reference-count
+    lesson (w/s tables are each read by several aggregates)."""
+    P6, P12 = 10**6, 10**12
+    fields = ["g0", "g1", "g2"]
+    parts = [
+        "WITH a AS MATERIALIZED (",
+        "  SELECT c_custkey AS a_id, c_name AS a_name,",
+        "         c_nationkey AS a_nation, c_mktsegment AS a_seg,",
+        "         CAST(floor(c_acctbal / 2000) AS INT) AS a_band,",
+        "         CAST(floor(c_acctbal) AS BIGINT) % 10 AS a_dig",
+        "  FROM customer",
+        "), b AS MATERIALIZED (",
+        "  SELECT CASE WHEN c_custkey % 7 = 0 THEN reverse(c_name)",
+        "              ELSE c_name END AS b_name,",
+        "         c_nationkey AS b_nation,",
+        "         CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED'",
+        "              ELSE c_mktsegment END AS b_seg,",
+        "         CAST(floor(c_acctbal / 2000) AS INT) AS b_band,",
+        "         CAST(floor(c_acctbal) AS BIGINT) % 10 AS b_dig",
+        "  FROM customer",
+        "), pat AS MATERIALIZED (",
+        "  SELECT a_name = b_name AS g0, a_seg = b_seg AS g1,",
+        "         a_dig = b_dig AS g2, count(*) AS n",
+        "  FROM a JOIN b ON a_nation = b_nation AND a_band = b_band",
+        "  GROUP BY 1, 2, 3",
+        "),",
+        "p0 AS MATERIALIZED (SELECT CAST(100000 AS HUGEINT) AS p,",
+        "  CAST(900000 AS HUGEINT) AS m0, CAST(900000 AS HUGEINT) AS m1,",
+        "  CAST(900000 AS HUGEINT) AS m2,",
+        "  CAST(100000 AS HUGEINT) AS u0, CAST(100000 AS HUGEINT) AS u1,",
+        "  CAST(100000 AS HUGEINT) AS u2),",
+    ]
+    prev = "p0"
+    for r in range(1, iters + 1):
+        prod_m = " * ".join(
+            f"(CASE WHEN {g} THEN m{i} ELSE {P6} - m{i} END)"
+            for i, g in enumerate(fields)
+        )
+        prod_u = " * ".join(
+            f"(CASE WHEN {g} THEN u{i} ELSE {P6} - u{i} END)"
+            for i, g in enumerate(fields)
+        )
+        am = ", ".join(
+            f"SUM(CASE WHEN {g} THEN n * w ELSE 0 END) AS am{i},"
+            f" SUM(CASE WHEN {g} THEN n * ({P12} - w) ELSE 0 END) AS au{i}"
+            for i, g in enumerate(fields)
+        )
+        mu = ", ".join(
+            f"GREATEST(1, LEAST({P6 - 1}, (am{i} * {P6}) // tw)) AS m{i},"
+            f" GREATEST(1, LEAST({P6 - 1}, (au{i} * {P6}) // tnw)) AS u{i}"
+            for i in range(len(fields))
+        )
+        parts += [
+            f"w{r} AS MATERIALIZED (",
+            f"  SELECT pat.*, ((p * {prod_m}) * {P12})",
+            f"    // (p * {prod_m} + ({P6} - p) * {prod_u}) AS w",
+            f"  FROM pat CROSS JOIN {prev}",
+            "),",
+            f"s{r} AS MATERIALIZED (",
+            f"  SELECT SUM(n * w) AS tw, SUM(n * ({P12} - w)) AS tnw,",
+            f"         SUM(n) AS nn, {am}",
+            f"  FROM w{r}",
+            "),",
+            f"p{r} AS MATERIALIZED (",
+            f"  SELECT GREATEST(1, LEAST({P6 - 1},",
+            f"           (tw * {P6}) // (nn * {P12}))) AS p, {mu}",
+            f"  FROM s{r}",
+            "),",
+        ]
+        prev = f"p{r}"
+    parts[-1] = parts[-1].rstrip(",")
+    names = ["name", "segment", "digit"]
+    selects = [
+        f"SELECT '{nm}' AS field, CAST(m{i} AS BIGINT) AS m_units,"
+        f" CAST(u{i} AS BIGINT) AS u_units, CAST(p AS BIGINT) AS p_units,"
+        f" CAST(m{i} AS DOUBLE) / {P6} AS m,"
+        f" CAST(u{i} AS DOUBLE) / {P6} AS u,"
+        f" CAST(p AS DOUBLE) / {P6} AS p FROM {prev}"
+        for i, nm in enumerate(names)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)
+
+
+@register(
+    "record_linkage_em",
+    _fs_em_oracle(iters=3),
+    "EM estimation of the Fellegi-Sunter m/u/p parameters from the "
+    "UNLABELED record_linkage_fs candidate pairs (Winkler 1988) — "
+    "where linkage weights come from when no training labels exist: "
+    "match status is the latent variable, 3 E/M rounds over the "
+    "<= 8-row agreement-PATTERN count table (the only corpus-sized "
+    "work is ONE aggregation of the blocked pair relation). "
+    "Fixed-point end to end: probabilities in 1e-6 units, pattern "
+    "weights in 1e-12 units, E-step products exact DECIMAL(38,0) "
+    "integers (6*(F+1)+12 <= 38 bounds F at 3 fields), every "
+    "normalization ONE (num * SCALE) div den — Spark decimal div == "
+    "DuckDB HUGEINT // (the HITS parity), parameters clamped to "
+    "[1, 1e6-1] (standard EM absorbing-state guard). The estimated "
+    "m ~0.9+/u low for name/digit and the match prevalence p recover "
+    "the planted perturbation structure; every unit is driver-pinned",
+)
+def q_record_linkage_em(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("int")
+    dig = F.floor(F.col("c_acctbal")).cast("bigint") % 10
+    a = c.select(
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nation"),
+        F.col("c_mktsegment").alias("a_seg"),
+        band.alias("a_band"),
+        dig.alias("a_dig"),
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("b_nation"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        band.alias("b_band"),
+        dig.alias("b_dig"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_nation") == F.col("b_nation"))
+        & (F.col("a_band") == F.col("b_band")),
+    ).select(
+        (F.col("a_name") == F.col("b_name")).alias("name"),
+        (F.col("a_seg") == F.col("b_seg")).alias("segment"),
+        (F.col("a_dig") == F.col("b_dig")).alias("digit"),
+    )
+    return dedup.fs_em(pairs, ["name", "segment", "digit"], iters=3)
+
+
 @register(
     "fingerprint_incremental_orders",
     """
@@ -10768,6 +10908,12 @@ _ROTATION_TAIL = {
     # nested semi-join chain covers q18's IN-over-grouped-fact shape.
     "q10_returned_item_revenue": "r07-local",
     "q18_large_quantity_orders": "r07-local",
+    # record_linkage_em took a slot; record_linkage_fs stays in-window
+    # exercising the identical blocked pair fixture and decimal
+    # scoring the EM estimates feed (q12 keeps 3-SF local evidence,
+    # its inter-column date predicate + conditional-count shape is
+    # covered by in-window q8/q19).
+    "q12_late_shipments": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

@@ -78,3 +78,104 @@ def test_column_clash_raises(spark):
         dedup.fellegi_sunter_link(
             a, a, F.lit(True), [("x", F.lit(True), 0.9, 0.1)], 0, 1
         )
+
+
+# ---------------------------------------------------------------------------
+# EM parameter estimation (fs_em)
+# ---------------------------------------------------------------------------
+
+P6, P12 = 10**6, 10**12
+
+
+def _py_fs_em(pattern_counts, nf, iters=3, p0=100_000, m0=900_000, u0=100_000):
+    """Pure-python mirror of the fixed-point EM contract: HUGEINT-style
+    exact integers, floor division (non-negative, so trunc == floor),
+    [1, 1e6-1] clamping."""
+    clamp = lambda x: max(1, min(P6 - 1, x))  # noqa: E731
+    p = p0
+    m = [m0] * nf
+    u = [u0] * nf
+    for _ in range(iters):
+        tw = tnw = nn = 0
+        am = [0] * nf
+        au = [0] * nf
+        for g, n in pattern_counts.items():
+            num_m = p
+            num_u = P6 - p
+            for i in range(nf):
+                num_m *= m[i] if g[i] else P6 - m[i]
+                num_u *= u[i] if g[i] else P6 - u[i]
+            w = (num_m * P12) // (num_m + num_u)
+            tw += n * w
+            tnw += n * (P12 - w)
+            nn += n
+            for i in range(nf):
+                if g[i]:
+                    am[i] += n * w
+                    au[i] += n * (P12 - w)
+        p = clamp((tw * P6) // (nn * P12))
+        m = [clamp((am[i] * P6) // tw) for i in range(nf)]
+        u = [clamp((au[i] * P6) // tnw) for i in range(nf)]
+    return p, m, u
+
+
+def test_fs_em_matches_python_mirror(spark):
+    import random
+
+    rng = random.Random(3)
+    # synthetic pairs: 10% true matches (agree with prob .9/.95), rest
+    # non-matches (agree with prob .1/.2)
+    rows = []
+    for _ in range(2000):
+        if rng.random() < 0.1:
+            rows.append((rng.random() < 0.9, rng.random() < 0.95))
+        else:
+            rows.append((rng.random() < 0.1, rng.random() < 0.2))
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    got = {
+        r.field: (r.m_units, r.u_units, r.p_units)
+        for r in dedup.fs_em(df, ["f1", "f2"], iters=3).collect()
+    }
+    from collections import Counter
+
+    pc = Counter(rows)
+    p, m, u = _py_fs_em(pc, nf=2, iters=3)
+    assert got == {"f1": (m[0], u[0], p), "f2": (m[1], u[1], p)}
+    # and the estimates separate the planted structure: m >> u
+    assert got["f1"][0] > 500_000 > got["f1"][1]
+
+
+def test_fs_em_recovers_separated_populations(spark):
+    # perfectly separated: matches agree on everything, non-matches on
+    # nothing -> m climbs toward 1, u toward 0, p toward the prevalence
+    rows = [(True, True)] * 300 + [(False, False)] * 700
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    out = {r.field: r for r in dedup.fs_em(df, ["a", "b"], iters=5).collect()}
+    for f in ("a", "b"):
+        assert out[f].m_units > 990_000
+        assert out[f].u_units < 10_000
+    assert abs(out["a"].p_units - 300_000) < 20_000
+    assert out["a"].m == out["a"].m_units / 1e6
+
+
+def test_fs_em_validation(spark):
+    df = spark.createDataFrame([(True,)], "a boolean")
+    with pytest.raises(ValueError):
+        dedup.fs_em(df, [])
+    with pytest.raises(ValueError):
+        dedup.fs_em(df, ["a", "a", "a", "a"])
+    with pytest.raises(ValueError):
+        dedup.fs_em(df, ["a"], iters=0)
+    with pytest.raises(ValueError):
+        dedup.fs_em(df, ["a"], p0_units=0)
+
+
+def test_fs_em_null_flags_count_as_disagreement_via_cast(spark):
+    # null agreement casts to null boolean; groupBy treats null as its
+    # own pattern — document the contract: callers coalesce upstream
+    # (fellegi_sunter_link does); here we just pin that it runs.
+    df = spark.createDataFrame(
+        [(True,), (None,), (False,)], "a boolean"
+    )
+    out = dedup.fs_em(df.selectExpr("coalesce(a, false) AS a"), ["a"], iters=2)
+    assert out.count() == 1
