@@ -1858,3 +1858,86 @@ def byte_entropy(
             band.alias("band"),
         )
     )
+
+
+def hashing_trick_features(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    ICML 2009): every token maps to bucket ``md5('fh|'||tok) mod dim``
+    with a ±1 sign drawn from an independent md5 prefix, and the
+    document's feature vector is the signed token-count sum per bucket
+    — the vocabulary-free vectorizer (no dictionary build, no second
+    pass, memory O(dim)) that feeds linear models / similarity at any
+    corpus scale. The sign bit makes bucket collisions cancel in
+    expectation (the paper's unbiasedness argument).
+
+    Exactness: components are pure INTEGER sums of ±counts under the
+    repo's md5 contract — the SQL oracle regenerates bucket, sign, and
+    every component bit-for-bit; the vector crosses engines as CSV
+    (the embedding_quantize transport).
+
+    Plan shape: token explode collapses map-side to <= dim rows per
+    document (partial agg before the one exchange); the dense layout
+    materializes per doc via map_from_entries + a sequence transform —
+    no pivot, no per-component columns, dim is a value not a schema.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tk = normalized_tokens(text_col)
+    base = docs.select(F.col(id_col), F.explode(tk).alias("_tok")).filter(
+        F.col("_tok") != ""
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("_tok"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(dim),
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fs|"), F.col("_tok"))), 1, 2), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    comp = (
+        base.select(id_col, idx.alias("_idx"), sign.alias("_sign"))
+        .groupBy(id_col, "_idx")
+        .agg(F.sum("_sign").cast("long").alias("_v"))
+    )
+    vec = comp.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("_idx", "_v")))
+        ).alias("_m"),
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.abs(F.col("_v"))).alias("l1_signed"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0)),
+    )
+    out = vec.select(
+        id_col,
+        "n_buckets_hit",
+        F.col("l1_signed").cast("long").alias("l1_signed"),
+        F.array_join(
+            F.transform(dense, lambda x: x.cast("string")), ","
+        ).alias("vec_csv"),
+    )
+    # empty docs (no tokens) keep a zero vector
+    zeros = ",".join(["0"] * dim)
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_buckets_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_buckets_hit"),
+            F.coalesce(F.col("l1_signed"), F.lit(0)).cast("long").alias("l1_signed"),
+            F.coalesce(F.col("vec_csv"), F.lit(zeros)).alias("vec_csv"),
+        )
+    )

@@ -7957,6 +7957,66 @@ def q_hits(spark, sf_dir):
 
 
 @register(
+    "hashing_trick_features",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '')) AS tok
+      FROM documents
+    ),
+    comp AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('fh|' || tok), 1, 8)) AS BIGINT)
+               % 64 AS idx,
+             SUM(CASE WHEN CAST(('0x' || substring(md5('fs|' || tok), 1, 2))
+                            AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM tk GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.i FROM (SELECT doc_id FROM documents) d,
+           range(0, 64) g(i)
+    ),
+    dense AS (
+      SELECT grid.doc_id, grid.i, COALESCE(comp.v, 0) AS v
+      FROM grid LEFT JOIN comp
+        ON grid.doc_id = comp.doc_id AND grid.i = comp.idx
+    ),
+    vecs AS (
+      SELECT doc_id,
+             array_to_string(list(CAST(v AS VARCHAR) ORDER BY i), ',')
+               AS vec_csv
+      FROM dense GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS nb, SUM(abs(v)) AS l1
+      FROM comp GROUP BY 1
+    )
+    SELECT vecs.doc_id,
+           CAST(COALESCE(stats.nb, 0) AS BIGINT) AS n_buckets_hit,
+           CAST(COALESCE(stats.l1, 0) AS BIGINT) AS l1_signed,
+           vecs.vec_csv
+    FROM vecs LEFT JOIN stats USING (doc_id)
+    """,
+    "Signed feature hashing (the hashing trick, Weinberger ICML 2009): "
+    "tokens map to md5 buckets mod 64 with a ±1 sign from an "
+    "independent md5 prefix; each document's vector is the signed "
+    "token-count sum per bucket — the vocabulary-FREE vectorizer "
+    "(no dictionary build, no second corpus pass, O(dim) memory) whose "
+    "sign bit cancels collisions in expectation. Components are pure "
+    "integer sums under the repo md5 contract, so the oracle "
+    "regenerates every bit; vectors cross engines as CSV (the "
+    "embedding_quantize transport). Token explode collapses map-side "
+    "to <= 64 rows/doc before the one exchange; the dense layout is "
+    "map_from_entries + a sequence transform — dim is a value, not a "
+    "schema",
+)
+def q_hashing_trick(spark, sf_dir):
+    return text.hashing_trick_features(_t(spark, sf_dir, "documents"), dim=64)
+
+
+@register(
     "entropy_screen_docs",
     """
     WITH b AS (
@@ -10914,6 +10974,12 @@ _ROTATION_TAIL = {
     # its inter-column date predicate + conditional-count shape is
     # covered by in-window q8/q19).
     "q12_late_shipments": "r07-local",
+    # hashing_trick_features took a slot; the md5-bucket machinery is
+    # the dsir_importance_en construction (in-window) and the token
+    # contract is shared with curate/vocab entries; q13's outer-join
+    # count-distribution keeps join_left (r04 driver row) + q22's
+    # anti-join as siblings.
+    "q13_order_count_distribution": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",

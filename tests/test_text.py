@@ -321,3 +321,57 @@ def test_build_vocab_ranking(spark):
     }
     # counts: a=4, b=4, z=3, c=2 -> tie a/b broken lexicographically
     assert out == {"a": (4, 1), "b": (4, 2), "z": (3, 3), "c": (2, 4)}
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick feature vectors
+# ---------------------------------------------------------------------------
+
+
+def _py_hashing_trick(text_val, dim=64):
+    import hashlib
+    import re
+
+    toks = [t for t in re.sub(r"\s+", " ", text_val.strip().lower()).split(" ") if t]
+    vec = [0] * dim
+    for t in toks:
+        idx = int(hashlib.md5(f"fh|{t}".encode()).hexdigest()[:8], 16) % dim
+        sign = 1 if int(hashlib.md5(f"fs|{t}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+        vec[idx] += sign
+    return vec
+
+
+def test_hashing_trick_matches_python_mirror(spark):
+    rows = [
+        (1, "spark spark join filter aggregate"),
+        (2, "the quick brown fox the quick"),
+        (3, ""),
+        (4, "  Mixed   CASE   tokens  "),
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.n_buckets_hit, r.l1_signed, [int(x) for x in r.vec_csv.split(",")])
+        for r in text.hashing_trick_features(df, dim=64).collect()
+    }
+    for i, t in rows:
+        vec = _py_hashing_trick(t)
+        assert got[i][2] == vec, i
+        assert got[i][1] == sum(abs(v) for v in vec)
+    # empty doc: zero vector, zero buckets
+    assert got[3] == (0, 0, [0] * 64)
+
+
+def test_hashing_trick_repeated_token_accumulates(spark):
+    df = _docs(spark, [(1, "x x x x x")])
+    row = text.hashing_trick_features(df, dim=8).collect()[0]
+    vec = [int(v) for v in row.vec_csv.split(",")]
+    assert sorted(vec)[0] == -5 or sorted(vec)[-1] == 5
+    assert row.n_buckets_hit == 1 and row.l1_signed == 5
+
+
+def test_hashing_trick_validation(spark):
+    import pytest
+
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        text.hashing_trick_features(df, dim=0)
