@@ -7957,6 +7957,50 @@ def q_hits(spark, sf_dir):
 
 
 @register(
+    "dp_noisy_counts_priority",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, count(*) AS n_true FROM orders GROUP BY 1
+    ), h AS (
+      SELECT *, CAST(('0x' || substring(
+               md5('dp|' || o_orderpriority), 1, 8)) AS BIGINT) AS hh
+      FROM c
+    ), n AS (
+      SELECT *, abs(2*hh + 1 - 4294967296) AS num,
+             CASE WHEN 2*hh + 1 >= 4294967296 THEN 1 ELSE -1 END AS sgn
+      FROM h
+    ), q AS (
+      SELECT *, CAST(CAST(n_true AS DECIMAL(18,6))
+               + (-sgn * CAST(round(ln(1.0 - CAST(num AS DOUBLE)
+                     / 4294967296.0), 6) AS DECIMAL(18,6)))
+                 * CAST('2.000000' AS DECIMAL(18,6))
+               AS DECIMAL(30,12)) AS nq
+      FROM n
+    )
+    SELECT o_orderpriority,
+           CAST(nq AS VARCHAR) AS noisy_count_str,
+           CAST(CAST(nq AS VARCHAR) AS DOUBLE) AS noisy_count
+    FROM q
+    """,
+    "Laplace-mechanism noisy count release (epsilon = 0.5, unit "
+    "sensitivity, b = 2) over order priorities — the DP mechanism "
+    "SHAPE as a one-scan operator: exact inverse-CDF transform "
+    "-b*sign(u-1/2)*ln(1-2|u-1/2|) whose argument is EXACTLY dyadic "
+    "(|2h+1-2^32|/2^32), the one transcendental 6dp-quantized (r07 "
+    "rule), release arithmetic pure decimals widened (never rounded) "
+    "to scale 12, transported as VARCHAR (the DuckDB int128-cast "
+    "lesson). Loud caveat in the docstring: md5-derived noise is "
+    "REPRODUCIBLE, not private — swap in real entropy per release for "
+    "the actual epsilon guarantee; the engine contract here is the "
+    "mechanism arithmetic, pinned cross-engine",
+)
+def q_dp_noisy(spark, sf_dir):
+    return relational.dp_noisy_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], epsilon_permille=500
+    )
+
+
+@register(
     "hashing_trick_features",
     """
     WITH tk AS (
@@ -10980,6 +11024,13 @@ _ROTATION_TAIL = {
     # count-distribution keeps join_left (r04 driver row) + q22's
     # anti-join as siblings.
     "q13_order_count_distribution": "r07-local",
+    # dp_noisy_counts_priority took a slot; privacy_k_anonymity_orders
+    # (in-window) keeps the privacy-release family checked and
+    # kmv_incremental_verified's oracle re-derives the same md5-dyadic
+    # uniform law; scd2's machinery keeps pit_join as its tail sibling
+    # and is itself exercised by keep_latest (r04 driver row) — displace
+    # scd2_user_event_type with 3-SF local evidence.
+    "scd2_user_event_type": "r07-local",
     "lateral_top2_orders": "r05-local",
     "recursive_cte_doc_ancestry": "r05-local",
     "scalar_try_funcs": "r05-local",
