@@ -237,6 +237,81 @@ def kaplan_meier(
     )
 
 
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    group_cols: tuple[str, ...] = (),
+    scale: int = 4,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts of one
+    relation (``side_col`` boolean: True = sample 1) — the parametric
+    drift/uplift companion to :func:`ks_two_sample` (KS asks "same
+    distribution?", Welch asks "same MEAN, and how many standard errors
+    apart?").
+
+    Numerics: the six moments (n, Σx, Σx² per side) accumulate as exact
+    decimal sums in ONE scan (conditional decimal aggregates — the
+    agg_corr_regression construction split by cohort); t and the
+    Welch-Satterthwaite degrees of freedom are then a fixed sequence of
+    correctly-rounded double ops over those pinned moments. Variances
+    need n >= 2 per side and a positive standard error; otherwise the
+    statistics are null, never a 0/0.
+
+    Output per group: n1, n2, mean1, mean2, t_stat, df_welch.
+    """
+    d4, d19 = f"decimal(18,{scale})", f"decimal(19,{scale})"
+    x = F.col(value_col)
+    one = F.when(side_col, 1).otherwise(0)
+    m = df.groupBy(*group_cols).agg(
+        F.sum(one).cast("long").alias("n1"),
+        F.sum(1 - one).cast("long").alias("n2"),
+        F.sum(F.when(side_col, x.cast(d4)).otherwise(F.lit(0).cast(d4)))
+        .cast("double")
+        .alias("_s1"),
+        F.sum(F.when(~side_col, x.cast(d4)).otherwise(F.lit(0).cast(d4)))
+        .cast("double")
+        .alias("_s2"),
+        F.sum(
+            F.when(side_col, x.cast(d19) * x.cast(d19)).otherwise(
+                F.lit(0).cast("decimal(38,8)")
+            )
+        )
+        .cast("double")
+        .alias("_ss1"),
+        F.sum(
+            F.when(~side_col, x.cast(d19) * x.cast(d19)).otherwise(
+                F.lit(0).cast("decimal(38,8)")
+            )
+        )
+        .cast("double")
+        .alias("_ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    ss1, ss2 = F.col("_ss1"), F.col("_ss2")
+    mean1, mean2 = s1 / n1, s2 / n2
+    v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+    v2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1))
+    a, b = v1 / n1, v2 / n2
+    se2 = a + b
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    t = F.when(ok & (se2 > 0), (mean1 - mean2) / F.sqrt(se2))
+    dfw = F.when(
+        ok & (se2 > 0),
+        (se2 * se2) / (a * a / (n1 - 1) + b * b / (n2 - 1)),
+    )
+    return m.select(
+        *group_cols,
+        "n1",
+        "n2",
+        F.when(F.col("n1") > 0, mean1).alias("mean1"),
+        F.when(F.col("n2") > 0, mean2).alias("mean2"),
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,

@@ -7957,6 +7957,71 @@ def q_hits(spark, sf_dir):
 
 
 @register(
+    "welch_ttest_urgent",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS n1,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+               AS n2,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+               AS s1,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(0 AS DECIMAL(18,4))
+                 ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR)
+               AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(19,4))
+                      * CAST(o_totalprice AS DECIMAL(19,4))
+                 ELSE CAST(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)
+               AS ss1,
+             CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(0 AS DECIMAL(38,8))
+                 ELSE CAST(o_totalprice AS DECIMAL(19,4))
+                      * CAST(o_totalprice AS DECIMAL(19,4)) END) AS VARCHAR)
+               AS DOUBLE) AS ss2
+      FROM orders GROUP BY o_orderstatus
+    ),
+    v AS (
+      SELECT *,
+             (n1*ss1 - s1*s1) / (n1*(n1-1)) / n1 AS a,
+             (n2*ss2 - s2*s2) / (n2*(n2-1)) / n2 AS b
+      FROM s
+    )
+    SELECT o_orderstatus,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CASE WHEN n1 > 0 THEN s1 / n1 END AS mean1,
+           CASE WHEN n2 > 0 THEN s2 / n2 END AS mean2,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND a + b > 0
+                THEN (s1/n1 - s2/n2) / sqrt(a + b) END AS t_stat,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND a + b > 0
+                THEN ((a + b) * (a + b))
+                  / (a*a / (n1-1) + b*b / (n2-1)) END AS df_welch
+    FROM v
+    """,
+    "Welch's unequal-variance t-test (urgent vs non-urgent order value "
+    "per order status) — the parametric companion to ks_drift: same "
+    "mean, and how many standard errors apart? Six moments per group "
+    "accumulate as exact conditional DECIMAL sums in ONE scan (the "
+    "agg_corr construction split by cohort; oracle casts via VARCHAR — "
+    "the DuckDB int128 lesson); t and the Welch-Satterthwaite df are a "
+    "fixed sequence of correctly-rounded double ops over the pinned "
+    "moments. n<2 or zero standard error yields null, never 0/0",
+)
+def q_welch(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.welch_ttest(
+        o,
+        "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT",
+        group_cols=("o_orderstatus",),
+    )
+
+
+@register(
     "dp_noisy_counts_priority",
     """
     WITH c AS (
@@ -11024,6 +11089,10 @@ _ROTATION_TAIL = {
     # count-distribution keeps join_left (r04 driver row) + q22's
     # anti-join as siblings.
     "q13_order_count_distribution": "r07-local",
+    # welch_ttest_urgent took a slot; it exercises the identical
+    # exact-conditional-moment + VARCHAR-cast construction as
+    # agg_corr_regression (displaced, 3-SF local evidence).
+    "agg_corr_regression": "r07-local",
     # dp_noisy_counts_priority took a slot; privacy_k_anonymity_orders
     # (in-window) keeps the privacy-release family checked and
     # kmv_incremental_verified's oracle re-derives the same md5-dyadic

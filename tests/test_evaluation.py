@@ -557,3 +557,47 @@ def test_classification_summary_matches_report(spark):
         assert getattr(s, metric) == pytest.approx(
             sum(defined) / len(defined), abs=1e-9
         )
+
+
+def py_welch(xs, ys):
+    n1, n2 = len(xs), len(ys)
+    if n1 < 2 or n2 < 2:
+        return None
+    m1, m2 = sum(xs) / n1, sum(ys) / n2
+    v1 = (n1 * sum(x * x for x in xs) - sum(xs) ** 2) / (n1 * (n1 - 1))
+    v2 = (n2 * sum(y * y for y in ys) - sum(ys) ** 2) / (n2 * (n2 - 1))
+    a, b = v1 / n1, v2 / n2
+    if a + b <= 0:
+        return None
+    t = (m1 - m2) / math.sqrt(a + b)
+    dfw = (a + b) ** 2 / (a * a / (n1 - 1) + b * b / (n2 - 1))
+    return t, dfw
+
+
+def test_welch_matches_reference(spark):
+    rng = random.Random(9)
+    xs = [round(rng.uniform(10, 50), 2) for _ in range(60)]
+    ys = [round(rng.uniform(20, 80), 2) for _ in range(40)]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    row = evaluation.welch_ttest(df, "v", F.col("s")).collect()[0]
+    t, dfw = py_welch(xs, ys)
+    assert (row.n1, row.n2) == (60, 40)
+    assert row.mean1 == pytest.approx(sum(xs) / 60, abs=1e-9)
+    assert row.t_stat == pytest.approx(t, rel=1e-12)
+    assert row.df_welch == pytest.approx(dfw, rel=1e-12)
+    # df must land between min(n)-1 and n1+n2-2 (Welch bounds)
+    assert 39 <= row.df_welch <= 98
+
+
+def test_welch_degenerate_sides_null(spark):
+    rows = [(1.0, True), (2.0, False), (3.0, False)]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    row = evaluation.welch_ttest(df, "v", F.col("s")).collect()[0]
+    assert row.t_stat is None and row.df_welch is None
+    assert row.mean1 == 1.0
+    # constant values on both sides: se = 0 -> null, not inf
+    rows = [(5.0, True)] * 3 + [(5.0, False)] * 3
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    row = evaluation.welch_ttest(df, "v", F.col("s")).collect()[0]
+    assert row.t_stat is None
