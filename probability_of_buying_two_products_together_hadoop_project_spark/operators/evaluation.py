@@ -237,6 +237,93 @@ def kaplan_meier(
     )
 
 
+def _benford_p6() -> dict[int, str]:
+    """Benford digit probabilities log10(1 + 1/d) as exact 6dp decimal
+    string literals, quantized ONCE half-up (the fs_weights rule)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    return {
+        d: str(
+            Decimal(repr(math.log10(1 + 1 / d))).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+        )
+        for d in range(1, 10)
+    }
+
+
+BENFORD_P6 = _benford_p6()
+
+
+def benford_screen(
+    df: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Benford's-law conformance screen — the classic fraud /
+    synthetic-data detector: the first significant digits of naturally
+    occurring magnitudes follow P(d) = log10(1 + 1/d); fabricated or
+    mechanically generated values don't. Reports per-digit observed vs
+    expected shares and the chi-square distance (all 9 digits in every
+    group row via a window total).
+
+    Exactness: the first digit comes from the INTEGER part's string
+    form (integers print identically in every engine — no log10, no
+    float formatting; rows with value < 1 are excluded and counted in
+    ``n_skipped``). The Benford expectations are 6dp decimal literals
+    quantized ONCE in Python (the fs_weights rule). Each chi-square
+    term is a fixed float expression over exact decimal inputs,
+    quantized to 9dp before the associative decimal total (the
+    chi2_source_lang rule — a float window-sum over 9 terms would be
+    order-dependent).
+
+    One scan, one (group, digit) aggregation — <= 9 rows per group
+    shuffle — and bucket-sized windows after.
+    """
+    d9 = "decimal(28,9)"
+    x = F.col(value_col)
+    digit = F.substring(F.floor(x).cast("bigint").cast("string"), 1, 1).cast("int")
+    eligible = df.filter(x >= 1)
+    counts = eligible.groupBy(
+        *group_cols, digit.alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wall = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    n_total = F.sum("n_obs").over(wall)
+    exp_share = F.when(
+        F.col("digit") == 1, F.lit(BENFORD_P6[1]).cast("decimal(18,6)")
+    )
+    for d in range(2, 10):
+        exp_share = exp_share.when(
+            F.col("digit") == d, F.lit(BENFORD_P6[d]).cast("decimal(18,6)")
+        )
+    e = exp_share * n_total  # decimal expected count
+    diff = F.col("n_obs").cast("decimal(28,6)") - e
+    term = (
+        diff.cast("double") * diff.cast("double") / e.cast("double")
+    )
+    term_q = F.round(term, 9).cast(d9)
+    scored = counts.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        n_total.alias("_nt"),
+        exp_share.alias("_exp"),
+        term_q.alias("_tq"),
+    )
+    chi2 = F.sum("_tq").over(wall)
+    return scored.select(
+        *group_cols,
+        "digit",
+        "n_obs",
+        F.col("_nt").cast("long").alias("n_total"),
+        (F.col("n_obs").cast("double") / F.col("_nt").cast("double")).alias(
+            "obs_share"
+        ),
+        F.col("_exp").cast("double").alias("exp_share"),
+        chi2.cast("double").alias("chi2"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     value_col: str,

@@ -7956,6 +7956,64 @@ def q_hits(spark, sf_dir):
     return graph.hits(edges, iters=2)
 
 
+def _benford_oracle() -> str:
+    """Benford oracle: identical 6dp expectation literals (quantized once
+    in Python — evaluation.BENFORD_P6), integer-string first digits,
+    9dp-quantized chi-square terms; every decimal→double goes via
+    VARCHAR (the DuckDB int128-cast lesson)."""
+    case = " ".join(
+        f"WHEN digit = {d} THEN CAST('{evaluation.BENFORD_P6[d]}'"
+        " AS DECIMAL(18,6))"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n_obs
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ), t AS (
+      SELECT digit, n_obs, SUM(n_obs) OVER () AS nt,
+             CASE {case} END AS expsh
+      FROM c
+    ), s AS (
+      SELECT *, CAST(round(
+          CAST(CAST(CAST(n_obs AS DECIMAL(28,6)) - expsh * nt AS VARCHAR)
+               AS DOUBLE)
+          * CAST(CAST(CAST(n_obs AS DECIMAL(28,6)) - expsh * nt AS VARCHAR)
+               AS DOUBLE)
+          / CAST(CAST(expsh * nt AS VARCHAR) AS DOUBLE), 9)
+          AS DECIMAL(28,9)) AS tq
+      FROM t
+    )
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(nt AS BIGINT) AS n_total,
+           CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE) AS obs_share,
+           CAST(CAST(expsh AS VARCHAR) AS DOUBLE) AS exp_share,
+           CAST(CAST(SUM(tq) OVER () AS VARCHAR) AS DOUBLE) AS chi2
+    FROM s
+    """
+
+
+@register(
+    "benford_screen_totalprice",
+    _benford_oracle(),
+    "Benford's-law conformance screen over order values — the classic "
+    "fraud / synthetic-data detector (first significant digits of "
+    "natural magnitudes follow log10(1+1/d); generated data doesn't, "
+    "and TPC-H's uniform price law duly FAILS the screen — that "
+    "deviation is the signal). First digit from the INTEGER part's "
+    "string form (integers print identically everywhere — no log10, "
+    "no float formatting); expectations are 6dp literals quantized "
+    "once in Python (fs_weights rule); chi-square terms quantize to "
+    "9dp decimals before the associative window total "
+    "(chi2_source_lang rule — a float sum over 9 terms is "
+    "order-dependent). One scan, <= 9 shuffled rows",
+)
+def q_benford(spark, sf_dir):
+    return evaluation.benford_screen(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 @register(
     "welch_ttest_urgent",
     """
@@ -11093,6 +11151,13 @@ _ROTATION_TAIL = {
     # exact-conditional-moment + VARCHAR-cast construction as
     # agg_corr_regression (displaced, 3-SF local evidence).
     "agg_corr_regression": "r07-local",
+    # benford_screen_totalprice took a slot; cusum (in-window) keeps
+    # the event-hourly machinery checked, and the chi-square quantized-
+    # term law is benford's own in-window twin now — displace
+    # resample_gapfill_events, whose LOCF/interp machinery keeps its
+    # composition sibling rollup_hour_day_compose argument via the r06
+    # full-pass evidence (3-SF local evidence, untouched since r05).
+    "resample_gapfill_events": "r07-local",
     # dp_noisy_counts_priority took a slot; privacy_k_anonymity_orders
     # (in-window) keeps the privacy-release family checked and
     # kmv_incremental_verified's oracle re-derives the same md5-dyadic

@@ -601,3 +601,36 @@ def test_welch_degenerate_sides_null(spark):
     df = spark.createDataFrame(rows, "v double, s boolean")
     row = evaluation.welch_ttest(df, "v", F.col("s")).collect()[0]
     assert row.t_stat is None
+
+
+def test_benford_on_benford_and_uniform_data(spark):
+    rng = random.Random(17)
+    # genuinely Benford: magnitudes spanning decades (exp of uniform)
+    benford_vals = [math.exp(rng.uniform(0, 12)) + 1 for _ in range(4000)]
+    uniform_vals = [rng.uniform(40000, 60000) for _ in range(4000)]
+    rows = [("nat", v) for v in benford_vals] + [("gen", v) for v in uniform_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.digit): r for r in evaluation.benford_screen(df, "v", ("g",)).collect()
+    }
+    chi_nat = got[("nat", 1)].chi2
+    chi_gen = next(r.chi2 for (g, _), r in got.items() if g == "gen")
+    # natural magnitudes conform (small chi2); the uniform band fails wildly
+    assert chi_nat < chi_gen / 10
+    # exact accounting: per-group counts sum to the total, shares to ~1
+    for g, vals in (("nat", benford_vals), ("gen", uniform_vals)):
+        n = sum(got[(g, d)].n_obs for d in range(1, 10) if (g, d) in got)
+        n_total = next(r.n_total for (gg, _), r in got.items() if gg == g)
+        assert n == len(vals) == n_total
+    # digit-1 share for Benford data near log10(2) = .301
+    assert abs(got[("nat", 1)].obs_share - 0.301) < 0.03
+    assert got[("nat", 1)].exp_share == float(evaluation.BENFORD_P6[1])
+
+
+def test_benford_excludes_sub_one_values(spark):
+    df = spark.createDataFrame(
+        [(0.5,), (0.9,), (12.0,), (19.0,)], "v double"
+    )
+    rows = evaluation.benford_screen(df, "v").collect()
+    assert len(rows) == 1 and rows[0].digit == 1
+    assert rows[0].n_obs == 2 and rows[0].n_total == 2
