@@ -10113,6 +10113,76 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def _ahash_oracle(grid: int = 8) -> str:
+    """aHash oracle: regenerates every luma cell from the source text
+    bytes via the BMP addressing (body = zero-padded utf-8 text, 48-byte
+    rows, cell (y,x) -> offset ((y*H)//g)*48 + 3*((x*16)//g)), then the
+    trunc-division mean and the bit string — bit-for-bit."""
+
+    def byte(off: str) -> str:
+        return (
+            f"(CASE WHEN {off} < n THEN ('0x' || substr(h, 2 * ({off}) + 1, 2))"
+            "::BIGINT ELSE 0 END)"
+        )
+
+    off = f"((k // {grid}) * hh // {grid}) * 48 + 3 * ((k % {grid}) * 16 // {grid})"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n,
+             greatest(CAST(ceil(octet_length(encode(text)) / 48.0) AS INT),
+                      1) AS hh
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, hh,
+             list_transform(range(0, {grid * grid}), k ->
+                 114 * {byte(off)}
+               + 587 * {byte(f"({off}) + 1")}
+               + 299 * {byte(f"({off}) + 2")}) AS lums
+      FROM b
+    ),
+    m AS (
+      SELECT doc_id, hh, lums, list_sum(lums) // {grid * grid} AS mean
+      FROM l
+    )
+    SELECT doc_id AS media_id, 16 AS width, CAST(hh AS INT) AS height,
+           array_to_string(list_transform(lums,
+             v -> CASE WHEN v > mean THEN '1' ELSE '0' END), '') AS ahash,
+           CAST(count(*) OVER (PARTITION BY array_to_string(list_transform(
+             lums, v -> CASE WHEN v > mean THEN '1' ELSE '0' END), ''))
+             AS BIGINT) AS n_same
+    FROM m
+    """
+
+
+@register(
+    "multimodal_ahash_dedup",
+    _ahash_oracle(grid=8),
+    "Average-hash (aHash) perceptual image dedup over the synthetic BMP "
+    "corpus: nearest-neighbor 8x8 downsample, integer BT.601 luma "
+    "(299r+587g+114b in 1e-3 units — exact, no float), "
+    "brighter-than-trunc-mean bit per cell, grouped by the 64-char bit "
+    "STRING (engine-portable; a 64-bit int would overflow signed at "
+    "bit 63) with the collision count windowed on. Every bit is "
+    "regenerated by the oracle from the source text bytes via the "
+    "multimodal_features_verified BMP addressing — the perceptual-hash "
+    "analogue of the pixel-exact roundtrip oracles. Map-only decode + "
+    "one hash-keyed window",
+)
+def q_multimodal_ahash(spark, sf_dir):
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
+    ah = multimodal.image_ahash(media, grid=8)
+    w = Window.partitionBy("ahash")
+    return ah.select(
+        "media_id",
+        "width",
+        "height",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+    )
+
+
 @register(
     "audio_features_verified",
     """
@@ -11151,6 +11221,12 @@ _ROTATION_TAIL = {
     # exact-conditional-moment + VARCHAR-cast construction as
     # agg_corr_regression (displaced, 3-SF local evidence).
     "agg_corr_regression": "r07-local",
+    # multimodal_ahash_dedup took a slot; multimodal_features_verified
+    # (in-window) pins the identical BMP byte addressing its oracle
+    # reuses — displace multimodal_resize_verified (3-SF local
+    # evidence; the resize kernel is exercised by ahash's
+    # nearest-neighbor downsample law too).
+    "multimodal_resize_verified": "r07-local",
     # benford_screen_totalprice took a slot; cusum (in-window) keeps
     # the event-hourly machinery checked, and the chi-square quantized-
     # term law is benford's own in-window twin now — displace

@@ -439,3 +439,56 @@ def test_resize_media_roundtrip_and_reference(spark):
         # the re-encoded BMP payload decodes back to the same bytes
         w2, h2, px2 = multimodal.decode_bmp(bytes(r.payload))
         assert (w2, h2, px2) == (8, 6, want)
+
+
+# ---------------------------------------------------------------------------
+# aHash perceptual fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _py_ahash(text, grid=8, width=16):
+    raw = text.encode("utf-8")
+    h = max(-(-len(raw) // (width * 3)), 1)
+    body = raw + b"\x00" * (width * 3 * h - len(raw))
+    lums = []
+    for k in range(grid * grid):
+        y, x = k // grid, k % grid
+        sy, sx = (y * h) // grid, (x * width) // grid
+        off = sy * width * 3 + 3 * sx
+        b, g, r = body[off], body[off + 1], body[off + 2]
+        lums.append(114 * b + 587 * g + 299 * r)
+    mean = sum(lums) // (grid * grid)
+    return "".join("1" if v > mean else "0" for v in lums)
+
+
+def test_image_ahash_matches_python_reference(spark):
+    texts = ["hello world " * 20, "", "x", "\x7f" * 100, "aAbBcC " * 40]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    media = multimodal.media_bmp_from_documents(docs)
+    got = {r.media_id: (r.width, r.height, r.ahash)
+           for r in multimodal.image_ahash(media, grid=8).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        hh = max(-(-len(raw) // 48), 1)
+        assert got[i] == (16, hh, _py_ahash(t)), i
+    # constant image (empty text -> all-zero pixels): no cell beats the
+    # mean, hash all zeros
+    assert got[1][2] == "0" * 64
+
+
+def test_image_ahash_identical_images_collide(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different content here")],
+        "doc_id bigint, text string",
+    )
+    media = multimodal.media_bmp_from_documents(docs)
+    rows = multimodal.image_ahash(media).collect()
+    hs = {r.media_id: r.ahash for r in rows}
+    assert hs[1] == hs[2]
+    assert len(rows[0].ahash) == 64
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.image_ahash(media, grid=0)
