@@ -11200,9 +11200,13 @@ _ROTATION_TAIL = {
     "q15_top_supplier": "r07-local",
     # dsir_select_gumbel100 + weighted_sample_orders (implementation
     # changed: 6dp-quantized ln(u) — the r07 transcendental-parity
-    # hardening) take two slots; q9_product_profit stays in-window
-    # exercising the q10 multi-join profit/revenue agg shape, and q20's
-    # nested semi-join chain covers q18's IN-over-grouped-fact shape.
+    # hardening) take two slots, and weighted_sample_orders' rotation
+    # frees no slot of its own, so three displacements:
+    # q9_product_profit stays in-window exercising the q7/q10
+    # multi-join profit/revenue agg shape, q8 the volume-share shape,
+    # and q20's nested semi-join chain covers q18's
+    # IN-over-grouped-fact shape.
+    "q7_nation_volume_shipping": "r07-local",
     "q10_returned_item_revenue": "r07-local",
     "q18_large_quantity_orders": "r07-local",
     # record_linkage_em took a slot; record_linkage_fs stays in-window
