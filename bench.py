@@ -140,6 +140,20 @@ HEADLINE = [
     "dataset_fingerprints",
     "fingerprint_incremental_orders",
     "calibration_curve_doclen",
+    # r07 additions
+    "audio_resample_fir",
+    "cusum_changepoint_events",
+    "ks_drift_totalprice",
+    "hits_customer_part",
+    "entropy_screen_docs",
+    "dsir_select_gumbel100",
+    "record_linkage_em",
+    "hashing_trick_features",
+    "dp_noisy_counts_priority",
+    "welch_ttest_urgent",
+    "benford_screen_totalprice",
+    "multimodal_ahash_dedup",
+    "weighted_sample_orders",
 ]
 
 

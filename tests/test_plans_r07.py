@@ -1,0 +1,93 @@
+"""Physical-plan shape guards for the r07 operators: the FIR audio
+resample stays map-only, CUSUM's prefix-min closed form keeps its
+two-exchange budget (bucket agg + one shared group sort), the KS
+cumulative counts never funnel through a single data-sized partition
+(bucketed prefix shape), and the screens keep their audited exchange
+budgets. Counts measured at authoring time on sf0.001 with
+shuffle_partitions=4; a regression here means a structural plan change,
+not noise."""
+
+from probability_of_buying_two_products_together_hadoop_project_spark import registry
+from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+
+def _q(spark, sf_smoke, name):
+    return registry.REGISTRY[name].fn(spark, sf_smoke)
+
+
+def test_audio_fir_zero_exchanges(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "audio_resample_fir")
+    n = explain.count_exchanges(df)
+    assert n == 0, f"FIR resample must be map-only, got {n} exchanges"
+
+
+def test_cusum_two_exchanges(spark, sf_smoke):
+    """Hourly agg exchange + ONE group exchange shared by the prefix sum
+    and its running min (same partition + order spec)."""
+    df = _q(spark, sf_smoke, "cusum_changepoint_events")
+    n = explain.count_exchanges(df)
+    assert n == 2, f"CUSUM budget is 2 exchanges, got {n}"
+
+
+def test_ks_bucketed_prefix_no_global_window(spark, sf_smoke):
+    """The cumulative ECDF counts run per value-bucket; only
+    bucket-COUNT-sized relations may pass through single-partition
+    windows. Budget: value agg + bucket window (data-sized) + three
+    bucket-list exchanges."""
+    df = _q(spark, sf_smoke, "ks_drift_totalprice")
+    n = explain.count_exchanges(df)
+    assert n <= 5, f"KS exchange budget is 5, got {n}"
+    assert explain.has_broadcast_join(df), "offsets must broadcast"
+    plan = explain.formatted_plan(df)
+    # the data-sized running sums must be partitioned by the bucket key
+    assert "_vb" in plan
+
+
+def test_entropy_screen_two_exchanges(spark, sf_smoke):
+    """(doc, byte) histogram agg + per-doc entropy agg; the join back
+    onto the full doc list broadcasts."""
+    df = _q(spark, sf_smoke, "entropy_screen_docs")
+    n = explain.count_exchanges(df)
+    assert n == 2, f"entropy budget is 2 exchanges, got {n}"
+    assert explain.has_broadcast_join(df)
+
+
+def test_hashing_trick_two_exchanges(spark, sf_smoke):
+    """(doc, bucket) component agg + per-doc vector agg — the token
+    explode collapses map-side to <= dim rows per doc before either."""
+    df = _q(spark, sf_smoke, "hashing_trick_features")
+    n = explain.count_exchanges(df)
+    assert n == 2, f"hashing-trick budget is 2 exchanges, got {n}"
+    assert explain.has_broadcast_join(df)
+
+
+def test_dp_and_welch_single_aggregation(spark, sf_smoke):
+    for name in ("dp_noisy_counts_priority", "welch_ttest_urgent"):
+        df = _q(spark, sf_smoke, name)
+        n = explain.count_exchanges(df)
+        assert n == 1, f"{name} must be one aggregation pass, got {n}"
+
+
+def test_benford_two_exchanges(spark, sf_smoke):
+    """Digit agg + the <= 9-row window total."""
+    df = _q(spark, sf_smoke, "benford_screen_totalprice")
+    n = explain.count_exchanges(df)
+    assert n == 2, f"benford budget is 2 exchanges, got {n}"
+
+
+def test_ahash_single_window_exchange(spark, sf_smoke):
+    """Decode is map-only; the only exchange keys the collision window."""
+    df = _q(spark, sf_smoke, "multimodal_ahash_dedup")
+    n = explain.count_exchanges(df)
+    assert n == 1, f"ahash budget is 1 exchange, got {n}"
+
+
+def test_dsir_select_budget(spark, sf_smoke):
+    """The selection stage adds NO exchange over the importance model:
+    the A-ES priority is a projection and top-k is
+    TakeOrderedAndProject (per-partition heaps)."""
+    df = _q(spark, sf_smoke, "dsir_select_gumbel100")
+    n = explain.count_exchanges(df)
+    assert n <= 4, f"dsir selection budget is dsir's own 4, got {n}"
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
