@@ -154,6 +154,7 @@ HEADLINE = [
     "benford_screen_totalprice",
     "multimodal_ahash_dedup",
     "weighted_sample_orders",
+    "theilsen_trend_events",
 ]
 
 

@@ -633,3 +633,63 @@ def activity_streaks(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("_len").cast("bigint").alias("active_days"),
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per group over the hourly count
+    series — the median of all pairwise slopes, insensitive to ~29% of
+    outliers where least-squares (``agg_corr_regression``'s beta) breaks
+    on one bad bucket. The standard robust-trend screen for noisy
+    operational series.
+
+    Exactness: x is the integer epoch hour, y the bigint count, so each
+    pairwise slope (y2-y1)/(x2-x1) is ONE correctly-rounded division of
+    exact integers — engine-identical doubles. The median is the
+    DISCRETE lower-middle pick (rank (n+1)//2 under the total order
+    (slope, h1, h2)) — a data value, never an interpolated float (the
+    quantile_bins discrete-edge rule).
+
+    Scale shape: the pair self-join is quadratic in HOURLY BUCKETS per
+    group, which the calendar bounds (a decade of hours is 87k rows;
+    bucket² stays analytics-sized at ANY corpus volume — the quadratic
+    never touches raw events). One bucket agg, one group-keyed pair
+    join, one rank window over pairs.
+    """
+    hc = hourly_counts(df, group_cols, ts_col).select(
+        *group_cols,
+        (F.unix_micros(F.col("hr")) / F.lit(3_600_000_000)).cast("long").alias("_x"),
+        F.col("cnt").alias("_y"),
+    )
+    a = hc
+    b = hc
+    for c in [*group_cols, "_x", "_y"]:
+        b = b.withColumnRenamed(c, f"{c}__b")
+    cond = [F.col(c) == F.col(f"{c}__b") for c in group_cols]
+    pairs = a.join(b, [*cond, F.col("_x") < F.col("_x__b")]).select(
+        *group_cols,
+        F.col("_x").alias("_h1"),
+        F.col("_x__b").alias("_h2"),
+        (
+            (F.col("_y__b") - F.col("_y")).cast("double")
+            / (F.col("_x__b") - F.col("_x")).cast("double")
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_slope", "_h1", "_h2")
+    wall = Window.partitionBy(*group_cols)
+    ranked = pairs.select(
+        *group_cols,
+        "_slope",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("_rk") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        *group_cols,
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("_slope").alias("trend_per_hour"),
+    )

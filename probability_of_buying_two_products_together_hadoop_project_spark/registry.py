@@ -8348,6 +8348,47 @@ def q_cusum(spark, sf_dir):
 
 
 @register(
+    "theilsen_trend_events",
+    """
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+               AS x,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type, a.x AS h1, b.x AS h2,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM hc a JOIN hc b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, h1, h2) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope AS trend_per_hour
+    FROM r WHERE rk = (n_pairs + 1) // 2
+    """,
+    "Theil-Sen robust trend per event type — the median of all pairwise "
+    "hourly-count slopes, insensitive to ~29% outliers where "
+    "least-squares (agg_corr's beta) breaks on one bad bucket. Each "
+    "slope is ONE correctly-rounded division of exact integers "
+    "(epoch-hour x, count y) — engine-identical doubles; the median is "
+    "the DISCRETE lower-middle pick under the (slope, h1, h2) total "
+    "order (the quantile_bins discrete rule). The pair self-join is "
+    "quadratic in HOURLY BUCKETS, which the calendar bounds — "
+    "analytics-sized at any corpus volume, never touching raw events",
+)
+def q_theilsen(spark, sf_dir):
+    return timeseries.theilsen_trend(_t(spark, sf_dir, "events"))
+
+
+@register(
     "ohlc_hourly_events",
     """
     WITH d AS (
@@ -11225,12 +11266,17 @@ _ROTATION_TAIL = {
     # exact-conditional-moment + VARCHAR-cast construction as
     # agg_corr_regression (displaced, 3-SF local evidence).
     "agg_corr_regression": "r07-local",
-    # multimodal_ahash_dedup took a slot; multimodal_features_verified
-    # (in-window) pins the identical BMP byte addressing its oracle
-    # reuses — displace multimodal_resize_verified (3-SF local
-    # evidence; the resize kernel is exercised by ahash's
-    # nearest-neighbor downsample law too).
-    "multimodal_resize_verified": "r07-local",
+    # theilsen_trend_events took a slot; the hourly-count base and
+    # group-window machinery stay checked by in-window cusum. Displace
+    # curate_corpus_deduped: every component it composes (text_stats /
+    # text_quality / lang_id / repetition_screen / dedup_exact) holds
+    # its own r03/r04 DRIVER row in the tail, and the composition
+    # itself carries bit-exact local oracle evidence from the r05, r06
+    # AND r07 full-registry passes.
+    "curate_corpus_deduped": "r07-local",
+    # multimodal_ahash_dedup took a slot (balanced by the q7
+    # displacement above); multimodal_features_verified (in-window)
+    # pins the identical BMP byte addressing its oracle reuses.
     # benford_screen_totalprice took a slot; cusum (in-window) keeps
     # the event-hourly machinery checked, and the chi-square quantized-
     # term law is benford's own in-window twin now — displace

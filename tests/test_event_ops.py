@@ -236,3 +236,45 @@ def test_ohlc_tie_contract_and_aggregates(spark):
     )
     h1 = out[1]
     assert (h1["open"], h1["close"], h1["volume"]) == (4.5, 4.5, 1)
+
+
+def _py_theilsen(counts_by_hour):
+    pts = sorted(counts_by_hour.items())
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            slopes.append(((y2 - y1) / (x2 - x1), x1, x2))
+    slopes.sort()
+    return len(slopes), slopes[(len(slopes) + 1) // 2 - 1][0]
+
+
+def test_theilsen_matches_reference_and_resists_outlier(spark):
+    # linear trend 3/hr with one wild outlier bucket
+    counts = {h: 10 + 3 * h for h in range(10)}
+    counts[5] = 500
+    base = 3_600_000_000
+    rows = []
+    eid = 0
+    for h, c in counts.items():
+        for j in range(c):
+            rows.append((eid, "u", "view", h * base + j))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    row = timeseries.theilsen_trend(df).collect()[0]
+    n_want, want = _py_theilsen(counts)
+    assert row.n_pairs == n_want == 45
+    assert row.trend_per_hour == want
+    # robustness: the median slope stays near the true 3/hr despite the
+    # outlier (least-squares beta would be pulled far off)
+    assert 2.0 <= row.trend_per_hour <= 4.5
+
+
+def test_theilsen_single_bucket_emits_nothing(spark):
+    rows = [(i, "u", "view", i) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    assert timeseries.theilsen_trend(df).count() == 0
