@@ -155,6 +155,7 @@ HEADLINE = [
     "multimodal_ahash_dedup",
     "weighted_sample_orders",
     "theilsen_trend_events",
+    "markov_stationary_events",
 ]
 
 

@@ -558,3 +558,82 @@ def bfs_hops(
             frontier.select("node", F.lit(h).cast("long").alias("hops"))
         ).localCheckpoint(eager=True)
     return settled
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    iters: int = 4,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """Fixed-iteration power method over a weighted transition relation
+    ``(src, dst, n)`` — the stationary ("where does the process spend
+    its time?") distribution of the Markov chain whose row-stochastic
+    matrix is ``P[i][j] = n_ij / n_i``. On the behavioral event-type
+    chain this ranks states by long-run occupancy, the summary the raw
+    transition counts can't give (a state can receive many edges yet
+    lose all its mass next step).
+
+    Fixed-point contract (PageRank/HITS rules): mass in 1e-12 units,
+    each step's contribution is ``(pi_i * n_ij) div n_i`` — the product
+    FIRST in DECIMAL(38,0) (pi*n reaches 1e24), then ONE truncating
+    division (Spark decimal ``div`` == DuckDB HUGEINT ``//``), so no
+    intermediate precision loss and every unit is oracle-reproducible.
+    Floor leakage (< states*iters units) is deterministic and stays in
+    the output; we pin the iters-round vector, not the asymptotic limit,
+    so periodicity/reducibility need no damping hack.
+
+    States = distinct sources (a pure sink would swallow mass; the
+    behavioral chain is symmetric-support so every state emits).
+    Scale: one aggregation builds the transition relation upstream;
+    rounds run on (states, units) rows — broadcast-sized state
+    (explicit hint: localCheckpoint erases size stats), checkpointed
+    per round (lineage lesson).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    maybe_bcast = F.broadcast if broadcast_state else (lambda df: df)
+    dec = "decimal(38,0)"
+    t = transitions.select("src", "dst", "n").localCheckpoint(eager=True)
+    row_tot = t.groupBy("src").agg(F.sum("n").cast(dec).alias("_rt"))
+    states = row_tot.select(F.col("src").alias("state")).localCheckpoint(
+        eager=True
+    )
+    n_states = states.count()
+    if n_states == 0:
+        return states.select(
+            "state",
+            F.lit(0).cast("long").alias("mass_units"),
+            F.lit(0.0).alias("mass"),
+        )
+    pi = states.select(
+        "state", F.lit(UNITS // n_states).cast("long").alias("mass_units")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            t.join(maybe_bcast(pi.withColumnRenamed("state", "src")), "src")
+            .join(maybe_bcast(row_tot), "src")
+            .select(
+                F.col("dst").alias("state"),
+                F.expr(
+                    f"(CAST(mass_units AS {dec}) * CAST(n AS {dec})) div _rt"
+                ).alias("_c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("_c").cast("long").alias("mass_units"))
+        )
+        # states that receive nothing this round hold zero mass
+        pi = (
+            states.join(contribs, "state", "left")
+            .select(
+                "state",
+                F.coalesce(F.col("mass_units"), F.lit(0))
+                .cast("long")
+                .alias("mass_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi.select(
+        "state",
+        "mass_units",
+        (F.col("mass_units").cast("double") / F.lit(float(UNITS))).alias("mass"),
+    )

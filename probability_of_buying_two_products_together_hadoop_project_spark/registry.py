@@ -7874,6 +7874,84 @@ def q_autocorr(spark, sf_dir):
     return timeseries.autocorr_lag1(ev)
 
 
+def _markov_oracle(iters: int) -> str:
+    """Unrolled power-method oracle over the event-type transition
+    chain: HUGEINT product-then-floor-divide per contribution (the HITS
+    parity), MATERIALIZED CTEs (reference-count lesson)."""
+    u = 10**12
+    parts = [
+        "WITH x AS MATERIALIZED (",
+        "  SELECT lag(event_type) OVER (PARTITION BY user_id",
+        "           ORDER BY ts, event_id) AS src,",
+        "         event_type AS dst",
+        "  FROM events",
+        "),",
+        "t AS MATERIALIZED (",
+        "  SELECT src, dst, count(*) AS n FROM x WHERE src IS NOT NULL",
+        "  GROUP BY 1, 2",
+        "),",
+        "rt AS MATERIALIZED (SELECT src, SUM(n) AS rtot FROM t GROUP BY 1),",
+        "s AS MATERIALIZED (SELECT DISTINCT src AS state FROM t),",
+        "p0 AS MATERIALIZED (",
+        f"  SELECT state, CAST(CAST({u} AS HUGEINT)",
+        "    // (SELECT count(*) FROM s) AS BIGINT) AS mu FROM s",
+        "),",
+    ]
+    prev = "p0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"c{r} AS MATERIALIZED (",
+            "  SELECT t.dst AS state,",
+            "         SUM((CAST(mu AS HUGEINT) * n) // rtot) AS m",
+            f"  FROM t JOIN {prev} ON t.src = {prev}.state",
+            "       JOIN rt ON t.src = rt.src",
+            "  GROUP BY 1",
+            "),",
+            f"p{r} AS MATERIALIZED (",
+            f"  SELECT s.state, CAST(COALESCE(c{r}.m, 0) AS BIGINT) AS mu",
+            f"  FROM s LEFT JOIN c{r} USING (state)",
+            "),",
+        ]
+        prev = f"p{r}"
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT state, mu AS mass_units, CAST(mu AS DOUBLE) / {u} AS mass"
+        f" FROM {prev}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "markov_stationary_events",
+    _markov_oracle(iters=4),
+    "Stationary distribution of the behavioral event-type Markov chain "
+    "(4-round power method over the row-stochastic transition matrix "
+    "n_ij/n_i): where the user process spends its time in the long run "
+    "— the occupancy summary raw transition counts can't give. "
+    "Fixed-point: mass in 1e-12 units, each contribution is "
+    "(pi_i * n_ij) div n_i with the DECIMAL(38,0) product FIRST (no "
+    "intermediate floor loss; Spark div == DuckDB HUGEINT //, the HITS "
+    "parity); floor leakage deterministic, the 4-round vector is the "
+    "pinned contract (no damping hack needed for a fixed horizon). One "
+    "corpus-sized window+agg builds the transition relation; rounds "
+    "run on (states, units) rows, broadcast, checkpointed. Completes "
+    "the spectral trio: PageRank (undirected centrality), HITS "
+    "(bipartite), power method (stochastic chains)",
+)
+def q_markov(spark, sf_dir):
+    from .operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return graph.markov_stationary(t, iters=4)
+
+
 def _hits_oracle(iters: int) -> str:
     """Unrolled-CTE HITS oracle: DuckDB regenerates every half-step in
     HUGEINT (int128) arithmetic — SUM(HUGEINT) and ``//`` match Spark's
@@ -11277,6 +11355,11 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # markov_stationary_events took a slot; minhash_incremental_verified
+    # (in-window) keeps the incremental batch-vs-persisted-index
+    # discipline checked, and the KMV k-minima law has its own tail
+    # entries — displace kmv_incremental_verified (3-SF local evidence).
+    "kmv_incremental_verified": "r07-local",
     # benford_screen_totalprice took a slot; cusum (in-window) keeps
     # the event-hourly machinery checked, and the chi-square quantized-
     # term law is benford's own in-window twin now — displace

@@ -433,3 +433,71 @@ def test_hits_validation(spark):
     e = _hits_edges(spark, [("a", "b")])
     with pytest.raises(ValueError):
         graph.hits(e, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (power method)
+# ---------------------------------------------------------------------------
+
+
+def py_markov(transitions, iters=4):
+    """Pure-python mirror: product-first fixed-point power method."""
+    rt = {}
+    for s, _, n in transitions:
+        rt[s] = rt.get(s, 0) + n
+    states = sorted(rt)
+    pi = {s: UNITS // len(states) for s in states}
+    for _ in range(iters):
+        nxt = {s: 0 for s in states}
+        for s, d, n in transitions:
+            if d in nxt:
+                nxt[d] += (pi[s] * n) // rt[s]
+            else:
+                nxt[d] = nxt.get(d, 0) + (pi[s] * n) // rt[s]
+        # only SOURCE states persist as chain states
+        pi = {s: nxt.get(s, 0) for s in states}
+    return pi
+
+
+def test_markov_matches_python_reference(spark):
+    rng = random.Random(31)
+    trans = {}
+    for _ in range(60):
+        s, d = f"s{rng.randint(0, 4)}", f"s{rng.randint(0, 4)}"
+        trans[(s, d)] = trans.get((s, d), 0) + rng.randint(1, 9)
+    rows = [(s, d, n) for (s, d), n in sorted(trans.items())]
+    df = spark.createDataFrame(rows, "src string, dst string, n bigint")
+    got = {
+        r.state: r.mass_units
+        for r in graph.markov_stationary(df, iters=4).collect()
+    }
+    assert got == py_markov(rows, iters=4)
+    for r in graph.markov_stationary(df, iters=4).collect():
+        assert r.mass == r.mass_units / float(UNITS)
+
+
+def test_markov_absorbing_cycle_concentrates_mass(spark):
+    # a -> b -> a cycle plus c leaking into it: mass leaves c entirely
+    rows = [("a", "b", 10), ("b", "a", 10), ("c", "a", 5)]
+    df = spark.createDataFrame(rows, "src string, dst string, n bigint")
+    got = {
+        r.state: r.mass_units
+        for r in graph.markov_stationary(df, iters=4).collect()
+    }
+    assert got["c"] == 0
+    assert abs(got["a"] + got["b"] - UNITS) <= 16  # floor leakage only
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.markov_stationary(df, iters=0)
+
+
+def test_markov_broadcast_and_generic_paths_agree(spark):
+    rows = [("a", "b", 3), ("b", "c", 2), ("c", "a", 4), ("b", "a", 1)]
+    df = spark.createDataFrame(rows, "src string, dst string, n bigint")
+    bc = {r.state: r.mass_units for r in graph.markov_stationary(df).collect()}
+    gen = {
+        r.state: r.mass_units
+        for r in graph.markov_stationary(df, broadcast_state=False).collect()
+    }
+    assert bc == gen
