@@ -156,6 +156,7 @@ HEADLINE = [
     "weighted_sample_orders",
     "theilsen_trend_events",
     "markov_stationary_events",
+    "linkage_sorted_neighborhood",
 ]
 
 

@@ -11024,6 +11024,52 @@ def q_record_linkage_em(spark, sf_dir):
 
 
 @register(
+    "linkage_sorted_neighborhood",
+    """
+    WITH u AS (
+      SELECT c_custkey * 2 AS id, c_name AS key FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1,
+             CASE WHEN c_custkey % 7 = 0 THEN reverse(c_name)
+                  ELSE c_name END
+      FROM customer
+    ),
+    r AS (
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u
+    )
+    SELECT a.id AS a_id, b.id AS b_id, a.key AS a_key, b.key AS b_key,
+           CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 4
+    """,
+    "Sorted-neighborhood blocking (Hernandez-Stolfo 1995) over the "
+    "customer + perturbed-copy fixture: sort by name, emit every pair "
+    "within 4 rank positions — the third blocking strategy next to "
+    "equi-key blocks (record_linkage_fs) and symmetric-delete variants "
+    "(fuzzy pairs), catching prefix-neighborhood near-misses with pair "
+    "volume EXACTLY n*window (no block² term). Engine rank is the "
+    "bucketed parallel prefix over a 2-char key prefix (never a "
+    "single-partition window — the oracle states the naive global "
+    "row_number); the neighborhood is a 2-probe BAND join on "
+    "(rank-1) div window. Unperturbed duplicate names sort adjacent "
+    "and surface at gap 1",
+)
+def q_sorted_neighborhood(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        (F.col("c_custkey") * 2).alias("id"), F.col("c_name").alias("key")
+    )
+    b = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("key"),
+    )
+    return dedup.sorted_neighborhood_pairs(
+        a.unionAll(b), "key", "id", window=4
+    )
+
+
+@register(
     "fingerprint_incremental_orders",
     """
     WITH v1 AS (
@@ -11355,6 +11401,14 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # linkage_sorted_neighborhood took a slot; record_linkage_fs and
+    # record_linkage_em stay in-window exercising the blocked-pair
+    # fixture, and fuzzy_name_pairs_collapsed the variant-blocking
+    # alternative — displace cooccurrence_sessions (its sessionize
+    # machinery has the r03 events_sessionize driver row and the pair
+    # machinery lives in the r03 cooccurrence battery; 3-SF local
+    # evidence).
+    "cooccurrence_sessions": "r07-local",
     # markov_stationary_events took a slot; minhash_incremental_verified
     # (in-window) keeps the incremental batch-vs-persisted-index
     # discipline checked, and the KMV k-minima law has its own tail

@@ -179,3 +179,48 @@ def test_fs_em_null_flags_count_as_disagreement_via_cast(spark):
     )
     out = dedup.fs_em(df.selectExpr("coalesce(a, false) AS a"), ["a"], iters=2)
     assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def _py_snm(rows, window):
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i, (aid, ak) in enumerate(ranked):
+        for j in range(i + 1, min(i + window + 1, len(ranked))):
+            bid, bk = ranked[j]
+            out.add((aid, bid, ak, bk, j - i))
+    return out
+
+
+def test_sorted_neighborhood_matches_python(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, f"name{rng.randint(0, 40):03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {
+        (r.a_id, r.b_id, r.a_key, r.b_key, r.rank_gap)
+        for r in dedup.sorted_neighborhood_pairs(df, "key", "id", window=3).collect()
+    }
+    assert got == _py_snm(rows, 3)
+    # volume law: every row pairs with its next `window` neighbors
+    assert len(got) == sum(min(3, 119 - i) for i in range(120))
+
+
+def test_sorted_neighborhood_finds_adjacent_duplicates(spark):
+    rows = [(1, "alpha"), (2, "alpha"), (3, "zeta"), (4, "beta")]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    pairs = {
+        (r.a_id, r.b_id): r.rank_gap
+        for r in dedup.sorted_neighborhood_pairs(df, "key", "id", window=1).collect()
+    }
+    assert pairs[(1, 2)] == 1  # exact dup names are rank-adjacent
+    assert len(pairs) == 3  # strict window=1 chain
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.sorted_neighborhood_pairs(df, "key", "id", window=0)
