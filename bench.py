@@ -157,6 +157,7 @@ HEADLINE = [
     "theilsen_trend_events",
     "markov_stationary_events",
     "linkage_sorted_neighborhood",
+    "mutual_info_type_hour",
 ]
 
 

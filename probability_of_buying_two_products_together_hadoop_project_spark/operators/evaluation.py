@@ -324,6 +324,81 @@ def benford_screen(
     )
 
 
+def mutual_information(
+    df: DataFrame, x_col: Column, y_col: Column
+) -> DataFrame:
+    """Mutual information between two discrete columns — the standard
+    dependence / feature-relevance statistic (how many nats does
+    knowing X tell you about Y?), with both marginal entropies and the
+    normalized coefficient MI / sqrt(Hx·Hy) for comparability across
+    column pairs.
+
+    Exactness: one (x, y) cell aggregation is the only corpus-sized
+    pass; every log term quantizes as ``count × round(ln(·), 6)`` into
+    DECIMAL (the PMI/bigram-LM rule), count products cast to double
+    BEFORE multiplying (c_xy·N overflows int64 at corpus scale —
+    LESSONS 11), and the final nats are one VARCHAR-transported decimal
+    division. Cells, marginals, and totals are all derived from the
+    cell table (window/agg over <= |X|·|Y| rows — no second scan).
+
+    Output (one row): n_rows, n_cells, mi_nats, hx_nats, hy_nats,
+    nmi (null when either entropy is 0 — a constant column carries no
+    information to normalize by).
+    """
+    d6 = "decimal(18,6)"
+    cells = df.groupBy(x_col.alias("_x"), y_col.alias("_y")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.partitionBy()
+    base = cells.select(
+        "_x",
+        "_y",
+        "_c",
+        F.sum("_c").over(wx).alias("_cx"),
+        F.sum("_c").over(wy).alias("_cy"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    ln_ratio = F.log(
+        (F.col("_c").cast("double") * F.col("_n").cast("double"))
+        / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+    )
+    mi_term = F.col("_c").cast(d6) * F.round(ln_ratio, 6).cast(d6)
+    mi = base.agg(
+        F.max("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("_mi_sum"),
+    )
+
+    def marginal_entropy(key: str) -> DataFrame:
+        m = cells.groupBy(key).agg(F.sum("_c").alias("_cm"))
+        tot = F.sum("_cm").over(Window.partitionBy())
+        term = F.col("_cm").cast(d6) * F.round(
+            -F.log(F.col("_cm").cast("double") / tot.cast("double")), 6
+        ).cast(d6)
+        return m.select(term.alias("_t")).agg(F.sum("_t").alias(f"_h{key}"))
+
+    hx = marginal_entropy("_x")
+    hy = marginal_entropy("_y")
+    j = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    n = F.col("n_rows").cast("double")
+    mi_nats = F.col("_mi_sum").cast("double") / n
+    hx_nats = F.col("_h_x").cast("double") / n
+    hy_nats = F.col("_h_y").cast("double") / n
+    return j.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        mi_nats.alias("mi_nats"),
+        hx_nats.alias("hx_nats"),
+        hy_nats.alias("hy_nats"),
+        F.when(
+            (hx_nats > 0) & (hy_nats > 0),
+            mi_nats / F.sqrt(hx_nats * hy_nats),
+        ).alias("nmi"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     value_col: str,

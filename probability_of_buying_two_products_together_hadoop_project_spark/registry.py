@@ -8093,6 +8093,74 @@ def q_benford(spark, sf_dir):
 
 
 @register(
+    "mutual_info_type_hour",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(hour(ts) AS INT) AS y, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT *, SUM(c) OVER (PARTITION BY x) AS cx,
+             SUM(c) OVER (PARTITION BY y) AS cy,
+             SUM(c) OVER () AS n
+      FROM cells
+    ),
+    mi AS (
+      SELECT MAX(n) AS n_rows, count(*) AS n_cells,
+             SUM(CAST(c AS DECIMAL(18,6))
+                 * CAST(round(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                       / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)
+                   AS DECIMAL(18,6))) AS mi_sum
+      FROM b
+    ),
+    hx AS (
+      SELECT SUM(CAST(cm AS DECIMAL(18,6))
+               * CAST(round(-ln(CAST(cm AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS hxs
+      FROM (SELECT x, SUM(c) AS cm, SUM(SUM(c)) OVER () AS t
+            FROM cells GROUP BY x)
+    ),
+    hy AS (
+      SELECT SUM(CAST(cm AS DECIMAL(18,6))
+               * CAST(round(-ln(CAST(cm AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS hys
+      FROM (SELECT y, SUM(c) AS cm, SUM(SUM(c)) OVER () AS t
+            FROM cells GROUP BY y)
+    ),
+    f AS (
+      SELECT CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_cells AS BIGINT) AS n_cells,
+             CAST(CAST(mi_sum AS VARCHAR) AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS mi_nats,
+             CAST(CAST(hxs AS VARCHAR) AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS hx_nats,
+             CAST(CAST(hys AS VARCHAR) AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS hy_nats
+      FROM mi CROSS JOIN hx CROSS JOIN hy
+    )
+    SELECT *,
+           CASE WHEN hx_nats > 0 AND hy_nats > 0
+                THEN mi_nats / sqrt(hx_nats * hy_nats) END AS nmi
+    FROM f
+    """,
+    "Mutual information between event type and hour-of-day — the "
+    "dependence / feature-relevance statistic (nats of information X "
+    "carries about Y), with marginal entropies and the normalized "
+    "MI / sqrt(Hx*Hy) coefficient. ONE corpus pass builds the (x, y) "
+    "cell table; marginals/totals are window sums OVER CELLS (the "
+    "bigram-LM no-join-back shape), each log term quantizes as "
+    "count x round(ln, 6) decimals (PMI rule), count products cast to "
+    "double BEFORE multiplying (c*N overflows int64 — LESSONS 11), "
+    "nats transported via VARCHAR (int128 cast lesson)",
+)
+def q_mutual_info(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return evaluation.mutual_information(
+        ev, F.col("event_type"), F.hour("ts").cast("int")
+    )
+
+
+@register(
     "welch_ttest_urgent",
     """
     WITH s AS (
@@ -11401,6 +11469,11 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # mutual_info_type_hour took a slot; it exercises the identical
+    # count x round(ln,6)-decimal law and window-sum-marginal shape as
+    # bigram_lm_score (displaced, 3-SF local evidence) — with
+    # dsir_importance_en in-window as the second sibling.
+    "bigram_lm_score": "r07-local",
     # linkage_sorted_neighborhood took a slot; record_linkage_fs and
     # record_linkage_em stay in-window exercising the blocked-pair
     # fixture, and fuzzy_name_pairs_collapsed the variant-blocking

@@ -634,3 +634,49 @@ def test_benford_excludes_sub_one_values(spark):
     rows = evaluation.benford_screen(df, "v").collect()
     assert len(rows) == 1 and rows[0].digit == 1
     assert rows[0].n_obs == 2 and rows[0].n_total == 2
+
+
+def py_mi(pairs):
+    from collections import Counter
+
+    n = len(pairs)
+    cxy, cx, cy = Counter(pairs), Counter(x for x, _ in pairs), Counter(
+        y for _, y in pairs
+    )
+    q6 = lambda v: _round6(v)  # noqa: E731
+    mi = sum(c * q6(math.log(c * n / (cx[x] * cy[y]))) for (x, y), c in cxy.items())
+    hx = sum(c * q6(-math.log(c / n)) for c in cx.values())
+    hy = sum(c * q6(-math.log(c / n)) for c in cy.values())
+    return float(mi) / n, float(hx) / n, float(hy) / n
+
+
+def test_mutual_information_matches_reference(spark):
+    rng = random.Random(19)
+    # dependent pair: y follows x 70% of the time
+    pairs = []
+    for _ in range(2000):
+        x = rng.randint(0, 3)
+        y = x if rng.random() < 0.7 else rng.randint(0, 3)
+        pairs.append((x, y))
+    df = spark.createDataFrame(pairs, "x int, y int")
+    row = evaluation.mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+    mi, hx, hy = py_mi(pairs)
+    assert row.n_rows == 2000
+    assert row.mi_nats == pytest.approx(mi, abs=1e-9)
+    assert row.hx_nats == pytest.approx(hx, abs=1e-9)
+    assert row.nmi == pytest.approx(mi / math.sqrt(hx * hy), abs=1e-9)
+    assert row.mi_nats > 0.3  # the dependence is real
+
+
+def test_mutual_information_independent_and_constant(spark):
+    # independent uniform pair: MI near 0 (and never negative beyond
+    # quantization slack)
+    rng = random.Random(23)
+    pairs = [(rng.randint(0, 3), rng.randint(0, 3)) for _ in range(4000)]
+    df = spark.createDataFrame(pairs, "x int, y int")
+    row = evaluation.mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+    assert abs(row.mi_nats) < 0.01
+    # constant y: hy = 0 -> nmi null
+    df2 = spark.createDataFrame([(i % 3, 7) for i in range(30)], "x int, y int")
+    row2 = evaluation.mutual_information(df2, F.col("x"), F.col("y")).collect()[0]
+    assert row2.hy_nats == 0.0 and row2.nmi is None and row2.mi_nats == 0.0
