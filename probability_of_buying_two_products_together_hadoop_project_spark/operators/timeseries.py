@@ -399,7 +399,25 @@ def cusum_detect(
     """
     if alarm_mean_mult < 1:
         raise ValueError("alarm_mean_mult must be >= 1")
-    hc = hourly_counts(df, group_cols, ts_col)
+    return cusum_from_counts(
+        hourly_counts(df, group_cols, ts_col), group_cols, alarm_mean_mult
+    )
+
+
+def cusum_from_counts(
+    hc: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    alarm_mean_mult: int = 4,
+) -> DataFrame:
+    """The CUSUM chart math of :func:`cusum_detect` over a PRE-BUILT
+    ``(*group_cols, hr, cnt)`` bucket relation — the entry point for
+    incrementally-maintained state: a streaming ``agg_state_sink`` keyed
+    by (group, hour) keeps the calendar-bounded count table current per
+    micro-batch, and the chart recomputes EXACTLY from that state (the
+    closed form is bucket-sized work, so per-batch recompute is the
+    honest streaming design — no approximate carry)."""
+    if alarm_mean_mult < 1:
+        raise ValueError("alarm_mean_mult must be >= 1")
     wall = Window.partitionBy(*group_cols)
     wrun = (
         Window.partitionBy(*group_cols)

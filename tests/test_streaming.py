@@ -906,3 +906,61 @@ def test_fingerprint_sink_cdc_deletes_subtract(spark, tmp_path):
     want = relational.content_fingerprint(live, ["k", "v"], "t").collect()[0]
     got = spark.read.parquet(state).collect()[0]
     assert (got.n_rows, got.content_hash) == (want.n_rows, want.content_hash)
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM: agg_state_sink (hourly counts) + cusum_from_counts
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cusum_equals_batch_chart(spark, tmp_path):
+    """The streaming CUSUM design: a (type, hour) agg-state sink keeps
+    the calendar-bounded count table current per micro-batch; the chart
+    recomputes exactly from that state (bucket-sized work). After all
+    batches it must equal the batch operator bit-for-bit."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import timeseries
+
+    src = str(tmp_path / "cusum_src")
+    base = 3_600_000_000
+    # two deliveries; the second raises the level (the changepoint)
+    b0 = [("view", h * base + j) for h in range(6) for j in range(3)]
+    b1 = [("view", h * base + j) for h in range(6, 10) for j in range(20)]
+    for i, rows in enumerate([b0, b1]):
+        (
+            spark.createDataFrame(rows, "event_type string, t_us long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/f{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_type string, t_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.timestamp_micros("t_us")).alias("hr"),
+            F.lit(1.0).alias("one"),
+        )
+    )
+    state = str(tmp_path / "cusum_state")
+    q = streams.agg_state_sink(stream, state, ["event_type", "hr"], "one")
+    q.awaitTermination()
+    hc = spark.read.parquet(state).select(
+        "event_type", "hr", F.col("n_rows").alias("cnt")
+    )
+    got = sorted(
+        tuple(r)
+        for r in timeseries.cusum_from_counts(hc, ("event_type",)).collect()
+    )
+    full = spark.read.parquet(f"{src}/f*").select(
+        "event_type",
+        F.timestamp_micros("t_us").alias("ts"),
+        F.lit(0).alias("event_id"),
+    )
+    want = sorted(
+        tuple(r) for r in timeseries.cusum_detect(full, ("event_type",)).collect()
+    )
+    assert got == want
+    # and the planted level shift actually alarms in the streamed chart
+    alarms = [r for r in got if r[-1] == 1]
+    assert alarms
