@@ -158,6 +158,7 @@ HEADLINE = [
     "markov_stationary_events",
     "linkage_sorted_neighborhood",
     "mutual_info_type_hour",
+    "audio_resample_rational",
 ]
 
 

@@ -1346,3 +1346,73 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id bigint, width int, height int, ahash string"
     )
+
+
+def resample_rational(
+    media: DataFrame,
+    up: int,
+    down: int,
+    taps: tuple[int, ...] = (1, 2, 1),
+) -> DataFrame:
+    """Rational-rate polyphase resample (rate × up/down — e.g. 8 kHz →
+    12 kHz at up=3, down=2): zero-stuff by ``up``, integer-tap FIR,
+    take every ``down``-th filtered sample. Generalizes
+    :func:`resample_fir` (up=1) to NON-integer ratios — the standard
+    DSP structure, with the zero-stuffed signal never materialized:
+    output m reads only the real samples its tap window hits
+    (positions where (m·down + k) % up == 0).
+
+    Determinism: all-integer — tap products in int64, gain compensation
+    ×``up`` (zero-stuffing divides energy by up), ONE truncate-toward-
+    zero division by sum(taps) per output — every sample reproducible
+    from source bytes by a SQL oracle. Convex bound: |y| <= up·max|x|
+    can exceed int16 when up > 1 and the window hits a single extreme
+    sample, so outputs clamp to int16 (clamping is deterministic).
+
+    Output rate is ``rate * up // down`` (exact when down divides
+    rate·up — callers pick musical ratios). Arrow-batched mapInPandas;
+    map-only.
+    """
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    if not taps or any(t < 0 for t in taps) or sum(taps) < 1:
+        raise ValueError("taps must be non-empty, non-negative, sum >= 1")
+    import numpy as np
+
+    den = int(sum(taps))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, frames = decode_wav(bytes(p))
+                fr = np.frombuffer(frames, dtype="<i2").reshape(-1, channels)
+                n = fr.shape[0]
+                n_up = n * up
+                n_out = (n_up + down - 1) // down
+                acc = np.zeros((n_out, channels), dtype=np.int64)
+                m = np.arange(n_out)
+                for k, t in enumerate(taps):
+                    pos = m * down + k  # position in the zero-stuffed stream
+                    hits = pos % up == 0
+                    src = pos // up
+                    ok = hits & (src < n)
+                    acc[ok] += t * up * fr[src[ok]].astype(np.int64)
+                out = np.sign(acc) * (np.abs(acc) // den)
+                out = np.clip(out, -32768, 32767).astype(np.int16)
+                payload = encode_wav(rate * up // down, channels, out.tobytes())
+                rate2, ch2, frames2 = decode_wav(payload)
+                s2 = np.frombuffer(frames2, dtype="<i2").astype(np.int32)
+                rows.append((mid, rate2, ch2, len(frames2) // (ch2 * 2),
+                             payload, list(s2)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels",
+                         "n_frames", "payload", "samples"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id bigint, sample_rate int, channels int, n_frames bigint, "
+        "payload binary, samples array<int>",
+    )

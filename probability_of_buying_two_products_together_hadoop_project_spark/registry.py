@@ -10540,6 +10540,73 @@ def q_audio_resample_fir(spark, sf_dir):
     )
 
 
+def _rational_resample_oracle(up: int, down: int, taps: tuple[int, ...]) -> str:
+    """Polyphase oracle: regenerates every clamped output sample from
+    the source text bytes — output m sums tap k iff position m*down+k
+    in the zero-stuffed stream lands on a real sample."""
+    den = sum(taps)
+    n_out = f"(n * {up} + {down - 1}) // {down}"
+    terms = []
+    for k, t in enumerate(taps):
+        pos = f"({down} * m + {k})"
+        src = f"({pos} // {up})"
+        terms.append(
+            f"(CASE WHEN {pos} % {up} = 0 AND {src} < n THEN {t * up} * "
+            f"((('0x' || substr(h, 2 * {src} + 1, 2))::BIGINT - 128) * 256) "
+            "ELSE 0 END)"
+        )
+    acc = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           {8000 * up // down} AS sample_rate,
+           1 AS channels,
+           CAST({n_out} AS BIGINT) AS n_frames,
+           md5(COALESCE(array_to_string(list_transform(range(0, {n_out}),
+               m -> GREATEST(-32768, LEAST(32767, ({acc}) // {den}))),
+               ','), '')) AS samples_md5
+    FROM b
+    """
+
+
+@register(
+    "audio_resample_rational",
+    _rational_resample_oracle(up=3, down=2, taps=(1, 2, 1)),
+    "Rational-rate polyphase resample (8 kHz -> 12 kHz at up=3/down=2): "
+    "zero-stuff, triangular-tap FIR, decimate — the standard DSP "
+    "structure with the stuffed stream never materialized (output m "
+    "reads only real samples where (m*down+k) % up == 0). All-integer: "
+    "tap products, x`up` gain compensation, ONE truncate-toward-zero "
+    "division, deterministic int16 clamp — every sample regenerated by "
+    "the oracle from source bytes, and the re-encoded payload "
+    "re-DECODED inside the operator (the FIR/decimate round-trip "
+    "discipline). Generalizes audio_resample_fir (up=1) to non-integer "
+    "ratios. Map-only",
+)
+def q_audio_rational(spark, sf_dir):
+    media = multimodal.media_wav_from_documents(_t(spark, sf_dir, "documents"))
+    rs = multimodal.resample_rational(media, up=3, down=2, taps=(1, 2, 1))
+    return rs.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(F.col("samples"), lambda x: x.cast("string")),
+                    ",",
+                ),
+                "utf-8",
+            )
+        ).alias("samples_md5"),
+    )
+
+
 @register(
     "semantic_dedup_embeddings",
     _semantic_dedup_oracle(k=8, iters=3, threshold=0.35),
@@ -11469,6 +11536,11 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # audio_resample_rational took a slot; q22_inactive_rich_customers
+    # stays in-window exercising q16's anti-join shape and the
+    # distinct-count agg family holds r03/r04 driver rows — displace
+    # q16_supplier_part_count (3-SF local evidence).
+    "q16_supplier_part_count": "r07-local",
     # mutual_info_type_hour took a slot; it exercises the identical
     # count x round(ln,6)-decimal law and window-sum-marginal shape as
     # bigram_lm_score (displaced, 3-SF local evidence) — with

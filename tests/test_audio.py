@@ -259,3 +259,56 @@ def test_resample_stereo_keeps_frames_together():
     assert kept == _frames([1, -1, 3, -3])
     r2, c2, f2 = mm.decode_wav(mm.encode_wav(rate // 2, ch, kept))
     assert (r2, c2, f2) == (4000, 2, kept)
+
+
+def _py_rational(samples, up, down, taps):
+    den = sum(taps)
+    n = len(samples)
+    n_out = (n * up + down - 1) // down
+    out = []
+    for m in range(n_out):
+        acc = 0
+        for k, t in enumerate(taps):
+            pos = m * down + k
+            if pos % up == 0 and pos // up < n:
+                acc += t * up * samples[pos // up]
+        q = abs(acc) // den
+        v = q if acc >= 0 else -q
+        out.append(max(-32768, min(32767, v)))
+    return out
+
+
+def test_resample_rational_matches_python_reference(spark):
+    texts = ["abcdefghij", "", "x", "héllo wörld again", "\x00\x7f" * 7]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    media = mm.media_wav_from_documents(docs)
+    got = {
+        r.media_id: (r.sample_rate, r.n_frames, list(r.samples))
+        for r in mm.resample_rational(media, up=3, down=2).collect()
+    }
+    for i, t in enumerate(texts):
+        src = [(b - 128) * 256 for b in t.encode("utf-8")]
+        want = _py_rational(src, 3, 2, (1, 2, 1))
+        assert got[i] == (12000, len(want), want), i
+
+
+def test_resample_rational_up1_equals_fir(spark):
+    docs = spark.createDataFrame(
+        [(0, "some audio-like content here")], "doc_id bigint, text string"
+    )
+    media = mm.media_wav_from_documents(docs)
+    rat = mm.resample_rational(media, up=1, down=4, taps=(1, 2, 1)).collect()[0]
+    fir = mm.resample_fir(media, factor=4, taps=(1, 2, 1)).collect()[0]
+    assert list(rat.samples) == list(fir.samples)
+    assert rat.sample_rate == fir.sample_rate == 2000
+
+
+def test_resample_rational_validation(spark):
+    docs = spark.createDataFrame([(0, "abc")], "doc_id bigint, text string")
+    media = mm.media_wav_from_documents(docs)
+    with pytest.raises(ValueError):
+        mm.resample_rational(media, up=0, down=2)
+    with pytest.raises(ValueError):
+        mm.resample_rational(media, up=2, down=2, taps=())
