@@ -346,8 +346,13 @@ def mutual_information(
     information to normalize by).
     """
     d6 = "decimal(18,6)"
-    cells = df.groupBy(x_col.alias("_x"), y_col.alias("_y")).agg(
-        F.count(F.lit(1)).alias("_c")
+    # the MI sum, Hx, and Hy all derive from the cell table; Catalyst
+    # dedupes NO common subplans (the DSIR lesson), so without this
+    # checkpoint the corpus would be scanned three times
+    cells = (
+        df.groupBy(x_col.alias("_x"), y_col.alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     wx = Window.partitionBy("_x")
     wy = Window.partitionBy("_y")

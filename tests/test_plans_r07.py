@@ -91,3 +91,43 @@ def test_dsir_select_budget(spark, sf_smoke):
     assert n <= 4, f"dsir selection budget is dsir's own 4, got {n}"
     plan = explain.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rational_resample_zero_exchanges(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "audio_resample_rational")
+    n = explain.count_exchanges(df)
+    assert n == 0, f"polyphase resample must be map-only, got {n} exchanges"
+
+
+def test_theilsen_budget(spark, sf_smoke):
+    """Hourly agg (the only data-sized exchange) + the calendar-bounded
+    pair join (hc broadcasts) + one rank window over pairs."""
+    df = _q(spark, sf_smoke, "theilsen_trend_events")
+    n = explain.count_exchanges(df)
+    assert n <= 3, f"theil-sen budget is 3 exchanges, got {n}"
+    assert explain.has_broadcast_join(df)
+
+
+def test_sorted_neighborhood_budget(spark, sf_smoke):
+    """Rank = bucketed prefix (bucket window + tiny offset list,
+    broadcast back); neighborhood = one band join on the rank group."""
+    df = _q(spark, sf_smoke, "linkage_sorted_neighborhood")
+    n = explain.count_exchanges(df)
+    assert n <= 6, f"sorted-neighborhood budget is 6 exchanges, got {n}"
+    assert explain.has_broadcast_join(df)
+
+
+def test_mutual_info_single_corpus_pass(spark, sf_smoke):
+    """The cell table checkpoints after ONE corpus aggregation (the MI
+    sum, Hx, and Hy all derive from it — Catalyst dedupes no common
+    subplans, the DSIR lesson, so without the checkpoint the corpus
+    would scan three times); every later exchange moves <= |X|*|Y|
+    cell rows."""
+    import re
+
+    df = _q(spark, sf_smoke, "mutual_info_type_hour")
+    plan = explain.formatted_plan(df)
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 0, f"MI must not rescan the corpus, got {scans} scans"
+    n = explain.count_exchanges(df)
+    assert n <= 8, f"MI exchange budget is 8 (all cell-sized), got {n}"
