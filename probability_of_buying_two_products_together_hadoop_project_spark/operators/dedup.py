@@ -1524,6 +1524,8 @@ def fs_em(
     nf = len(flag_cols)
     if nf == 0:
         raise ValueError("fs_em needs at least one agreement column")
+    if len(set(flag_cols)) != nf:
+        raise ValueError("fs_em flag_cols must be distinct")
     if nf > 3:
         raise ValueError(
             "fs_em fixed-point layout bounds fields at 3 "

@@ -280,6 +280,12 @@ def benford_screen(
     One scan, one (group, digit) aggregation — <= 9 rows per group
     shuffle — and bucket-sized windows after.
     """
+    clash = {"digit", "n_obs", "_nt", "_exp", "_tq", "n_total", "obs_share",
+             "exp_share", "chi2"} & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"benford group_cols clash with working names: {sorted(clash)}"
+        )
     d9 = "decimal(28,9)"
     x = F.col(value_col)
     digit = F.substring(F.floor(x).cast("bigint").cast("string"), 1, 1).cast("int")
@@ -427,6 +433,12 @@ def welch_ttest(
 
     Output per group: n1, n2, mean1, mean2, t_stat, df_welch.
     """
+    clash = {
+        "n1", "n2", "_s1", "_s2", "_ss1", "_ss2",
+        "mean1", "mean2", "t_stat", "df_welch",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"welch group_cols clash with output names: {sorted(clash)}")
     d4, d19 = f"decimal(18,{scale})", f"decimal(19,{scale})"
     x = F.col(value_col)
     one = F.when(side_col, 1).otherwise(0)
@@ -510,6 +522,8 @@ def ks_two_sample(
     dataset_fingerprints decimal-transport rule), ks_d (double; null if
     either sample is empty — KS is undefined, not 0/0).
     """
+    if value_col in {"_c1", "_c2", "_vb", "_lc1", "_lc2"}:
+        raise ValueError(f"ks value_col clashes with a working name: {value_col}")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
     dv = (
         df.groupBy(value_col)

@@ -1355,6 +1355,13 @@ def dp_noisy_counts(
         )
     if not group_cols:
         raise ValueError("dp_noisy_counts needs at least one group column")
+    clash = {"n_true", "noisy_count_q", "noisy_count_str", "noisy_count"} & set(
+        group_cols
+    )
+    if clash:
+        raise ValueError(
+            f"dp_noisy_counts group_cols clash with working names: {sorted(clash)}"
+        )
     from decimal import Decimal
 
     d6 = "decimal(18,6)"

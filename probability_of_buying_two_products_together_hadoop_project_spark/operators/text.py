@@ -1887,6 +1887,9 @@ def hashing_trick_features(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    if id_col in {"_tok", "_idx", "_sign", "_v", "_m", "n_buckets_hit",
+                  "l1_signed", "vec_csv"}:
+        raise ValueError(f"hashing_trick id_col clashes with a working name: {id_col}")
     tk = normalized_tokens(text_col)
     base = docs.select(F.col(id_col), F.explode(tk).alias("_tok")).filter(
         F.col("_tok") != ""

@@ -418,6 +418,14 @@ def cusum_from_counts(
     honest streaming design — no approximate carry)."""
     if alarm_mean_mult < 1:
         raise ValueError("alarm_mean_mult must be >= 1")
+    # fail loudly instead of silently clobbering caller columns (the
+    # asof _rv lesson): the chart adds these working/output names
+    clash = {
+        "_d", "_pfx", "_floor", "n_hours", "total_cnt",
+        "cusum_scaled", "cusum_means", "is_alarm",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"cusum group_cols clash with working names: {sorted(clash)}")
     wall = Window.partitionBy(*group_cols)
     wrun = (
         Window.partitionBy(*group_cols)
@@ -677,6 +685,12 @@ def theilsen_trend(
     never touches raw events). One bucket agg, one group-keyed pair
     join, one rank window over pairs.
     """
+    clash = {"_x", "_y", "_h1", "_h2", "_slope", "_rk", "n_pairs",
+             "trend_per_hour"} & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"theilsen group_cols clash with working names: {sorted(clash)}"
+        )
     hc = hourly_counts(df, group_cols, ts_col).select(
         *group_cols,
         (F.unix_micros(F.col("hr")) / F.lit(3_600_000_000)).cast("long").alias("_x"),
