@@ -159,6 +159,7 @@ HEADLINE = [
     "linkage_sorted_neighborhood",
     "mutual_info_type_hour",
     "audio_resample_rational",
+    "linkage_snm_multipass",
 ]
 
 

@@ -11205,6 +11205,84 @@ def q_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "linkage_snm_multipass",
+    """
+    WITH u AS (
+      SELECT c_custkey * 2 AS id, c_name AS key FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1,
+             CASE WHEN c_custkey % 7 = 0 THEN reverse(c_name)
+                  ELSE c_name END
+      FROM customer
+    ),
+    r1 AS (
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u
+    ),
+    p1 AS (
+      SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+             1 AS pass
+      FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk - a.rk <= 4
+    ),
+    u2 AS (SELECT id, reverse(key) AS key FROM u),
+    r2 AS (
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u2
+    ),
+    p2 AS (
+      SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+             2 AS pass
+      FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk - a.rk <= 4
+    )
+    SELECT a_id, b_id,
+           CAST(MIN(pass) AS INT) AS first_pass,
+           CAST(count(*) AS BIGINT) AS n_passes
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    GROUP BY 1, 2
+    """,
+    "MULTI-PASS sorted-neighborhood (the Hernandez-Stolfo production "
+    "variant): a second pass sorts by the REVERSED key, blocking on "
+    "shared SUFFIXES — complementary coverage for near-misses whose "
+    "prefixes diverge at character 1 (leading-token swaps, prefixed "
+    "IDs), which the forward sort scatters. Pairs canonicalize to "
+    "(least, greatest) and group across passes (first_pass, n_passes "
+    "audit columns). Each pass keeps the n x window volume law; the "
+    "union is 2nw before the pair-key dedup",
+)
+def q_snm_multipass(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        (F.col("c_custkey") * 2).alias("id"), F.col("c_name").alias("key")
+    )
+    b = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("key"),
+    )
+    u = a.unionAll(b)
+    passes = []
+    for i, keyed in enumerate(
+        [u, u.select("id", F.reverse(F.col("key")).alias("key"))], start=1
+    ):
+        p = dedup.sorted_neighborhood_pairs(keyed, "key", "id", window=4)
+        passes.append(
+            p.select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+                F.lit(i).alias("pass"),
+            )
+        )
+    return (
+        passes[0]
+        .unionAll(passes[1])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.min("pass").cast("int").alias("first_pass"),
+            F.count(F.lit(1)).cast("long").alias("n_passes"),
+        )
+    )
+
+
+@register(
     "fingerprint_incremental_orders",
     """
     WITH v1 AS (
@@ -11536,6 +11614,13 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # linkage_snm_multipass took a slot; linkage_sorted_neighborhood
+    # (in-window) exercises the identical rank/band machinery both
+    # passes compose — displace doc_winnow_fingerprint_verified, whose
+    # md5-hex winnowing law keeps full parity evidence via the
+    # in-window minhash_incremental_verified md5 family plus its own
+    # 3-SF local oracle record.
+    "doc_winnow_fingerprint_verified": "r07-local",
     # audio_resample_rational took a slot; q22_inactive_rich_customers
     # stays in-window exercising q16's anti-join shape and the
     # distinct-count agg family holds r03/r04 driver rows — displace

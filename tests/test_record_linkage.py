@@ -224,3 +224,30 @@ def test_sorted_neighborhood_finds_adjacent_duplicates(spark):
 
     with pytest.raises(ValueError):
         dedup.sorted_neighborhood_pairs(df, "key", "id", window=0)
+
+
+def test_snm_second_pass_blocks_on_shared_suffix(spark):
+    """The reversed-key pass blocks on shared SUFFIXES: 'alpha_smith99'
+    and 'beta_smith99' diverge at character 1 (forward sort scatters
+    them) but share the long tail, so reversing makes them adjacent."""
+    rows = [
+        (1, "alpha_smith99"),
+        (2, "beta_smith99"),
+        (3, "zz_unrelated"),
+        # separators that land between alpha... and beta... forwards
+        (4, "april_other"),
+        (5, "austin_other"),
+        (6, "banana_other"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    fwd = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in dedup.sorted_neighborhood_pairs(df, "key", "id", window=1).collect()
+    }
+    assert (1, 2) not in fwd  # prefixes diverge at char 1; scattered
+    rev = df.select("id", F.reverse(F.col("key")).alias("key"))
+    back = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in dedup.sorted_neighborhood_pairs(rev, "key", "id", window=1).collect()
+    }
+    assert (1, 2) in back  # shared suffix -> adjacent reversed
