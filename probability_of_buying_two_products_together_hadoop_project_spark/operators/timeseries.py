@@ -691,7 +691,28 @@ def theilsen_trend(
         raise ValueError(
             f"theilsen group_cols clash with working names: {sorted(clash)}"
         )
-    hc = hourly_counts(df, group_cols, ts_col).select(
+    return theilsen_from_counts(
+        hourly_counts(df, group_cols, ts_col), group_cols
+    )
+
+
+def theilsen_from_counts(
+    counts: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """The Theil-Sen math of :func:`theilsen_trend` over a pre-built
+    ``(*group_cols, hr, cnt)`` bucket relation — like
+    :func:`cusum_from_counts`, the entry point for an incrementally
+    maintained hourly state (streaming ``agg_state_sink``): the pair
+    quadratic is calendar-bounded, so per-batch recompute from state is
+    the honest streaming design."""
+    clash = {"_x", "_y", "_h1", "_h2", "_slope", "_rk", "n_pairs",
+             "trend_per_hour"} & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"theilsen group_cols clash with working names: {sorted(clash)}"
+        )
+    hc = counts.select(
         *group_cols,
         (F.unix_micros(F.col("hr")) / F.lit(3_600_000_000)).cast("long").alias("_x"),
         F.col("cnt").alias("_y"),

@@ -964,3 +964,54 @@ def test_streaming_cusum_equals_batch_chart(spark, tmp_path):
     # and the planted level shift actually alarms in the streamed chart
     alarms = [r for r in got if r[-1] == 1]
     assert alarms
+
+
+def test_streaming_theilsen_equals_batch_trend(spark, tmp_path):
+    """Streaming Theil-Sen rides the same composition as streaming
+    CUSUM: the (type, hour) agg-state sink + theilsen_from_counts over
+    the maintained state == the batch operator bit-for-bit (the pair
+    quadratic is calendar-bounded, so per-batch recompute is cheap)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import timeseries
+
+    src = str(tmp_path / "ts_src")
+    base = 3_600_000_000
+    b0 = [("view", h * base + j) for h in range(5) for j in range(3 + h)]
+    b1 = [("view", h * base + j) for h in range(5, 9) for j in range(3 + 2 * h)]
+    for i, rows in enumerate([b0, b1]):
+        (
+            spark.createDataFrame(rows, "event_type string, t_us long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/f{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_type string, t_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.timestamp_micros("t_us")).alias("hr"),
+            F.lit(1.0).alias("one"),
+        )
+    )
+    state = str(tmp_path / "ts_state")
+    q = streams.agg_state_sink(stream, state, ["event_type", "hr"], "one")
+    q.awaitTermination()
+    hc = spark.read.parquet(state).select(
+        "event_type", "hr", F.col("n_rows").alias("cnt")
+    )
+    got = sorted(
+        tuple(r)
+        for r in timeseries.theilsen_from_counts(hc, ("event_type",)).collect()
+    )
+    full = spark.read.parquet(f"{src}/f*").select(
+        "event_type",
+        F.timestamp_micros("t_us").alias("ts"),
+        F.lit(0).alias("event_id"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in timeseries.theilsen_trend(full, ("event_type",)).collect()
+    )
+    assert got == want and got[0][1] > 0  # pairs exist; trend positive
+    assert got[0][2] > 0
