@@ -160,6 +160,7 @@ HEADLINE = [
     "mutual_info_type_hour",
     "audio_resample_rational",
     "linkage_snm_multipass",
+    "record_linkage_em_fit",
 ]
 
 

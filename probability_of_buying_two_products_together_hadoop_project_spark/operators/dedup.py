@@ -1521,6 +1521,51 @@ def fs_em(
     ``(field, m_units, u_units, p_units, m, u, p)`` with the floats
     derived by one exact division each.
     """
+    pat, params = _fs_em_loop(
+        pairs, flag_cols, iters, p0_units, m0_units, u0_units
+    )
+    P6 = 10**6
+    rows = None
+    for i, name in enumerate(flag_cols):
+        r = params.select(
+            F.lit(name).alias("field"),
+            F.col(f"_m{i}").cast("long").alias("m_units"),
+            F.col(f"_u{i}").cast("long").alias("u_units"),
+            F.col("_p").cast("long").alias("p_units"),
+            (F.col(f"_m{i}").cast("double") / F.lit(float(P6))).alias("m"),
+            (F.col(f"_u{i}").cast("double") / F.lit(float(P6))).alias("u"),
+            (F.col("_p").cast("double") / F.lit(float(P6))).alias("p"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+def _fs_em_products(nf: int, dec: str) -> tuple[Column, Column]:
+    """The E-step class likelihood products over _g{i}/_m{i}/_u{i}."""
+    P6 = 10**6
+    num_m = F.col("_p")
+    num_u = F.lit(P6).cast(dec) - F.col("_p")
+    for i in range(nf):
+        g = F.col(f"_g{i}")
+        num_m = num_m * F.when(g, F.col(f"_m{i}")).otherwise(
+            F.lit(P6).cast(dec) - F.col(f"_m{i}")
+        )
+        num_u = num_u * F.when(g, F.col(f"_u{i}")).otherwise(
+            F.lit(P6).cast(dec) - F.col(f"_u{i}")
+        )
+    return num_m, num_u
+
+
+def _fs_em_loop(
+    pairs: DataFrame,
+    flag_cols: list[str],
+    iters: int,
+    p0_units: int,
+    m0_units: int,
+    u0_units: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared EM machinery: returns (pattern-count table, final 1-row
+    parameter table) — both checkpointed."""
     nf = len(flag_cols)
     if nf == 0:
         raise ValueError("fs_em needs at least one agreement column")
@@ -1559,16 +1604,7 @@ def fs_em(
 
     for _ in range(iters):
         j = pat.crossJoin(F.broadcast(params))
-        num_m = F.col("_p")
-        num_u = F.lit(P6).cast(dec) - F.col("_p")
-        for i in range(nf):
-            g = F.col(f"_g{i}")
-            num_m = num_m * F.when(g, F.col(f"_m{i}")).otherwise(
-                F.lit(P6).cast(dec) - F.col(f"_m{i}")
-            )
-            num_u = num_u * F.when(g, F.col(f"_u{i}")).otherwise(
-                F.lit(P6).cast(dec) - F.col(f"_u{i}")
-            )
+        num_m, num_u = _fs_em_products(nf, dec)
         w = j.select(
             "*",
             num_m.alias("_num_m"),
@@ -1614,19 +1650,65 @@ def fs_em(
                 ).alias(f"_u{i}")
             )
         params = s.select(*new_cols).localCheckpoint(eager=True)
-    rows = None
-    for i, name in enumerate(flag_cols):
-        r = params.select(
-            F.lit(name).alias("field"),
-            F.col(f"_m{i}").cast("long").alias("m_units"),
-            F.col(f"_u{i}").cast("long").alias("u_units"),
-            F.col("_p").cast("long").alias("p_units"),
-            (F.col(f"_m{i}").cast("double") / F.lit(float(P6))).alias("m"),
-            (F.col(f"_u{i}").cast("double") / F.lit(float(P6))).alias("u"),
-            (F.col("_p").cast("double") / F.lit(float(P6))).alias("p"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows
+    return pat, params
+
+
+def fs_em_fit(
+    pairs: DataFrame,
+    flag_cols: list[str],
+    iters: int = 3,
+    p0_units: int = 100_000,
+    m0_units: int = 900_000,
+    u0_units: int = 100_000,
+) -> DataFrame:
+    """Model-fit diagnostics for :func:`fs_em` — the conditional-
+    independence audit: FS assumes fields agree independently given
+    match status, and the fit test is whether the fitted two-class
+    mixture reproduces the OBSERVED agreement-pattern counts. Per
+    pattern: observed n, the model-expected count (N times the mixture
+    likelihood, floor — exact fixed-point: (N·(num_m+num_u)) div
+    1e6^(F+1)), the signed residual, and the match posterior in 1e-12
+    units. Large residuals localize which field pair violates the
+    independence assumption.
+
+    Same scale/exactness contract as :func:`fs_em` (one corpus pass,
+    <= 2^F-row rounds, HUGEINT-parity divisions).
+    """
+    pat, params = _fs_em_loop(
+        pairs, flag_cols, iters, p0_units, m0_units, u0_units
+    )
+    nf = len(flag_cols)
+    P6, P12 = 10**6, 10**12
+    dec = "decimal(38,0)"
+    j = pat.crossJoin(F.broadcast(params))
+    num_m, num_u = _fs_em_products(nf, dec)
+    scored = j.select(
+        "*",
+        num_m.alias("_num_m"),
+        num_u.alias("_num_u"),
+        F.sum("_n").over(Window.partitionBy()).cast(dec).alias("_nn"),
+    )
+    lik_scale = P6 ** (nf + 1)
+    pattern = F.concat(
+        *[
+            F.when(F.col(f"_g{i}"), F.lit("1")).otherwise(F.lit("0"))
+            for i in range(nf)
+        ]
+    )
+    expected = F.expr(
+        f"(_nn * (_num_m + _num_u)) div CAST({lik_scale} AS {dec})"
+    ).cast("long")
+    post = F.expr(
+        f"(_num_m * CAST({P12} AS {dec})) div (_num_m + _num_u)"
+    ).cast("long")
+    return scored.select(
+        pattern.alias("pattern"),
+        F.col("_n").cast("long").alias("n_obs"),
+        expected.alias("expected_n"),
+        (F.col("_n").cast("long") - expected).alias("residual"),
+        post.alias("match_post_units"),
+        (post.cast("double") / F.lit(float(P12))).alias("match_post"),
+    )
 
 
 def sorted_neighborhood_pairs(

@@ -11018,12 +11018,12 @@ def q_record_linkage_fs(spark, sf_dir):
     )
 
 
-def _fs_em_oracle(iters: int) -> str:
-    """Unrolled-CTE EM oracle over the record_linkage_fs pair fixture:
-    every E/M half-step in HUGEINT arithmetic (SUM(HUGEINT), ``//`` ==
-    Spark decimal div — the HITS parity), parameters clamped to
-    [1, 1e6-1] like the engine. MATERIALIZED per the reference-count
-    lesson (w/s tables are each read by several aggregates)."""
+def _fs_em_ctes(iters: int) -> tuple[list[str], str]:
+    """Shared unrolled-CTE EM chain over the record_linkage_fs pair
+    fixture: every E/M half-step in HUGEINT arithmetic (SUM(HUGEINT),
+    ``//`` == Spark decimal div — the HITS parity), parameters clamped
+    to [1, 1e6-1] like the engine. MATERIALIZED per the reference-count
+    lesson. Returns (CTE lines, final params CTE name)."""
     P6, P12 = 10**6, 10**12
     fields = ["g0", "g1", "g2"]
     parts = [
@@ -11092,6 +11092,13 @@ def _fs_em_oracle(iters: int) -> str:
             "),",
         ]
         prev = f"p{r}"
+    return parts, prev
+
+
+def _fs_em_oracle(iters: int) -> str:
+    """Per-field parameter output over the shared EM chain."""
+    P6 = 10**6
+    parts, prev = _fs_em_ctes(iters)
     parts[-1] = parts[-1].rstrip(",")
     names = ["name", "segment", "digit"]
     selects = [
@@ -11104,6 +11111,93 @@ def _fs_em_oracle(iters: int) -> str:
     ]
     parts.append("\nUNION ALL\n".join(selects))
     return "\n".join(parts)
+
+
+def _fs_em_fit_oracle(iters: int) -> str:
+    """Pattern-level model-fit diagnostics over the shared EM chain:
+    observed vs expected (N x mixture likelihood, floor) and the match
+    posterior — all HUGEINT."""
+    P6, P12 = 10**6, 10**12
+    fields = ["g0", "g1", "g2"]
+    parts, prev = _fs_em_ctes(iters)
+    prod_m = " * ".join(
+        f"(CASE WHEN {g} THEN m{i} ELSE {P6} - m{i} END)"
+        for i, g in enumerate(fields)
+    )
+    prod_u = " * ".join(
+        f"(CASE WHEN {g} THEN u{i} ELSE {P6} - u{i} END)"
+        for i, g in enumerate(fields)
+    )
+    lik_scale = P6 ** (len(fields) + 1)
+    pattern = ", ".join(
+        f"CASE WHEN {g} THEN '1' ELSE '0' END" for g in fields
+    )
+    parts += [
+        "f AS MATERIALIZED (",
+        "  SELECT pat.*, (SELECT SUM(n) FROM pat) AS nn,",
+        f"         (p * {prod_m}) AS num_m,",
+        f"         (({P6} - p) * {prod_u}) AS num_u",
+        f"  FROM pat CROSS JOIN {prev}",
+        ")",
+        f"SELECT concat({pattern}) AS pattern,",
+        "       CAST(n AS BIGINT) AS n_obs,",
+        f"       CAST((nn * (num_m + num_u)) // CAST('{lik_scale}' AS HUGEINT)",
+        "         AS BIGINT) AS expected_n,",
+        f"       CAST(n - (nn * (num_m + num_u)) // CAST('{lik_scale}'"
+        " AS HUGEINT) AS BIGINT) AS residual,",
+        f"       CAST((num_m * {P12}) // (num_m + num_u) AS BIGINT)"
+        " AS match_post_units,",
+        f"       CAST(CAST((num_m * {P12}) // (num_m + num_u) AS BIGINT)"
+        f" AS DOUBLE) / {P12} AS match_post",
+        "FROM f",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "record_linkage_em_fit",
+    _fs_em_fit_oracle(iters=3),
+    "Conditional-independence model-fit audit for the EM-estimated FS "
+    "mixture: per agreement pattern, the observed pair count vs the "
+    "fitted two-class expectation N x [p*prod(m|1-m) + "
+    "(1-p)*prod(u|1-u)] (exact fixed-point floor) plus the match "
+    "posterior — large residuals localize which fields violate the "
+    "naive-Bayes independence assumption FS scoring rests on. Same "
+    "one-corpus-pass / <=2^F-row-rounds contract as record_linkage_em; "
+    "diagnostics are one broadcast join over the pattern table",
+)
+def q_record_linkage_em_fit(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("int")
+    dig = F.floor(F.col("c_acctbal")).cast("bigint") % 10
+    a = c.select(
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nation"),
+        F.col("c_mktsegment").alias("a_seg"),
+        band.alias("a_band"),
+        dig.alias("a_dig"),
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("b_nation"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        band.alias("b_band"),
+        dig.alias("b_dig"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_nation") == F.col("b_nation"))
+        & (F.col("a_band") == F.col("b_band")),
+    ).select(
+        (F.col("a_name") == F.col("b_name")).alias("name"),
+        (F.col("a_seg") == F.col("b_seg")).alias("segment"),
+        (F.col("a_dig") == F.col("b_dig")).alias("digit"),
+    )
+    return dedup.fs_em_fit(pairs, ["name", "segment", "digit"], iters=3)
 
 
 @register(
@@ -11614,6 +11708,12 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # record_linkage_em_fit took a slot; record_linkage_em (in-window)
+    # exercises the identical EM chain the fit audit extends — displace
+    # fuzzy_name_pairs_collapsed (its plain sibling holds an r04 driver
+    # row, the collapsed==plain equality is test-pinned, and it keeps
+    # 3-SF local oracle evidence).
+    "fuzzy_name_pairs_collapsed": "r07-local",
     # linkage_snm_multipass took a slot; linkage_sorted_neighborhood
     # (in-window) exercises the identical rank/band machinery both
     # passes compose — displace doc_winnow_fingerprint_verified, whose

@@ -251,3 +251,41 @@ def test_snm_second_pass_blocks_on_shared_suffix(spark):
         for r in dedup.sorted_neighborhood_pairs(rev, "key", "id", window=1).collect()
     }
     assert (1, 2) in back  # shared suffix -> adjacent reversed
+
+
+def test_fs_em_fit_reproduces_separated_mixture(spark):
+    """On a cleanly separated 2-class corpus the fitted mixture must
+    reproduce the observed pattern counts almost exactly, and the
+    posterior must be ~1 on the all-agree pattern, ~0 on all-disagree."""
+    rows = [(True, True)] * 300 + [(False, False)] * 700
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = {r.pattern: r for r in dedup.fs_em_fit(df, ["a", "b"], iters=5).collect()}
+    assert set(got) == {"11", "00"}
+    assert got["11"].n_obs == 300 and got["00"].n_obs == 700
+    for p in got.values():
+        assert abs(p.residual) <= max(3, p.n_obs // 100)
+    assert got["11"].match_post > 0.99
+    assert got["00"].match_post < 0.01
+    # expected counts conserve N up to floor slack
+    assert abs(sum(p.expected_n for p in got.values()) - 1000) <= len(got) + 1
+
+
+def test_fs_em_fit_flags_dependence(spark):
+    """Two perfectly CORRELATED fields violate conditional independence:
+    the mixed patterns ('10'/'01') are absent in the data but the
+    independence model predicts them — visible as negative residuals on
+    the observed patterns' complement."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for _ in range(1000):
+        g = rng.random() < 0.3
+        rows.append((g, g))  # fields always agree together
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = {r.pattern: r for r in dedup.fs_em_fit(df, ["a", "b"], iters=3).collect()}
+    # data has only 11/00; the model spreads mass onto 10/01 patterns
+    # it never sees -> the observed patterns carry positive residuals
+    assert set(got) == {"11", "00"}
+    assert all(p.residual >= 0 for p in got.values())
+    assert sum(p.expected_n for p in got.values()) < 1000  # mass leaked
