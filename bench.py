@@ -161,6 +161,7 @@ HEADLINE = [
     "audio_resample_rational",
     "linkage_snm_multipass",
     "record_linkage_em_fit",
+    "pca_top_component_embeddings",
 ]
 
 

@@ -1363,3 +1363,160 @@ def cluster_topics(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iters: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    unit: int = 10**6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by the power
+    method — the first step of PCA whitening / dimensionality triage
+    ("is there one dominant direction?"), computed as pure dataflow:
+    one pass builds the d×d centered scatter matrix, then fixed
+    iterations of v ← S·v normalized on the TINY d²-row table.
+
+    Fixed-point contract end to end (PageRank/HITS rules):
+
+    - components quantize as ``floor(v*unit)`` (the embedding_centroids
+      law); centering subtracts the TRUNCATED integer mean (mu = sum
+      div n — error < 1/unit, and it keeps deviations ~unit-sized so
+      scatter sums fit DECIMAL(38,0) even at 10^12 rows, unlike exact
+      n-scaled centering whose squares overflow);
+    - scatter entries are exact integer sums of deviation products;
+    - each iteration is S·v in decimal then L∞ normalization
+      ``(t*unit) div max|t|`` — trunc division matches both engines on
+      negatives (probed);
+    - the eigenvector sign is pinned: if the lowest-indexed nonzero
+      loading is negative, the vector flips (eigenvectors are
+      sign-ambiguous; the pin makes the output a function of the data);
+    - the eigenvalue is the integer Rayleigh quotient
+      ``(v·Sv) div (v·v)`` in scatter units, transported as VARCHAR;
+      explained ratio = eigenvalue/trace, one double division.
+
+    Scale: the scatter build is the classic d² cost — one self-join on
+    the row id producing n·d² deviation products (map-side combined to
+    d² partial sums per partition); for d in the hundreds use a sketch
+    first. Everything after the one corpus-sized pass runs on d²/d-row
+    tables, checkpointed per round (lineage lesson).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dec = "decimal(38,0)"
+    comp = (
+        embeddings.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("i", "_v"),
+        )
+        .select(
+            "_vid",
+            "i",
+            F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+            .cast("long")
+            .alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = comp.groupBy("i").agg(
+        F.expr("sum(_q) div count(1)").cast("long").alias("_mu"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dev = (
+        comp.join(F.broadcast(mu), "i")
+        .select("_vid", "i", (F.col("_q") - F.col("_mu")).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    a = dev
+    b = (
+        dev.withColumnRenamed("i", "j")
+        .withColumnRenamed("_d", "_e")
+    )
+    scatter = (
+        a.join(b, "_vid")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("_d").cast(dec) * F.col("_e").cast(dec)).cast(dec).alias("_s"))
+        .localCheckpoint(eager=True)
+    )
+    spark = embeddings.sparkSession
+    dim = scatter.agg(F.max("i")).collect()[0][0]
+    if dim is None:
+        return spark.createDataFrame(
+            [],
+            "pos int, loading_units long, loading double, "
+            "eigenvalue_str string, var_ratio double, n_vecs long",
+        )
+    v = spark.range(int(dim) + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(unit).cast("long").alias("_vu"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        t = (
+            scatter.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("_s") * F.col("_vu").cast(dec)).cast(dec).alias("_t"))
+        )
+        m = t.agg(F.max(F.abs(F.col("_t"))).cast(dec).alias("_m"))
+        v = (
+            t.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.when(F.col("_m") == 0, F.lit(0).cast("long"))
+                .otherwise(
+                    F.expr(f"(_t * CAST({unit} AS {dec})) div _m").cast("long")
+                )
+                .alias("_vu"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # deterministic sign pin: flip if the lowest-indexed nonzero loading
+    # is negative (1-row broadcast, no driver logic)
+    first_nz = (
+        v.filter(F.col("_vu") != 0)
+        .orderBy("j")
+        .limit(1)
+        .select(F.signum(F.col("_vu").cast("double")).cast("long").alias("_sg"))
+    )
+    sg = first_nz.select(
+        F.coalesce(F.col("_sg"), F.lit(1)).alias("_sg")
+    )
+    v_pinned = (
+        v.crossJoin(F.broadcast(sg))
+        .select("j", (F.col("_vu") * F.col("_sg")).cast("long").alias("_vu"))
+        .localCheckpoint(eager=True)
+    )
+    t_final = (
+        scatter.join(F.broadcast(v_pinned), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("_s") * F.col("_vu").cast(dec)).cast(dec).alias("_t"))
+    )
+    ray = (
+        t_final.join(F.broadcast(v_pinned.withColumnRenamed("j", "i")), "i")
+        .agg(
+            F.expr(
+                f"sum(_t * CAST(_vu AS {dec})) div sum(CAST(_vu AS {dec})"
+                f" * CAST(_vu AS {dec}))"
+            ).cast(dec).alias("_lam")
+        )
+    )
+    trace = scatter.filter(F.col("i") == F.col("j")).agg(
+        F.sum("_s").cast(dec).alias("_tr")
+    )
+    n1 = mu.agg(F.max("_n").cast("long").alias("n_vecs"))
+    return (
+        v_pinned.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("j").cast("int").alias("pos"),
+            F.col("_vu").alias("loading_units"),
+            (F.col("_vu").cast("double") / F.lit(float(unit))).alias("loading"),
+            F.col("_lam").cast("string").alias("eigenvalue_str"),
+            F.when(
+                F.col("_tr") != 0,
+                F.col("_lam").cast("double") / F.col("_tr").cast("double"),
+            ).alias("var_ratio"),
+            "n_vecs",
+        )
+    )

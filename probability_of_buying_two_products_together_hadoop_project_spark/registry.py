@@ -10607,6 +10607,101 @@ def q_audio_rational(spark, sf_dir):
     )
 
 
+def _pca_oracle(iters: int, dim: int = 64, unit: int = 10**6) -> str:
+    """Unrolled power-method oracle: HUGEINT scatter build (truncated
+    integer means, deviation products), per-round S·v + L-inf
+    normalization, the sign pin, and the integer Rayleigh quotient —
+    every loading bit regenerated. MATERIALIZED per the
+    reference-count lesson."""
+    parts = [
+        "WITH q AS MATERIALIZED (",
+        "  SELECT vec_id, list_transform(embedding,",
+        f"    x -> CAST(floor(CAST(x AS DOUBLE) * {unit}) AS BIGINT)) AS qv",
+        "  FROM embeddings",
+        "),",
+        "comp AS MATERIALIZED (",
+        f"  SELECT vec_id, i, qv[i + 1] AS qi FROM q, range(0, {dim}) r(i)",
+        "),",
+        "mu AS MATERIALIZED (",
+        "  SELECT i, SUM(qi) // COUNT(*) AS mu, COUNT(*) AS n",
+        "  FROM comp GROUP BY 1",
+        "),",
+        "dev AS MATERIALIZED (",
+        "  SELECT comp.vec_id, comp.i, qi - mu AS d FROM comp JOIN mu USING (i)",
+        "),",
+        "s AS MATERIALIZED (",
+        "  SELECT a.i, b.i AS j, SUM(CAST(a.d AS HUGEINT) * b.d) AS sv",
+        "  FROM dev a JOIN dev b USING (vec_id) GROUP BY 1, 2",
+        "),",
+        f"v0 AS MATERIALIZED (SELECT i AS j, CAST({unit} AS HUGEINT) AS vu",
+        f"  FROM range(0, {dim}) r(i)),",
+    ]
+    prev = "v0"
+    for r in range(1, iters + 1):
+        parts += [
+            f"t{r} AS MATERIALIZED (",
+            f"  SELECT s.i, SUM(sv * vu) AS t FROM s JOIN {prev}",
+            f"    ON s.j = {prev}.j GROUP BY 1",
+            "),",
+            f"m{r} AS MATERIALIZED (SELECT MAX(abs(t)) AS m FROM t{r}),",
+            f"v{r} AS MATERIALIZED (",
+            "  SELECT i AS j, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)",
+            f"    ELSE (t * {unit}) // m END AS vu",
+            f"  FROM t{r} CROSS JOIN m{r}",
+            "),",
+        ]
+        prev = f"v{r}"
+    parts += [
+        "sg AS MATERIALIZED (SELECT COALESCE((SELECT CASE WHEN vu < 0",
+        f"  THEN -1 ELSE 1 END FROM {prev} WHERE vu != 0 ORDER BY j LIMIT 1),",
+        "  1) AS sg),",
+        f"vp AS MATERIALIZED (SELECT j, vu * sg AS vu FROM {prev} CROSS JOIN sg),",
+        "tf AS MATERIALIZED (",
+        "  SELECT s.i, SUM(sv * vu) AS t FROM s JOIN vp ON s.j = vp.j",
+        "  GROUP BY 1",
+        "),",
+        "ray AS MATERIALIZED (",
+        "  SELECT SUM(t * vu) // SUM(CAST(vu AS HUGEINT) * vu) AS lam",
+        "  FROM tf JOIN vp ON tf.i = vp.j",
+        "),",
+        "tr AS MATERIALIZED (SELECT SUM(sv) AS tr FROM s WHERE i = j),",
+        "n1 AS MATERIALIZED (SELECT MAX(n) AS n_vecs FROM mu)",
+        "SELECT CAST(vp.j AS INT) AS pos,",
+        "       CAST(vu AS BIGINT) AS loading_units,",
+        f"       CAST(vu AS DOUBLE) / {unit} AS loading,",
+        "       CAST(lam AS VARCHAR) AS eigenvalue_str,",
+        "       CASE WHEN tr != 0 THEN CAST(CAST(lam AS VARCHAR) AS DOUBLE)",
+        "         / CAST(CAST(tr AS VARCHAR) AS DOUBLE) END AS var_ratio,",
+        "       CAST(n_vecs AS BIGINT) AS n_vecs",
+        "FROM vp CROSS JOIN ray CROSS JOIN tr CROSS JOIN n1",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "pca_top_component_embeddings",
+    _pca_oracle(iters=6),
+    "Top principal component of the embedding corpus by the power "
+    "method — PCA's first step as pure dataflow: ONE corpus pass "
+    "builds the 64x64 centered scatter matrix (truncated-integer-mean "
+    "centering keeps deviation products inside DECIMAL(38,0) at any "
+    "row count; exact n-scaled centering would overflow), then 6 "
+    "fixed-point iterations of S.v with L-inf normalization "
+    "(t*unit) div max|t| on the d^2-row table — trunc division "
+    "matching both engines on negatives. The sign pin (flip if the "
+    "lowest-indexed nonzero loading is negative) makes the "
+    "sign-ambiguous eigenvector a function of the data; the "
+    "eigenvalue is the integer Rayleigh quotient (v.Sv) div (v.v) "
+    "transported as VARCHAR; var_ratio = eigenvalue/trace. Completes "
+    "the embedding-analysis surface: centroids, k-means, IVF/PQ/LSH "
+    "search, SemDeDup, and now the spectral summary",
+)
+def q_pca_top(spark, sf_dir):
+    return similarity.pca_top_component(
+        _t(spark, sf_dir, "embeddings"), iters=6
+    )
+
+
 @register(
     "semantic_dedup_embeddings",
     _semantic_dedup_oracle(k=8, iters=3, threshold=0.35),
@@ -11708,6 +11803,13 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # pca_top_component_embeddings took a slot; kmeans_embeddings
+    # (in-window) exercises the same quantize/fixed-point-iterate/
+    # checkpoint discipline over the same corpus — displace
+    # embedding_ivf_topk_verified, whose deterministic grid twin keeps
+    # 3-SF local evidence and whose adaptive path is exercised via the
+    # in-window kmeans machinery.
+    "embedding_ivf_topk_verified": "r07-local",
     # record_linkage_em_fit took a slot; record_linkage_em (in-window)
     # exercises the identical EM chain the fit audit extends — displace
     # fuzzy_name_pairs_collapsed (its plain sibling holds an r04 driver
