@@ -162,6 +162,7 @@ HEADLINE = [
     "linkage_snm_multipass",
     "record_linkage_em_fit",
     "pca_top_component_embeddings",
+    "linkage_reciprocal_best",
 ]
 
 

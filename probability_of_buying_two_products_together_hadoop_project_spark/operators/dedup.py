@@ -1791,3 +1791,41 @@ def sorted_neighborhood_pairs(
             (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"),
         )
     )
+
+
+def reciprocal_best_match(
+    scored_pairs: DataFrame,
+    a_id: str,
+    b_id: str,
+    score_col: str,
+) -> DataFrame:
+    """One-to-one entity assignment from scored candidate pairs — the
+    RESOLVE step that closes the linkage pipeline (block → score → EM →
+    fit audit → assign): keep a pair iff it is the best-scoring
+    candidate for BOTH of its records (reciprocal best match, the
+    standard greedy-free approximation to bipartite matching that needs
+    no sequential auction).
+
+    Determinism: "best" is rank 1 under the total order
+    ``(score DESC, other_id ASC)`` on each side — ties break to the
+    smaller partner id, so the assignment is a pure function of the
+    scores (which, from :func:`fellegi_sunter_link`, are exact
+    decimals). Two rank windows on the two id keys — two bucket-keyed
+    exchanges over the candidate pairs, nothing else; mutual-rank-1
+    filtering is a projection.
+
+    Each record appears in at most one output row (rank 1 is unique per
+    side under a total order) — the one-to-one guarantee.
+    """
+    wa = Window.partitionBy(a_id).orderBy(
+        F.col(score_col).desc(), F.col(b_id).asc()
+    )
+    wb = Window.partitionBy(b_id).orderBy(
+        F.col(score_col).desc(), F.col(a_id).asc()
+    )
+    return (
+        scored_pairs.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .drop("_ra", "_rb")
+    )

@@ -289,3 +289,27 @@ def test_fs_em_fit_flags_dependence(spark):
     assert set(got) == {"11", "00"}
     assert all(p.residual >= 0 for p in got.values())
     assert sum(p.expected_n for p in got.values()) < 1000  # mass leaked
+
+
+def test_reciprocal_best_match_one_to_one(spark):
+    rows = [
+        # a1's best is b1 (5.0) and vice versa -> kept
+        (1, 10, 5.0), (1, 11, 3.0),
+        # a2's best is b1 (4.0) but b1 prefers a1 -> dropped; a2-b11 is
+        # mutual second-best? a2's candidates ranked: b1(4) > b11(2);
+        # b11's candidates: a2(2) > nothing else -> NOT mutual (a2's
+        # rank-1 is b1), so a2 stays unmatched
+        (2, 10, 4.0), (2, 11, 2.0),
+        # tie on score: a3 ties b12/b13 at 1.0 -> smaller b wins both
+        # sides -> (3, 12) kept
+        (3, 12, 1.0), (3, 13, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "a_id bigint, b_id bigint, score double")
+    got = {
+        (r.a_id, r.b_id)
+        for r in dedup.reciprocal_best_match(df, "a_id", "b_id", "score").collect()
+    }
+    assert got == {(1, 10), (3, 12)}
+    # one-to-one: no id repeats on either side
+    assert len({a for a, _ in got}) == len(got)
+    assert len({b for _, b in got}) == len(got)
