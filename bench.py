@@ -163,6 +163,7 @@ HEADLINE = [
     "record_linkage_em_fit",
     "pca_top_component_embeddings",
     "linkage_reciprocal_best",
+    "psi_drift_totalprice",
 ]
 
 

@@ -330,6 +330,107 @@ def benford_screen(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one relation —
+    the industry-standard binned drift monitor (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 shifted), completing the drift trio: KS
+    (exact distributional sup-gap), Welch (means), PSI (binned shares,
+    the score-monitoring convention).
+
+    Contract: ``n_bins`` fixed-width bins over the CLOSED range
+    [lo, hi] (integer literals — reference bin edges are part of a PSI
+    definition and must not drift with the data; values clamp into the
+    edge bins, the monitoring convention). Counts take add-one
+    smoothing (zero-count bins otherwise make PSI infinite — the
+    standard fix, stated loudly). Shares quantize to integer 1e-9
+    units by floor division; each log-ratio term quantizes as
+    round(ln((c1·n2)/(c2·n1)), 6) with the count products cast to
+    double BEFORE multiplying (LESSONS 11); the per-bin contribution
+    (p9 - q9) × lnq6 is exact decimal arithmetic and the PSI total an
+    exact decimal sum — engine-deterministic end to end.
+
+    One scan → one (bin, c1, c2) aggregation (<= n_bins + 2 rows
+    shuffle at ANY corpus size); everything after is bin-table-sized.
+    Output per bin plus the repeated totals: (bin, c1, c2, share1,
+    share2, term, psi, n1, n2).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    d6 = "decimal(18,6)"
+    x = F.col(value_col)
+    width_num, width_den = hi - lo, n_bins
+    raw_bin = F.floor(
+        ((x - F.lit(lo)) * F.lit(width_den)) / F.lit(float(width_num))
+    ).cast("int")
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin))
+    one = F.when(side_col, 1).otherwise(0)
+    cells = df.groupBy(bin_.alias("bin")).agg(
+        F.sum(one).alias("_c1raw"),
+        F.sum(1 - one).alias("_c2raw"),
+    )
+    # add-one smoothing; totals computed over the smoothed counts so
+    # shares still sum to 1
+    c1 = F.col("_c1raw") + 1
+    c2 = F.col("_c2raw") + 1
+    wall = Window.partitionBy()
+    base = cells.select(
+        "bin",
+        c1.alias("_c1"),
+        c2.alias("_c2"),
+        F.sum(c1).over(wall).alias("_n1"),
+        F.sum(c2).over(wall).alias("_n2"),
+    )
+    # decimal product BEFORE the floor division: long*1e9 overflows
+    # int64 at corpus-scale counts
+    d38 = "decimal(38,0)"
+    p9 = F.expr(
+        f"(CAST(_c1 AS {d38}) * CAST(1000000000 AS {d38})) div _n1"
+    ).cast(d38)
+    q9 = F.expr(
+        f"(CAST(_c2 AS {d38}) * CAST(1000000000 AS {d38})) div _n2"
+    ).cast(d38)
+    lnr = F.round(
+        F.log(
+            (F.col("_c1").cast("double") * F.col("_n2").cast("double"))
+            / (F.col("_c2").cast("double") * F.col("_n1").cast("double"))
+        ),
+        6,
+    ).cast(d6)
+    term = (p9 - q9) * lnr  # 1e-9-share units x 6dp nats
+    scored = base.select(
+        "bin",
+        F.col("_c1").cast("long").alias("c1"),
+        F.col("_c2").cast("long").alias("c2"),
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_n2").cast("long").alias("n2"),
+        (p9.cast("double") / F.lit(1e9)).alias("share1"),
+        (q9.cast("double") / F.lit(1e9)).alias("share2"),
+        (term.cast("double") / F.lit(1e9)).alias("term"),
+        term.alias("_tq"),
+    )
+    psi = F.sum("_tq").over(Window.partitionBy())
+    return scored.select(
+        F.col("bin").cast("long").alias("bin"),
+        "c1",
+        "c2",
+        "n1",
+        "n2",
+        "share1",
+        "share2",
+        "term",
+        (psi.cast("double") / F.lit(1e9)).alias("psi"),
+    )
+
+
 def mutual_information(
     df: DataFrame, x_col: Column, y_col: Column
 ) -> DataFrame:

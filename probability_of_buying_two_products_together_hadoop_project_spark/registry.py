@@ -8381,6 +8381,69 @@ def q_entropy_screen(spark, sf_dir):
 
 
 @register(
+    "psi_drift_totalprice",
+    """
+    WITH cells AS (
+      SELECT LEAST(9, GREATEST(0, CAST(floor(((o_totalprice - 0) * 10)
+               / CAST(600000 AS DOUBLE)) AS INT))) AS bin,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 1 ELSE 0 END) AS c1raw,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 0 ELSE 1 END) AS c2raw
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT bin, c1raw + 1 AS c1, c2raw + 1 AS c2,
+             SUM(c1raw + 1) OVER () AS n1,
+             SUM(c2raw + 1) OVER () AS n2
+      FROM cells
+    ),
+    s AS (
+      SELECT *,
+             (CAST(c1 AS HUGEINT) * 1000000000) // n1 AS p9,
+             (CAST(c2 AS HUGEINT) * 1000000000) // n2 AS q9,
+             CAST(round(ln((CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS lnr
+      FROM b
+    ),
+    t AS (
+      SELECT *, CAST(p9 - q9 AS DECIMAL(38,0)) * lnr AS tq FROM s
+    )
+    SELECT bin,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(CAST(p9 AS VARCHAR) AS DOUBLE) / 1e9 AS share1,
+           CAST(CAST(q9 AS VARCHAR) AS DOUBLE) / 1e9 AS share2,
+           CAST(CAST(tq AS VARCHAR) AS DOUBLE) / 1e9 AS term,
+           CAST(CAST(SUM(tq) OVER () AS VARCHAR) AS DOUBLE) / 1e9 AS psi
+    FROM t
+    """,
+    "Population Stability Index (pre- vs post-1998 order values, 10 "
+    "fixed-width bins over [0, 600000]) — the industry-standard binned "
+    "drift monitor (0.1/0.25 bands), completing the drift trio with KS "
+    "(exact sup-gap) and Welch (means). FIXED reference edges (edges "
+    "are part of a PSI definition; values clamp into edge bins), "
+    "add-one smoothing stated loudly (zero bins make PSI infinite), "
+    "shares as floor-divided 1e-9 integer units (decimal product "
+    "before div — long*1e9 overflows), log-ratios 6dp-quantized with "
+    "count products cast to double first (LESSONS 11), contributions "
+    "exact decimals, doubles via VARCHAR (int128 lesson). One scan, "
+    "<= n_bins rows shuffled at any corpus size",
+)
+def q_psi_drift(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.psi_drift(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        lo=0,
+        hi=600000,
+        n_bins=10,
+    )
+
+
+@register(
     "ks_drift_totalprice",
     """
     WITH dv AS (
@@ -11904,6 +11967,13 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # psi_drift_totalprice took a slot; ks_drift_totalprice + welch
+    # (in-window) keep the cohort-drift machinery checked and
+    # value_histogram_events (tail, r05-local) the binning law —
+    # displace token_shards_4k: the parallel prefix-sum it anchors is
+    # exercised in-window by ks_drift's bucketed prefix and the
+    # order-statistics backbone, and it keeps 3-SF local evidence.
+    "token_shards_4k": "r07-local",
     # linkage_reciprocal_best took a slot; record_linkage_fs (in-window)
     # produces the exact scored-pair relation the assignment ranks, and
     # keep_latest holds the rank-1-window r04 driver row — displace

@@ -680,3 +680,57 @@ def test_mutual_information_independent_and_constant(spark):
     df2 = spark.createDataFrame([(i % 3, 7) for i in range(30)], "x int, y int")
     row2 = evaluation.mutual_information(df2, F.col("x"), F.col("y")).collect()[0]
     assert row2.hy_nats == 0.0 and row2.nmi is None and row2.mi_nats == 0.0
+
+
+def py_psi(xs, ys, lo, hi, n_bins):
+    from collections import Counter
+
+    def binize(v):
+        b = math.floor(((v - lo) * n_bins) / float(hi - lo))
+        return min(n_bins - 1, max(0, int(b)))
+
+    cx, cy = Counter(map(binize, xs)), Counter(map(binize, ys))
+    bins = sorted(set(cx) | set(cy))
+    c1 = {b: cx.get(b, 0) + 1 for b in bins}
+    c2 = {b: cy.get(b, 0) + 1 for b in bins}
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    total = 0
+    out = {}
+    for b in bins:
+        p9 = (c1[b] * 10**9) // n1
+        q9 = (c2[b] * 10**9) // n2
+        lnr = _round6(math.log((c1[b] * n2) / (c2[b] * n1)))
+        out[b] = (c1[b], c2[b], (p9 - q9) * lnr)
+        total += (p9 - q9) * lnr
+    return out, float(total) / 1e9
+
+
+def test_psi_matches_reference_and_detects_shift(spark):
+    rng = random.Random(13)
+    xs = [rng.uniform(10, 50) for _ in range(3000)]
+    ys = [rng.uniform(30, 80) for _ in range(2000)]  # shifted cohort
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    got = {
+        r.bin: r
+        for r in evaluation.psi_drift(df, "v", F.col("s"), 0, 100, 10).collect()
+    }
+    want, psi = py_psi(xs, ys, 0, 100, 10)
+    for b, (c1, c2, term) in want.items():
+        assert (got[b].c1, got[b].c2) == (c1, c2)
+        assert got[b].term == pytest.approx(float(term) / 1e9, abs=1e-15)
+    any_bin = next(iter(got))
+    assert got[any_bin].psi == pytest.approx(psi, abs=1e-12)
+    assert got[any_bin].psi > 0.25  # the shift is detected
+
+
+def test_psi_identical_cohorts_near_zero_and_validation(spark):
+    vals = [float(v % 37) for v in range(4000)]
+    rows = [(v, i % 2 == 0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    got = evaluation.psi_drift(df, "v", F.col("s"), 0, 40, 8).collect()
+    assert abs(got[0].psi) < 0.01
+    with pytest.raises(ValueError):
+        evaluation.psi_drift(df, "v", F.col("s"), 5, 5)
+    with pytest.raises(ValueError):
+        evaluation.psi_drift(df, "v", F.col("s"), 0, 10, n_bins=1)
