@@ -164,6 +164,7 @@ HEADLINE = [
     "pca_top_component_embeddings",
     "linkage_reciprocal_best",
     "psi_drift_totalprice",
+    "psi_drift_by_status",
 ]
 
 

@@ -337,6 +337,7 @@ def psi_drift(
     lo: int,
     hi: int,
     n_bins: int = 10,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Population Stability Index between two cohorts of one relation —
     the industry-standard binned drift monitor (PSI < 0.1 stable,
@@ -365,6 +366,10 @@ def psi_drift(
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    clash = {"bin", "c1", "c2", "n1", "n2", "share1", "share2", "term",
+             "psi", "_tq", "_c1", "_c2", "_n1", "_n2"} & set(group_cols)
+    if clash:
+        raise ValueError(f"psi group_cols clash with working names: {sorted(clash)}")
     d6 = "decimal(18,6)"
     x = F.col(value_col)
     width_num, width_den = hi - lo, n_bins
@@ -373,7 +378,7 @@ def psi_drift(
     ).cast("int")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin))
     one = F.when(side_col, 1).otherwise(0)
-    cells = df.groupBy(bin_.alias("bin")).agg(
+    cells = df.groupBy(*group_cols, bin_.alias("bin")).agg(
         F.sum(one).alias("_c1raw"),
         F.sum(1 - one).alias("_c2raw"),
     )
@@ -381,8 +386,9 @@ def psi_drift(
     # shares still sum to 1
     c1 = F.col("_c1raw") + 1
     c2 = F.col("_c2raw") + 1
-    wall = Window.partitionBy()
+    wall = Window.partitionBy(*group_cols)
     base = cells.select(
+        *group_cols,
         "bin",
         c1.alias("_c1"),
         c2.alias("_c2"),
@@ -407,6 +413,7 @@ def psi_drift(
     ).cast(d6)
     term = (p9 - q9) * lnr  # 1e-9-share units x 6dp nats
     scored = base.select(
+        *group_cols,
         "bin",
         F.col("_c1").cast("long").alias("c1"),
         F.col("_c2").cast("long").alias("c2"),
@@ -417,8 +424,9 @@ def psi_drift(
         (term.cast("double") / F.lit(1e9)).alias("term"),
         term.alias("_tq"),
     )
-    psi = F.sum("_tq").over(Window.partitionBy())
+    psi = F.sum("_tq").over(Window.partitionBy(*group_cols))
     return scored.select(
+        *group_cols,
         F.col("bin").cast("long").alias("bin"),
         "c1",
         "c2",

@@ -8444,6 +8444,68 @@ def q_psi_drift(spark, sf_dir):
 
 
 @register(
+    "psi_drift_by_status",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus, LEAST(9, GREATEST(0,
+               CAST(floor(((o_totalprice - 0) * 10)
+                 / CAST(600000 AS DOUBLE)) AS INT))) AS bin,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 1 ELSE 0 END) AS c1raw,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                 THEN 0 ELSE 1 END) AS c2raw
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT o_orderstatus, bin, c1raw + 1 AS c1, c2raw + 1 AS c2,
+             SUM(c1raw + 1) OVER (PARTITION BY o_orderstatus) AS n1,
+             SUM(c2raw + 1) OVER (PARTITION BY o_orderstatus) AS n2
+      FROM cells
+    ),
+    s AS (
+      SELECT *,
+             (CAST(c1 AS HUGEINT) * 1000000000) // n1 AS p9,
+             (CAST(c2 AS HUGEINT) * 1000000000) // n2 AS q9,
+             CAST(round(ln((CAST(c1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                  / (CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS lnr
+      FROM b
+    ),
+    t AS (
+      SELECT *, CAST(p9 - q9 AS DECIMAL(38,0)) * lnr AS tq FROM s
+    )
+    SELECT o_orderstatus, bin,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(CAST(p9 AS VARCHAR) AS DOUBLE) / 1e9 AS share1,
+           CAST(CAST(q9 AS VARCHAR) AS DOUBLE) / 1e9 AS share2,
+           CAST(CAST(tq AS VARCHAR) AS DOUBLE) / 1e9 AS term,
+           CAST(CAST(SUM(tq) OVER (PARTITION BY o_orderstatus)
+             AS VARCHAR) AS DOUBLE) / 1e9 AS psi
+    FROM t
+    """,
+    "Grouped PSI — the per-key drift DASHBOARD (one PSI per order "
+    "status, same fixed [0, 600000] x 10-bin reference edges and "
+    "add-one smoothing as psi_drift_totalprice): the monitoring shape "
+    "where thousands of segments each get their own stability index "
+    "from ONE scan — shuffle stays <= groups x bins smoothed cells at "
+    "any corpus size. Same exactness contract (1e-9 integer shares, "
+    "6dp log-ratios, decimal sums, VARCHAR transport)",
+)
+def q_psi_by_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.psi_drift(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        lo=0,
+        hi=600000,
+        n_bins=10,
+        group_cols=("o_orderstatus",),
+    )
+
+
+@register(
     "ks_drift_totalprice",
     """
     WITH dv AS (
@@ -11967,6 +12029,13 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # psi_drift_by_status took a slot; psi_drift_totalprice (in-window)
+    # exercises the identical binning/smoothing/quantization law with
+    # the grouped==solo equivalence test-pinned — displace
+    # mix_sources_weighted: its md5-permille draw law is the in-window
+    # dsir_select/weighted_sample md5 contract and train_val_test_split
+    # (tail) shares the same draw; 3-SF local evidence.
+    "mix_sources_weighted": "r07-local",
     # psi_drift_totalprice took a slot; ks_drift_totalprice + welch
     # (in-window) keep the cohort-drift machinery checked and
     # value_histogram_events (tail, r05-local) the binning law —

@@ -734,3 +734,32 @@ def test_psi_identical_cohorts_near_zero_and_validation(spark):
         evaluation.psi_drift(df, "v", F.col("s"), 5, 5)
     with pytest.raises(ValueError):
         evaluation.psi_drift(df, "v", F.col("s"), 0, 10, n_bins=1)
+
+
+def test_psi_grouped_matches_ungrouped_per_group(spark):
+    rng = random.Random(31)
+    rows = []
+    for g in ("a", "b"):
+        shift = 0 if g == "a" else 25
+        for _ in range(800):
+            rows.append((g, rng.uniform(10 + shift, 50 + shift), True))
+        for _ in range(700):
+            rows.append((g, rng.uniform(20, 60), False))
+    df = spark.createDataFrame(rows, "g string, v double, s boolean")
+    grouped = {
+        (r.g, r.bin): (r.c1, r.c2, r.psi)
+        for r in evaluation.psi_drift(
+            df, "v", F.col("s"), 0, 100, 10, group_cols=("g",)
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            r.bin: (r.c1, r.c2, r.psi)
+            for r in evaluation.psi_drift(
+                df.filter(F.col("g") == g), "v", F.col("s"), 0, 100, 10
+            ).collect()
+        }
+        assert {b: v for (gg, b), v in grouped.items() if gg == g} == solo
+    # clash guard
+    with pytest.raises(ValueError, match="clash"):
+        evaluation.psi_drift(df, "v", F.col("s"), 0, 1, group_cols=("psi",))
