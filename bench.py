@@ -165,6 +165,7 @@ HEADLINE = [
     "linkage_reciprocal_best",
     "psi_drift_totalprice",
     "psi_drift_by_status",
+    "pca_two_components_embeddings",
 ]
 
 

@@ -1520,3 +1520,199 @@ def pca_top_component(
             "n_vecs",
         )
     )
+
+
+def pca_components(
+    embeddings: DataFrame,
+    n_components: int = 2,
+    iters: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    unit: int = 10**6,
+) -> DataFrame:
+    """The leading ``n_components`` principal components by power
+    iteration WITH DEFLATION — :func:`pca_top_component` generalized:
+    after each component converges, the scatter deflates
+    ``S ← S − (λ·v_i·v_j) div (v·v)`` (exact integer Hotelling
+    deflation on the fixed-point loadings), and the next power run
+    finds the next direction. Same quantize / trunc-div / sign-pin /
+    Rayleigh contracts as the top-component operator; residual
+    eigenvalues shrink monotonically, and var_ratio is each λ over the
+    ORIGINAL trace (the explained-variance convention).
+
+    Output: one row per (component, pos) with the same columns as
+    :func:`pca_top_component` plus the leading ``component`` index.
+    Deflation is a 64x64-table projection per component — everything
+    after the one corpus pass stays d²-sized.
+    """
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dec = "decimal(38,0)"
+    comp = (
+        embeddings.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("i", "_v"),
+        )
+        .select(
+            "_vid",
+            "i",
+            F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+            .cast("long")
+            .alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = comp.groupBy("i").agg(
+        F.expr("sum(_q) div count(1)").cast("long").alias("_mu"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dev = (
+        comp.join(F.broadcast(mu), "i")
+        .select("_vid", "i", (F.col("_q") - F.col("_mu")).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    scatter = (
+        dev.join(
+            dev.withColumnRenamed("i", "j").withColumnRenamed("_d", "_e"),
+            "_vid",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("_d").cast(dec) * F.col("_e").cast(dec))
+            .cast(dec)
+            .alias("_s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = embeddings.sparkSession
+    dim = scatter.agg(F.max("i")).collect()[0][0]
+    empty_schema = (
+        "component int, pos int, loading_units long, loading double, "
+        "eigenvalue_str string, var_ratio double, n_vecs long"
+    )
+    if dim is None:
+        return spark.createDataFrame([], empty_schema)
+    trace0 = scatter.filter(F.col("i") == F.col("j")).agg(
+        F.sum("_s").cast(dec).alias("_tr")
+    ).localCheckpoint(eager=True)
+    n1 = mu.agg(F.max("_n").cast("long").alias("n_vecs")).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for c in range(n_components):
+        v = spark.range(int(dim) + 1).select(
+            F.col("id").cast("int").alias("j"),
+            F.lit(unit).cast("long").alias("_vu"),
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            t = (
+                scatter.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(
+                    F.sum(F.col("_s") * F.col("_vu").cast(dec))
+                    .cast(dec)
+                    .alias("_t")
+                )
+            )
+            m = t.agg(F.max(F.abs(F.col("_t"))).cast(dec).alias("_m"))
+            v = (
+                t.crossJoin(F.broadcast(m))
+                .select(
+                    F.col("i").alias("j"),
+                    F.when(F.col("_m") == 0, F.lit(0).cast("long"))
+                    .otherwise(
+                        F.expr(f"(_t * CAST({unit} AS {dec})) div _m").cast(
+                            "long"
+                        )
+                    )
+                    .alias("_vu"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        sg = (
+            v.filter(F.col("_vu") != 0)
+            .orderBy("j")
+            .limit(1)
+            .select(
+                F.signum(F.col("_vu").cast("double")).cast("long").alias("_sg")
+            )
+            .select(F.coalesce(F.col("_sg"), F.lit(1)).alias("_sg"))
+        )
+        vp = (
+            v.crossJoin(F.broadcast(sg))
+            .select("j", (F.col("_vu") * F.col("_sg")).cast("long").alias("_vu"))
+            .localCheckpoint(eager=True)
+        )
+        tf = (
+            scatter.join(F.broadcast(vp), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("_s") * F.col("_vu").cast(dec)).cast(dec).alias("_t")
+            )
+        )
+        ray = (
+            tf.join(F.broadcast(vp.withColumnRenamed("j", "i")), "i")
+            .agg(
+                F.expr(
+                    f"sum(_t * CAST(_vu AS {dec})) div"
+                    f" sum(CAST(_vu AS {dec}) * CAST(_vu AS {dec}))"
+                )
+                .cast(dec)
+                .alias("_lam")
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows = (
+            vp.crossJoin(F.broadcast(ray))
+            .crossJoin(F.broadcast(trace0))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.lit(c).cast("int").alias("component"),
+                F.col("j").cast("int").alias("pos"),
+                F.col("_vu").alias("loading_units"),
+                (F.col("_vu").cast("double") / F.lit(float(unit))).alias(
+                    "loading"
+                ),
+                F.col("_lam").cast("string").alias("eigenvalue_str"),
+                F.when(
+                    F.col("_tr") != 0,
+                    F.col("_lam").cast("double") / F.col("_tr").cast("double"),
+                ).alias("var_ratio"),
+                "n_vecs",
+            )
+        )
+        out = rows if out is None else out.unionAll(rows)
+        if c + 1 < n_components:
+            # Hotelling deflation: S -= (lam * v_i * v_j) div (v . v)
+            vv = vp.agg(
+                F.sum(F.col("_vu").cast(dec) * F.col("_vu").cast(dec))
+                .cast(dec)
+                .alias("_vv")
+            )
+            vi = vp.select(F.col("j").alias("i"), F.col("_vu").alias("_vi"))
+            vj = vp.select("j", F.col("_vu").alias("_vj"))
+            scatter = (
+                scatter.join(F.broadcast(vi), "i")
+                .join(F.broadcast(vj), "j")
+                .crossJoin(F.broadcast(ray))
+                .crossJoin(F.broadcast(vv))
+                .select(
+                    "i",
+                    "j",
+                    F.when(
+                        F.col("_vv") == 0, F.col("_s")
+                    )
+                    .otherwise(
+                        F.col("_s")
+                        - F.expr(
+                            f"(_lam * CAST(_vi AS {dec})"
+                            f" * CAST(_vj AS {dec})) div _vv"
+                        ).cast(dec)
+                    )
+                    .alias("_s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return out

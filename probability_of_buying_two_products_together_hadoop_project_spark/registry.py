@@ -10803,6 +10803,120 @@ def _pca_oracle(iters: int, dim: int = 64, unit: int = 10**6) -> str:
     return "\n".join(parts)
 
 
+def _pca_multi_oracle(
+    n_components: int, iters: int, dim: int = 64, unit: int = 10**6
+) -> str:
+    """Power-method-with-deflation oracle: the _pca_oracle chain
+    repeated per component with the exact integer Hotelling deflation
+    S -= (lam*v_i*v_j) // (v.v) between components."""
+    parts = [
+        "WITH q AS MATERIALIZED (",
+        "  SELECT vec_id, list_transform(embedding,",
+        f"    x -> CAST(floor(CAST(x AS DOUBLE) * {unit}) AS BIGINT)) AS qv",
+        "  FROM embeddings",
+        "),",
+        "comp AS MATERIALIZED (",
+        f"  SELECT vec_id, i, qv[i + 1] AS qi FROM q, range(0, {dim}) r(i)",
+        "),",
+        "mu AS MATERIALIZED (",
+        "  SELECT i, SUM(qi) // COUNT(*) AS mu, COUNT(*) AS n",
+        "  FROM comp GROUP BY 1",
+        "),",
+        "dev AS MATERIALIZED (",
+        "  SELECT comp.vec_id, comp.i, qi - mu AS d FROM comp JOIN mu USING (i)",
+        "),",
+        "s0 AS MATERIALIZED (",
+        "  SELECT a.i, b.i AS j, SUM(CAST(a.d AS HUGEINT) * b.d) AS sv",
+        "  FROM dev a JOIN dev b USING (vec_id) GROUP BY 1, 2",
+        "),",
+        "tr0 AS MATERIALIZED (SELECT SUM(sv) AS tr FROM s0 WHERE i = j),",
+        "n1 AS MATERIALIZED (SELECT MAX(n) AS n_vecs FROM mu),",
+    ]
+    for c in range(n_components):
+        s = f"s{c}"
+        parts += [
+            f"v{c}_0 AS MATERIALIZED (SELECT i AS j,"
+            f" CAST({unit} AS HUGEINT) AS vu FROM range(0, {dim}) r(i)),",
+        ]
+        prev = f"v{c}_0"
+        for r in range(1, iters + 1):
+            parts += [
+                f"t{c}_{r} AS MATERIALIZED (",
+                f"  SELECT {s}.i, SUM(sv * vu) AS t FROM {s} JOIN {prev}",
+                f"    ON {s}.j = {prev}.j GROUP BY 1",
+                "),",
+                f"m{c}_{r} AS MATERIALIZED (SELECT MAX(abs(t)) AS m"
+                f" FROM t{c}_{r}),",
+                f"v{c}_{r} AS MATERIALIZED (",
+                "  SELECT i AS j, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)",
+                f"    ELSE (t * {unit}) // m END AS vu",
+                f"  FROM t{c}_{r} CROSS JOIN m{c}_{r}",
+                "),",
+            ]
+            prev = f"v{c}_{r}"
+        parts += [
+            f"sg{c} AS MATERIALIZED (SELECT COALESCE((SELECT CASE WHEN vu < 0",
+            f"  THEN -1 ELSE 1 END FROM {prev} WHERE vu != 0"
+            " ORDER BY j LIMIT 1), 1) AS sg),",
+            f"vp{c} AS MATERIALIZED (SELECT j, vu * sg AS vu"
+            f" FROM {prev} CROSS JOIN sg{c}),",
+            f"tf{c} AS MATERIALIZED (",
+            f"  SELECT {s}.i, SUM(sv * vu) AS t FROM {s} JOIN vp{c}",
+            f"    ON {s}.j = vp{c}.j GROUP BY 1",
+            "),",
+            f"ray{c} AS MATERIALIZED (",
+            "  SELECT SUM(t * vu) // SUM(CAST(vu AS HUGEINT) * vu) AS lam",
+            f"  FROM tf{c} JOIN vp{c} ON tf{c}.i = vp{c}.j",
+            "),",
+        ]
+        if c + 1 < n_components:
+            parts += [
+                f"vv{c} AS MATERIALIZED (SELECT SUM(CAST(vu AS HUGEINT) * vu)"
+                f" AS vv FROM vp{c}),",
+                f"s{c + 1} AS MATERIALIZED (",
+                f"  SELECT {s}.i, {s}.j,",
+                "         CASE WHEN vv = 0 THEN sv ELSE sv",
+                "           - (lam * CAST(a.vu AS HUGEINT) * b.vu) // vv",
+                "         END AS sv",
+                f"  FROM {s} JOIN vp{c} a ON {s}.i = a.j",
+                f"       JOIN vp{c} b ON {s}.j = b.j",
+                f"       CROSS JOIN ray{c} CROSS JOIN vv{c}",
+                "),",
+            ]
+    parts[-1] = parts[-1].rstrip(",")
+    selects = []
+    for c in range(n_components):
+        selects.append(
+            f"SELECT {c} AS component, CAST(vp{c}.j AS INT) AS pos,"
+            f" CAST(vu AS BIGINT) AS loading_units,"
+            f" CAST(vu AS DOUBLE) / {unit} AS loading,"
+            f" CAST(lam AS VARCHAR) AS eigenvalue_str,"
+            " CASE WHEN tr != 0 THEN CAST(CAST(lam AS VARCHAR) AS DOUBLE)"
+            " / CAST(CAST(tr AS VARCHAR) AS DOUBLE) END AS var_ratio,"
+            " CAST(n_vecs AS BIGINT) AS n_vecs"
+            f" FROM vp{c} CROSS JOIN ray{c} CROSS JOIN tr0 CROSS JOIN n1"
+        )
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)
+
+
+@register(
+    "pca_two_components_embeddings",
+    _pca_multi_oracle(n_components=2, iters=6),
+    "The leading TWO principal components by power iteration with "
+    "exact integer Hotelling deflation (S -= (lam*v_i*v_j) div (v.v) "
+    "between components) — pca_top_component generalized to a "
+    "spectrum. Same quantize/trunc-div/sign-pin/Rayleigh contracts; "
+    "var_ratio is each eigenvalue over the ORIGINAL trace (the "
+    "explained-variance convention). Deflation is a d^2-table "
+    "projection per component; one corpus pass total",
+)
+def q_pca_two(spark, sf_dir):
+    return similarity.pca_components(
+        _t(spark, sf_dir, "embeddings"), n_components=2, iters=6
+    )
+
+
 @register(
     "pca_top_component_embeddings",
     _pca_oracle(iters=6),
@@ -12029,6 +12143,15 @@ _ROTATION_TAIL = {
     # multimodal_ahash_dedup took a slot (balanced by the q7
     # displacement above); multimodal_features_verified (in-window)
     # pins the identical BMP byte addressing its oracle reuses.
+    # pca_two_components_embeddings took a slot; its component 0 is
+    # BIT-EQUAL to the in-window pca_top_component (test-pinned) and
+    # the deflation rides the same scatter — displace bm25_search: its
+    # ranking law is test-pinned by the hypothesis property suite and
+    # exercised in-window by hybrid-free siblings... it holds 3-SF
+    # local oracle evidence plus the r04-local driver-spot-check
+    # history; decontaminate_ngrams (in-window) keeps the text
+    # retrieval/digest machinery checked.
+    "bm25_search": "r07-local",
     # psi_drift_by_status took a slot; psi_drift_totalprice (in-window)
     # exercises the identical binning/smoothing/quantization law with
     # the grouped==solo equivalence test-pinned — displace

@@ -114,3 +114,51 @@ def test_pca_validation_and_constant_input(spark):
     rows = similarity.pca_top_component(df, iters=3).collect()
     assert all(r.loading_units == 0 for r in rows)
     assert all(r.var_ratio is None for r in rows)
+
+
+def test_pca_two_components_orthogonal_and_ordered(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    # two planted directions with distinct strengths
+    vecs = []
+    for _ in range(300):
+        a, b = rng.gauss(0, 4), rng.gauss(0, 2)
+        vecs.append(
+            [
+                a + rng.gauss(0, 0.2),
+                a - rng.gauss(0, 0.2),
+                b + rng.gauss(0, 0.2),
+                -b + rng.gauss(0, 0.2),
+            ]
+        )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = similarity.pca_components(df, n_components=2, iters=8).collect()
+    comps = {}
+    lams = {}
+    for r in rows:
+        comps.setdefault(r.component, {})[r.pos] = r.loading_units
+        lams[r.component] = int(r.eigenvalue_str)
+    v0 = np.array([comps[0][i] for i in range(4)], dtype=float)
+    v1 = np.array([comps[1][i] for i in range(4)], dtype=float)
+    v0 /= np.linalg.norm(v0)
+    v1 /= np.linalg.norm(v1)
+    # eigenvalues ordered, near-orthogonal loadings, directions match
+    # the planted structure
+    assert lams[0] > lams[1] > 0
+    assert abs(float(np.dot(v0, v1))) < 0.05
+    assert abs(abs(v0[0]) - abs(v0[1])) < 0.1 and abs(v0[2]) < 0.2
+    assert abs(abs(v1[2]) - abs(v1[3])) < 0.1 and abs(v1[0]) < 0.2
+    # component 0 must equal the single-component operator bit-for-bit
+    top = {
+        r.pos: r.loading_units
+        for r in similarity.pca_top_component(df, iters=8).collect()
+    }
+    assert comps[0] == top
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.pca_components(df, n_components=0)
