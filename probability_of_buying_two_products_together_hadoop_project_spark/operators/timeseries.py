@@ -421,8 +421,9 @@ def cusum_from_counts(
     # fail loudly instead of silently clobbering caller columns (the
     # asof _rv lesson): the chart adds these working/output names
     clash = {
-        "_d", "_pfx", "_floor", "n_hours", "total_cnt",
+        "_d", "_pfx", "_floor", "_ceil", "n_hours", "total_cnt",
         "cusum_scaled", "cusum_means", "is_alarm",
+        "cusum_down_scaled", "is_alarm_down",
     } & set(group_cols)
     if clash:
         raise ValueError(f"cusum group_cols clash with working names: {sorted(clash)}")
@@ -455,6 +456,11 @@ def cusum_from_counts(
         "total_cnt",
         F.sum("_d").over(wrun).alias("_pfx"),
     )
+    # the TWO-SIDED chart shares the single sorted pass: the upward arm
+    # is P_t - min(0, min P_i); the downward arm (drop/outage detection,
+    # S-_t = max(0, S-_{t-1} + (mean - x_t))) has the symmetric closed
+    # form max(0, max_{i<=t} P_i) - P_t — one extra window MAX, no
+    # extra exchange
     scored = prefixed.select(
         *group_cols,
         "hr",
@@ -463,8 +469,10 @@ def cusum_from_counts(
         "total_cnt",
         "_pfx",
         F.least(F.lit(0).cast(dec), F.min("_pfx").over(wrun)).alias("_floor"),
+        F.greatest(F.lit(0).cast(dec), F.max("_pfx").over(wrun)).alias("_ceil"),
     )
     s = (F.col("_pfx") - F.col("_floor")).cast(dec)
+    s_dn = (F.col("_ceil") - F.col("_pfx")).cast(dec)
     thresh = F.lit(alarm_mean_mult).cast(dec) * F.col("total_cnt").cast(dec)
     return scored.select(
         *group_cols,
@@ -476,6 +484,8 @@ def cusum_from_counts(
             "cusum_means"
         ),
         (s >= thresh).cast("bigint").alias("is_alarm"),
+        s_dn.alias("cusum_down_scaled"),
+        (s_dn >= thresh).cast("bigint").alias("is_alarm_down"),
     )
 
 

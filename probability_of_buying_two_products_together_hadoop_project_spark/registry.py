@@ -8583,7 +8583,10 @@ def q_ks_drift(spark, sf_dir):
       SELECT *,
              least(CAST(0 AS DECIMAL(38,0)),
                    min(pfx) OVER (PARTITION BY event_type ORDER BY hr
-                                  ROWS UNBOUNDED PRECEDING)) AS fl
+                                  ROWS UNBOUNDED PRECEDING)) AS fl,
+             greatest(CAST(0 AS DECIMAL(38,0)),
+                   max(pfx) OVER (PARTITION BY event_type ORDER BY hr
+                                  ROWS UNBOUNDED PRECEDING)) AS ce
       FROM p
     )
     SELECT event_type, hr, cnt,
@@ -8593,7 +8596,12 @@ def q_ks_drift(spark, sf_dir):
              AS cusum_means,
            CAST(CASE WHEN pfx - fl >=
                   CAST(4 AS DECIMAL(38,0)) * total_cnt
-                THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alarm,
+           CAST(CAST(ce - pfx AS DECIMAL(38,0)) AS VARCHAR)
+             AS cusum_down_scaled,
+           CAST(CASE WHEN ce - pfx >=
+                  CAST(4 AS DECIMAL(38,0)) * total_cnt
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alarm_down
     FROM m
     """,
     "Page's CUSUM changepoint chart per event type WITHOUT the "
@@ -8615,7 +8623,11 @@ def q_ks_drift(spark, sf_dir):
 def q_cusum(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = timeseries.cusum_detect(ev, alarm_mean_mult=4)
-    return out.withColumn("cusum_scaled", F.col("cusum_scaled").cast("string"))
+    return out.withColumn(
+        "cusum_scaled", F.col("cusum_scaled").cast("string")
+    ).withColumn(
+        "cusum_down_scaled", F.col("cusum_down_scaled").cast("string")
+    )
 
 
 @register(

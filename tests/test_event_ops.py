@@ -278,3 +278,37 @@ def test_theilsen_single_bucket_emits_nothing(spark):
         rows, ["event_id", "user_id", "event_type", "t_us"]
     ).withColumn("ts", F.timestamp_micros("t_us"))
     assert timeseries.theilsen_trend(df).count() == 0
+
+
+def test_cusum_downward_arm_detects_drop(spark):
+    """10 loud hours then 6 quiet ones: the DOWNWARD arm (outage
+    detection) must alarm in the quiet regime while the upward arm
+    alarms in the loud one — and both equal their sequential folds."""
+    counts = [30] * 10 + [2] * 6
+    base = 3_600_000_000
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, "u", "view", h * base + j))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "t_us"]
+    ).withColumn("ts", F.timestamp_micros("t_us"))
+    out = {
+        r["hr"].hour: (int(r["cusum_down_scaled"]), r["is_alarm_down"],
+                       r["is_alarm"])
+        for r in timeseries.cusum_detect(df, alarm_mean_mult=4).collect()
+    }
+    n, total = len(counts), sum(counts)
+    # sequential fold for the downward arm, n-scaled
+    s, want = 0, {}
+    for h, c in enumerate(counts):
+        s = max(0, s + (total - n * c))
+        want[h] = s
+    assert {h: v[0] for h, v in out.items()} == want
+    # the drop alarms (downward) and the loud start does not
+    assert any(out[h][1] == 1 for h in range(10, 16))
+    assert all(out[h][1] == 0 for h in range(3))
+    for h, v in out.items():
+        assert v[1] == (1 if v[0] >= 4 * total else 0)
