@@ -11964,6 +11964,15 @@ def q_calibration_curve(spark, sf_dir):
 # audio oracles, SemDeDup); per the rotation rule they take window
 # slots, displacing the four lowest-risk members (orc/table-stats/
 # salted-collect/zorder, labelled r06-local below) to the tail front.
+# r07 note: no CORRECTNESS_r05/r06 artifact was ever produced (driver
+# skipped those gates), so the r06 window — already the highest-priority
+# never-driver-checked set — stayed in place and the round's 28 new
+# queries displaced members one-for-one per the rotation rule, each
+# displacement recorded below with its in-window-sibling argument and
+# labelled r07-local (3-SF local oracle evidence). weighted_sample_orders
+# rotated IN because its implementation changed (the ln-quantization
+# hardening). Never-driver-checked tail entries still outrank 1-round-old
+# refreshes whenever a CORRECTNESS_r07 artifact appears.
 _ROTATION_TAIL = {
     # Last driver hash-match row r03 (CORRECTNESS_r03.json); implementations
     # untouched since. These sat in the r05 window, but no CORRECTNESS_r05
