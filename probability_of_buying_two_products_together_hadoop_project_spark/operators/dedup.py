@@ -1736,6 +1736,14 @@ def sorted_neighborhood_pairs(
     ∝ rows, not blocks². Ties in ``sort_col`` are totally ordered by
     ``id_col`` (the rank is deterministic).
 
+    Contract: rows with a NULL sort key are EXCLUDED (filtered
+    explicitly, not silently lost) — a NULL key has no position in
+    the sort order, so it can anchor no neighborhood; substring(NULL)
+    would otherwise mint a NULL prefix bucket that never equi-joins,
+    dropping the rows from pairs while still occupying ranks. Callers
+    who want NULL-key rows blocked should coalesce the key to a
+    sentinel before calling.
+
     Output: (a_id, b_id, a_key, b_key, rank_gap) with a_rank < b_rank,
     0 < rank_gap <= window.
     """
@@ -1743,7 +1751,7 @@ def sorted_neighborhood_pairs(
         raise ValueError(f"window must be >= 1, got {window}")
     if bucket_prefix_len < 1:
         raise ValueError("bucket_prefix_len must be >= 1")
-    base = df.select(
+    base = df.filter(F.col(sort_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(sort_col).alias("_key")
     )
     b = F.substring(F.col("_key"), 1, bucket_prefix_len)

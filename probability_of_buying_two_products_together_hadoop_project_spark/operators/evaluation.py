@@ -267,34 +267,80 @@ def benford_screen(
     expected shares and the chi-square distance (all 9 digits in every
     group row via a window total).
 
+    Every group with >= 1 eligible row emits EXACTLY 9 rows: observed
+    counts left-join a 1..9 digit spine, so a digit that never occurs
+    still contributes its full (0 - E)^2 / E = E term to chi-square —
+    a wholly absent digit is the STRONGEST fabrication signal and must
+    not silently vanish from the statistic. Groups with zero eligible
+    rows produce no output (chi-square is undefined there).
+
     Exactness: the first digit comes from the INTEGER part's string
     form (integers print identically in every engine — no log10, no
-    float formatting; rows with value < 1 are excluded and counted in
-    ``n_skipped``). The Benford expectations are 6dp decimal literals
-    quantized ONCE in Python (the fs_weights rule). Each chi-square
-    term is a fixed float expression over exact decimal inputs,
-    quantized to 9dp before the associative decimal total (the
-    chi2_source_lang rule — a float window-sum over 9 terms would be
-    order-dependent).
+    float formatting; rows with value < 1 or NULL are excluded from
+    the digit law and counted in ``n_skipped``). The Benford
+    expectations are 6dp decimal literals quantized ONCE in Python
+    (the fs_weights rule). Each chi-square term is a fixed float
+    expression over exact decimal inputs, quantized to 9dp before the
+    associative decimal total (the chi2_source_lang rule — a float
+    window-sum over 9 terms would be order-dependent).
 
-    One scan, one (group, digit) aggregation — <= 9 rows per group
-    shuffle — and bucket-sized windows after.
+    One scan, one (group, digit-or-skipped) aggregation — <= 10 rows
+    per group shuffle — and bucket-sized windows after (the digit
+    spine is a 9-row broadcast).
     """
-    clash = {"digit", "n_obs", "_nt", "_exp", "_tq", "n_total", "obs_share",
-             "exp_share", "chi2"} & set(group_cols)
+    clash = {"digit", "n_obs", "_nt", "_nsk", "_exp", "_tq", "n_total",
+             "n_skipped", "obs_share", "exp_share", "chi2"} & set(group_cols)
     if clash:
         raise ValueError(
             f"benford group_cols clash with working names: {sorted(clash)}"
         )
     d9 = "decimal(28,9)"
     x = F.col(value_col)
-    digit = F.substring(F.floor(x).cast("bigint").cast("string"), 1, 1).cast("int")
-    eligible = df.filter(x >= 1)
-    counts = eligible.groupBy(
-        *group_cols, digit.alias("digit")
-    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    # NULL digit = skipped row (value < 1 or NULL) — kept in the same
+    # aggregate so one scan yields both the digit law and n_skipped
+    digit = F.when(
+        x >= 1,
+        F.substring(F.floor(x).cast("bigint").cast("string"), 1, 1).cast("int"),
+    )
+    # counts feeds three branches (spine derivation, the left join,
+    # the skipped-row union); Catalyst dedupes NO common subplans (the
+    # DSIR lesson), so checkpoint the <= 10-rows-per-group aggregate or
+    # the corpus would scan three times
+    counts = (
+        df.groupBy(*group_cols, digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    obs = counts.filter(F.col("digit").isNotNull())
+    digits_df = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    if group_cols:
+        spine = obs.select(*group_cols).distinct().crossJoin(
+            F.broadcast(digits_df)
+        )
+    else:
+        spine = (
+            obs.select(F.lit(1).alias("_spine"))
+            .distinct()
+            .crossJoin(F.broadcast(digits_df))
+            .drop("_spine")
+        )
+    full = spine.join(obs, [*group_cols, "digit"], "left").select(
+        *group_cols,
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+    )
+    # skipped rows ride along as digit-NULL rows so the window sees
+    # them; groups with ONLY skipped rows vanish at the final filter
+    allrows = full.unionByName(counts.filter(F.col("digit").isNull()))
     wall = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    n_total = F.sum("n_obs").over(wall)
+    n_total = F.sum(
+        F.when(F.col("digit").isNotNull(), F.col("n_obs")).otherwise(0)
+    ).over(wall)
+    n_skipped = F.sum(
+        F.when(F.col("digit").isNull(), F.col("n_obs")).otherwise(0)
+    ).over(wall)
     exp_share = F.when(
         F.col("digit") == 1, F.lit(BENFORD_P6[1]).cast("decimal(18,6)")
     )
@@ -308,20 +354,22 @@ def benford_screen(
         diff.cast("double") * diff.cast("double") / e.cast("double")
     )
     term_q = F.round(term, 9).cast(d9)
-    scored = counts.select(
+    scored = allrows.select(
         *group_cols,
         "digit",
         "n_obs",
         n_total.alias("_nt"),
+        n_skipped.alias("_nsk"),
         exp_share.alias("_exp"),
         term_q.alias("_tq"),
     )
-    chi2 = F.sum("_tq").over(wall)
-    return scored.select(
+    chi2 = F.sum("_tq").over(wall)  # null terms (the skipped row) drop out
+    return scored.filter(F.col("digit").isNotNull()).select(
         *group_cols,
         "digit",
         "n_obs",
         F.col("_nt").cast("long").alias("n_total"),
+        F.col("_nsk").cast("long").alias("n_skipped"),
         (F.col("n_obs").cast("double") / F.col("_nt").cast("double")).alias(
             "obs_share"
         ),
@@ -348,9 +396,12 @@ def psi_drift(
     Contract: ``n_bins`` fixed-width bins over the CLOSED range
     [lo, hi] (integer literals — reference bin edges are part of a PSI
     definition and must not drift with the data; values clamp into the
-    edge bins, the monitoring convention). Counts take add-one
-    smoothing (zero-count bins otherwise make PSI infinite — the
-    standard fix, stated loudly). Shares quantize to integer 1e-9
+    edge bins, the monitoring convention). NULL values are filtered
+    BEFORE binning and excluded from the totals — floor(NULL) would
+    otherwise mint an 11th NULL bin that violates the fixed-n_bins
+    contract and skews every share. Counts take add-one smoothing
+    (zero-count bins otherwise make PSI infinite — the standard fix,
+    stated loudly). Shares quantize to integer 1e-9
     units by floor division; each log-ratio term quantizes as
     round(ln((c1·n2)/(c2·n1)), 6) with the count products cast to
     double BEFORE multiplying (LESSONS 11); the per-bin contribution
@@ -378,6 +429,9 @@ def psi_drift(
     ).cast("int")
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw_bin))
     one = F.when(side_col, 1).otherwise(0)
+    # NULL values out before binning: only the n_bins clamped bins may
+    # participate in the totals and the PSI sum (documented contract)
+    df = df.filter(x.isNotNull())
     cells = df.groupBy(*group_cols, bin_.alias("bin")).agg(
         F.sum(one).alias("_c1raw"),
         F.sum(1 - one).alias("_c2raw"),
@@ -629,13 +683,19 @@ def ks_two_sample(
     Output (one row): n1, n2, at_value (where the sup is attained),
     d_num (the exact scaled numerator, VARCHAR — the
     dataset_fingerprints decimal-transport rule), ks_d (double; null if
-    either sample is empty — KS is undefined, not 0/0).
+    either sample is empty — KS is undefined, not 0/0). NULL values
+    are excluded from both samples before anything is counted.
     """
     if value_col in {"_c1", "_c2", "_vb", "_lc1", "_lc2"}:
         raise ValueError(f"ks value_col clashes with a working name: {value_col}")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
+    # KS is computed over NON-NULL values only: a NULL value has no
+    # position on the real line, so it must not enter n1/n2 or the
+    # ECDF (a NULL _vb bucket would also order differently across
+    # engines — Spark nulls-first, DuckDB nulls-last)
     dv = (
-        df.groupBy(value_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
         .agg(
             F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
             F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),

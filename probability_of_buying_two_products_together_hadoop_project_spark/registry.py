@@ -8036,9 +8036,11 @@ def q_hits(spark, sf_dir):
 
 def _benford_oracle() -> str:
     """Benford oracle: identical 6dp expectation literals (quantized once
-    in Python — evaluation.BENFORD_P6), integer-string first digits,
-    9dp-quantized chi-square terms; every decimal→double goes via
-    VARCHAR (the DuckDB int128-cast lesson)."""
+    in Python — evaluation.BENFORD_P6), integer-string first digits, a
+    1..9 digit spine (zero-count digits contribute their full expected
+    term — the strongest fabrication signal), skipped (< 1 / NULL) rows
+    counted, 9dp-quantized chi-square terms; every decimal→double goes
+    via VARCHAR (the DuckDB int128-cast lesson)."""
     case = " ".join(
         f"WHEN digit = {d} THEN CAST('{evaluation.BENFORD_P6[d]}'"
         " AS DECIMAL(18,6))"
@@ -8046,14 +8048,28 @@ def _benford_oracle() -> str:
     )
     return f"""
     WITH c AS (
-      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
-               AS VARCHAR), 1, 1) AS INT) AS digit,
+      SELECT CASE WHEN o_totalprice >= 1 THEN
+               CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT)
+             END AS digit,
              count(*) AS n_obs
-      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+      FROM orders GROUP BY 1
+    ), spine AS (
+      SELECT d.digit, COALESCE(c.n_obs, 0) AS n_obs
+      FROM (SELECT CAST(range AS INT) AS digit FROM range(1, 10)) d
+      LEFT JOIN c ON c.digit = d.digit
+      WHERE EXISTS (SELECT 1 FROM c WHERE digit IS NOT NULL)
+    ), a AS (
+      SELECT digit, n_obs FROM spine
+      UNION ALL SELECT digit, n_obs FROM c WHERE digit IS NULL
     ), t AS (
-      SELECT digit, n_obs, SUM(n_obs) OVER () AS nt,
+      SELECT digit, n_obs,
+             SUM(CASE WHEN digit IS NOT NULL THEN n_obs ELSE 0 END)
+               OVER () AS nt,
+             SUM(CASE WHEN digit IS NULL THEN n_obs ELSE 0 END)
+               OVER () AS nsk,
              CASE {case} END AS expsh
-      FROM c
+      FROM a
     ), s AS (
       SELECT *, CAST(round(
           CAST(CAST(CAST(n_obs AS DECIMAL(28,6)) - expsh * nt AS VARCHAR)
@@ -8066,10 +8082,11 @@ def _benford_oracle() -> str:
     )
     SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
            CAST(nt AS BIGINT) AS n_total,
+           CAST(nsk AS BIGINT) AS n_skipped,
            CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE) AS obs_share,
            CAST(CAST(expsh AS VARCHAR) AS DOUBLE) AS exp_share,
            CAST(CAST(SUM(tq) OVER () AS VARCHAR) AS DOUBLE) AS chi2
-    FROM s
+    FROM s WHERE digit IS NOT NULL
     """
 
 
@@ -8082,11 +8099,15 @@ def _benford_oracle() -> str:
     "and TPC-H's uniform price law duly FAILS the screen — that "
     "deviation is the signal). First digit from the INTEGER part's "
     "string form (integers print identically everywhere — no log10, "
-    "no float formatting); expectations are 6dp literals quantized "
-    "once in Python (fs_weights rule); chi-square terms quantize to "
-    "9dp decimals before the associative window total "
-    "(chi2_source_lang rule — a float sum over 9 terms is "
-    "order-dependent). One scan, <= 9 shuffled rows",
+    "no float formatting); observed counts left-join a 1..9 digit "
+    "spine so a wholly absent digit still contributes its full "
+    "(0-E)^2/E = E chi-square term (the strongest fabrication signal "
+    "must not vanish from the statistic); skipped (< 1 / NULL) rows "
+    "are counted in n_skipped from the same single scan; expectations "
+    "are 6dp literals quantized once in Python (fs_weights rule); "
+    "chi-square terms quantize to 9dp decimals before the associative "
+    "window total (chi2_source_lang rule — a float sum over 9 terms "
+    "is order-dependent). One scan, <= 10 shuffled rows",
 )
 def q_benford(spark, sf_dir):
     return evaluation.benford_screen(_t(spark, sf_dir, "orders"), "o_totalprice")
@@ -8390,7 +8411,7 @@ def q_entropy_screen(spark, sf_dir):
                  THEN 1 ELSE 0 END) AS c1raw,
              SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
                  THEN 0 ELSE 1 END) AS c2raw
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     b AS (
       SELECT bin, c1raw + 1 AS c1, c2raw + 1 AS c2,
@@ -8454,7 +8475,7 @@ def q_psi_drift(spark, sf_dir):
                  THEN 1 ELSE 0 END) AS c1raw,
              SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
                  THEN 0 ELSE 1 END) AS c2raw
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
     ),
     b AS (
       SELECT o_orderstatus, bin, c1raw + 1 AS c1, c2raw + 1 AS c2,
@@ -8514,7 +8535,7 @@ def q_psi_by_status(spark, sf_dir):
                  THEN 1 ELSE 0 END) AS c1,
              SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
                  THEN 0 ELSE 1 END) AS c2
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     c AS (
       SELECT v,
@@ -11711,7 +11732,8 @@ def q_record_linkage_em(spark, sf_dir):
       FROM customer
     ),
     r AS (
-      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk
+      FROM u WHERE key IS NOT NULL
     )
     SELECT a.id AS a_id, b.id AS b_id, a.key AS a_key, b.key AS b_key,
            CAST(b.rk - a.rk AS BIGINT) AS rank_gap
@@ -11757,7 +11779,8 @@ def q_sorted_neighborhood(spark, sf_dir):
       FROM customer
     ),
     r1 AS (
-      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk
+      FROM u WHERE key IS NOT NULL
     ),
     p1 AS (
       SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
@@ -11766,7 +11789,8 @@ def q_sorted_neighborhood(spark, sf_dir):
     ),
     u2 AS (SELECT id, reverse(key) AS key FROM u),
     r2 AS (
-      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk FROM u2
+      SELECT id, key, row_number() OVER (ORDER BY key, id) AS rk
+      FROM u2 WHERE key IS NOT NULL
     ),
     p2 AS (
       SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,

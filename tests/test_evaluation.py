@@ -146,6 +146,24 @@ def test_ks_empty_side_is_null(spark):
     assert row.n2 == 0 and row.ks_d is None
 
 
+def test_ks_null_values_are_excluded(spark):
+    # NULLs must not enter n1/n2 or the ECDF (ADVICE r07): the result
+    # with NULL rows present equals the result with them pre-filtered
+    rng = random.Random(29)
+    xs = [rng.randint(0, 20) for _ in range(60)]
+    ys = [rng.randint(3, 25) for _ in range(40)]
+    clean = [(v, True) for v in xs] + [(v, False) for v in ys]
+    dirty = clean + [(None, True)] * 5 + [(None, False)] * 3
+    r_clean = evaluation.ks_two_sample(
+        spark.createDataFrame(clean, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    r_dirty = evaluation.ks_two_sample(
+        spark.createDataFrame(dirty, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert r_dirty == r_clean
+    assert (r_dirty.n1, r_dirty.n2) == (len(xs), len(ys))
+
+
 def test_roc_auc_perfect_and_degenerate(spark):
     rows = [("a", 1, 10), ("a", 1, 9), ("a", 0, 1), ("a", 0, 2)] + [
         ("b", 1, 5),
@@ -629,11 +647,44 @@ def test_benford_on_benford_and_uniform_data(spark):
 
 def test_benford_excludes_sub_one_values(spark):
     df = spark.createDataFrame(
-        [(0.5,), (0.9,), (12.0,), (19.0,)], "v double"
+        [(0.5,), (0.9,), (12.0,), (19.0,), (None,)], "v double"
     )
-    rows = evaluation.benford_screen(df, "v").collect()
-    assert len(rows) == 1 and rows[0].digit == 1
-    assert rows[0].n_obs == 2 and rows[0].n_total == 2
+    rows = {r.digit: r for r in evaluation.benford_screen(df, "v").collect()}
+    # the digit spine: all 9 digits present, absent ones at n_obs 0
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1].n_obs == 2 and rows[1].n_total == 2
+    assert all(rows[d].n_obs == 0 for d in range(2, 10))
+    # sub-1 and NULL rows are skipped AND counted
+    assert all(rows[d].n_skipped == 3 for d in range(1, 10))
+
+
+def test_benford_absent_digit_contributes_expected_term(spark):
+    # all values start with digit 1: digits 2..9 are wholly absent and
+    # must each contribute their full (0-E)^2/E = E chi2 term — the
+    # strongest fabrication signal (ADVICE r07 medium finding)
+    df = spark.createDataFrame(
+        [(float(10 + i % 10),) for i in range(50)], "v double"
+    )
+    rows = {r.digit: r for r in evaluation.benford_screen(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    n = 50
+    exp_chi2 = 0.0
+    for d in range(1, 10):
+        e = float(evaluation.BENFORD_P6[d]) * n
+        o = n if d == 1 else 0
+        exp_chi2 += round((o - e) ** 2 / e, 9)
+    assert abs(rows[1].chi2 - exp_chi2) < 1e-6
+    # the absent-digit terms dominate: chi2 far above digit-1's term alone
+    e1 = float(evaluation.BENFORD_P6[1]) * n
+    assert rows[1].chi2 > (n - e1) ** 2 / e1 + 1.0
+
+
+def test_benford_all_skipped_group_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [("a", 12.0), ("b", 0.2), ("b", None)], "g string, v double"
+    )
+    rows = evaluation.benford_screen(df, "v", ("g",)).collect()
+    assert {r.g for r in rows} == {"a"} and len(rows) == 9
 
 
 def py_mi(pairs):
@@ -734,6 +785,28 @@ def test_psi_identical_cohorts_near_zero_and_validation(spark):
         evaluation.psi_drift(df, "v", F.col("s"), 5, 5)
     with pytest.raises(ValueError):
         evaluation.psi_drift(df, "v", F.col("s"), 0, 10, n_bins=1)
+
+
+def test_psi_null_values_are_excluded(spark):
+    # floor(NULL) must not mint an 11th bin or enter the totals
+    # (ADVICE r07): NULL rows present == NULL rows pre-filtered
+    rng = random.Random(31)
+    clean = [(rng.uniform(0, 40), i % 2 == 0) for i in range(500)]
+    dirty = clean + [(None, True)] * 7 + [(None, False)] * 4
+    r_clean = sorted(
+        evaluation.psi_drift(
+            spark.createDataFrame(clean, "v double, s boolean"),
+            "v", F.col("s"), 0, 40, 8,
+        ).collect()
+    )
+    r_dirty = sorted(
+        evaluation.psi_drift(
+            spark.createDataFrame(dirty, "v double, s boolean"),
+            "v", F.col("s"), 0, 40, 8,
+        ).collect()
+    )
+    assert r_dirty == r_clean
+    assert all(0 <= r.bin < 8 for r in r_dirty)
 
 
 def test_psi_grouped_matches_ungrouped_per_group(spark):

@@ -69,10 +69,14 @@ def test_dp_and_welch_single_aggregation(spark, sf_smoke):
 
 
 def test_benford_two_exchanges(spark, sf_smoke):
-    """Digit agg + the <= 9-row window total."""
+    """The corpus scan + digit agg live inside the eager checkpoint
+    (counts feeds three branches — the DSIR no-subplan-dedup lesson),
+    so the visible plan is exchanges over <= 10-row tables only: the
+    spine distinct + the window total. Zero parquet rescans."""
     df = _q(spark, sf_smoke, "benford_screen_totalprice")
     n = explain.count_exchanges(df)
-    assert n == 2, f"benford budget is 2 exchanges, got {n}"
+    assert n == 2, f"benford budget is 2 post-checkpoint exchanges, got {n}"
+    assert explain.formatted_plan(df).count("Scan parquet") == 0
 
 
 def test_ahash_single_window_exchange(spark, sf_smoke):

@@ -226,6 +226,25 @@ def test_sorted_neighborhood_finds_adjacent_duplicates(spark):
         dedup.sorted_neighborhood_pairs(df, "key", "id", window=0)
 
 
+def test_snm_null_keys_are_excluded_not_silently_lost(spark):
+    # NULL sort keys are filtered by contract (ADVICE r07): they must
+    # not occupy ranks (shifting everyone else's neighborhoods) nor
+    # vanish only from the pair output
+    rows = [(1, "alpha"), (2, "alpha"), (3, None), (4, "beta"), (5, None)]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {
+        (r.a_id, r.b_id, r.rank_gap)
+        for r in dedup.sorted_neighborhood_pairs(df, "key", "id", window=2).collect()
+    }
+    clean = [(i, k) for i, k in rows if k is not None]
+    want = {
+        (a, b, g)
+        for (a, b, _, _, g) in _py_snm(clean, 2)
+    }
+    assert got == want
+    assert not any(3 in (a, b) or 5 in (a, b) for a, b, _ in got)
+
+
 def test_snm_second_pass_blocks_on_shared_suffix(spark):
     """The reversed-key pass blocks on shared SUFFIXES: 'alpha_smith99'
     and 'beta_smith99' diverge at character 1 (forward sort scatters
