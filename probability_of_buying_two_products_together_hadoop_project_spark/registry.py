@@ -11997,12 +11997,21 @@ def q_calibration_curve(spark, sf_dir):
 # rotated IN because its implementation changed (the ln-quantization
 # hardening). Never-driver-checked tail entries still outrank 1-round-old
 # refreshes whenever a CORRECTNESS_r07 artifact appears.
+# r08 rotation: CORRECTNESS_r07 landed — 50/50 hash-match, the full r07
+# window. Those 50 rotate to the tail labelled "r07", EXCEPT the six
+# whose implementations changed this round per the rotation rule
+# (benford_screen_totalprice: digit spine + n_skipped; psi_drift_
+# totalprice / psi_drift_by_status: NULL-filter-before-binning;
+# ks_drift_totalprice: NULL exclusion; linkage_sorted_neighborhood /
+# linkage_snm_multipass: NULL-key exclusion — the r07 ADVICE findings).
+# The 44 freed slots go to never-driver-checked members, oldest
+# displacement first: all 12 r06-local, all 25 r07-local, and the first
+# 7 r05-local entries (lateral/recursive-CTE/try/collation/json-extract/
+# map/regexp scalar batteries). 75 r05-local entries remain for r09+.
 _ROTATION_TAIL = {
     # Last driver hash-match row r03 (CORRECTNESS_r03.json); implementations
-    # untouched since. These sat in the r05 window, but no CORRECTNESS_r05
-    # artifact was produced (driver-side; bench/verify skipped between r05 and
-    # r06), so their evidence remains the r03 row + the r05/r06 full-registry
-    # local oracle passes. Rotate back in at r07.
+    # untouched since; re-confirmed by every full-registry local oracle pass
+    # (r05/r06/r07).
     "cooccurrence_pairs": "r03",
     "cooccurrence_topk": "r03",
     "cooccurrence_stripes": "r03",
@@ -12037,7 +12046,7 @@ _ROTATION_TAIL = {
     "embedding_topk": "r03",
     "embedding_close_pairs_by_label": "r03",
     "embedding_srp_lsh_topk": "r03",
-    # Green driver rows from the recorded round, implementations untouched.
+    # Green driver rows from CORRECTNESS_r04, implementations untouched.
     "q1_pricing_summary": "r04",
     "q3_top_revenue_orders": "r04",
     "q5_region_revenue": "r04",
@@ -12088,200 +12097,55 @@ _ROTATION_TAIL = {
     "multimodal_png_roundtrip": "r04",
     "embedding_cosine_near_dup": "r04",
     "embedding_ivf_topk": "r04",
-    # Displaced mid-r06 to make window room for the four queries ADDED
-    # this round (dsir_importance_en, audio_features_verified,
-    # audio_resample_decimate, semantic_dedup_embeddings — the rotation
-    # rule: new queries land in-window the same round). These four were
-    # the lowest-risk window members: each has bit-exact dual-SF local
-    # oracle evidence from r05 AND the r06 full-registry pass, and each
-    # shape has a driver-green sibling (csv/json for orc; the plain agg
-    # for salted-collect; salted_join_revenue r04) or 3-SF local parity
-    # (zorder, table stats). Front of the r07 window queue.
-    "orc_source_supplier_agg": "r06-local",
-    "table_stats_orders": "r06-local",
-    "salted_collect_priorities": "r06-local",
-    "zorder_locality_orders": "r06-local",
-    # Second displacement batch (privacy x2 + dataset_fingerprints took
-    # window slots): each one's machinery keeps an in-window checker —
-    # decontaminate_ngrams shares decontaminate_bloom's oracle SQL and
-    # must equal it; token_shards_4k drives the same parallel
-    # prefix-sum as vocab_build_min5; mix_sources_weighted draws from
-    # the same md5-permille law as train_val_test_split.
-    "decontaminate_bloom": "r06-local",
-    "vocab_build_min5": "r06-local",
-    "train_val_test_split": "r06-local",
-    # Third displacement batch (cluster_topics_embeddings +
-    # gdpr_cascade_forget took window slots): redact_pii keeps its
-    # driver-green sibling pseudonymize_customers (r04); the hour->day
-    # composition keeps resample_gapfill_events in-window exercising
-    # the same timeseries machinery.
-    "redact_pii_customers": "r06-local",
-    "rollup_hour_day_compose": "r06-local",
-    # Fourth displacement (record_linkage_fs took a slot):
-    # token_shards_4k stays in-window exercising the same parallel
-    # prefix-sum primitive sequence packing rides on.
-    "sequence_pack_512": "r06-local",
-    # Fifth (fingerprint_incremental_orders took a slot):
-    # minhash_incremental_verified stays in-window exercising the same
-    # batch-vs-persisted-index incremental discipline.
-    "dedup_incremental_batch": "r06-local",
-    # Sixth (calibration_curve_doclen took a slot):
-    # decontaminate_ngrams stays in-window exercising the same
-    # md5-digest broadcast screen boilerplate_gram_screen rides on.
-    "boilerplate_gram_screen": "r06-local",
-    # r07 displacements (new round-7 queries take window slots; each
-    # displaced member keeps an in-window checker of its machinery):
-    # audio_resample_fir supersedes the decimate round-trip (same codec
-    # walk, same re-encode/re-decode hash pin, plus the filter).
-    "audio_resample_decimate": "r07-local",
-    # cusum_changepoint_events took a slot; suppress composes the
-    # in-window privacy_k_anonymity_orders audit (same module, same
-    # class-size machinery) and keeps 3-SF local oracle evidence.
-    "privacy_suppress_orders": "r07-local",
-    # ks_drift_totalprice took a slot; fingerprint_incremental_orders
-    # stays in-window and its oracle IS the direct dataset_fingerprints
-    # recompute over the patched base (same content-hash law).
-    "dataset_fingerprints": "r07-local",
-    # hits_customer_part took a slot; q8_market_share stays in-window
-    # exercising the same conditional-share double-agg shape over the
-    # multi-way join (q14 keeps 3-SF local oracle evidence).
-    "q14_promo_revenue": "r07-local",
-    # entropy_screen_docs took a slot; q11_important_stock stays
-    # in-window exercising the same reused-agg-vs-global-scalar shape
-    # (q15 keeps 3-SF local oracle evidence).
-    "q15_top_supplier": "r07-local",
-    # dsir_select_gumbel100 + weighted_sample_orders (implementation
-    # changed: 6dp-quantized ln(u) — the r07 transcendental-parity
-    # hardening) take two slots, and weighted_sample_orders' rotation
-    # frees no slot of its own, so three displacements:
-    # q9_product_profit stays in-window exercising the q7/q10
-    # multi-join profit/revenue agg shape, q8 the volume-share shape,
-    # and q20's nested semi-join chain covers q18's
-    # IN-over-grouped-fact shape.
-    "q7_nation_volume_shipping": "r07-local",
-    "q10_returned_item_revenue": "r07-local",
-    "q18_large_quantity_orders": "r07-local",
-    # record_linkage_em took a slot; record_linkage_fs stays in-window
-    # exercising the identical blocked pair fixture and decimal
-    # scoring the EM estimates feed (q12 keeps 3-SF local evidence,
-    # its inter-column date predicate + conditional-count shape is
-    # covered by in-window q8/q19).
-    "q12_late_shipments": "r07-local",
-    # hashing_trick_features took a slot; the md5-bucket machinery is
-    # the dsir_importance_en construction (in-window) and the token
-    # contract is shared with curate/vocab entries; q13's outer-join
-    # count-distribution keeps join_left (r04 driver row) + q22's
-    # anti-join as siblings.
-    "q13_order_count_distribution": "r07-local",
-    # welch_ttest_urgent took a slot; it exercises the identical
-    # exact-conditional-moment + VARCHAR-cast construction as
-    # agg_corr_regression (displaced, 3-SF local evidence).
-    "agg_corr_regression": "r07-local",
-    # theilsen_trend_events took a slot; the hourly-count base and
-    # group-window machinery stay checked by in-window cusum. Displace
-    # curate_corpus_deduped: every component it composes (text_stats /
-    # text_quality / lang_id / repetition_screen / dedup_exact) holds
-    # its own r03/r04 DRIVER row in the tail, and the composition
-    # itself carries bit-exact local oracle evidence from the r05, r06
-    # AND r07 full-registry passes.
-    "curate_corpus_deduped": "r07-local",
-    # multimodal_ahash_dedup took a slot (balanced by the q7
-    # displacement above); multimodal_features_verified (in-window)
-    # pins the identical BMP byte addressing its oracle reuses.
-    # pca_two_components_embeddings took a slot; its component 0 is
-    # BIT-EQUAL to the in-window pca_top_component (test-pinned) and
-    # the deflation rides the same scatter — displace bm25_search: its
-    # ranking law is test-pinned by the hypothesis property suite and
-    # exercised in-window by hybrid-free siblings... it holds 3-SF
-    # local oracle evidence plus the r04-local driver-spot-check
-    # history; decontaminate_ngrams (in-window) keeps the text
-    # retrieval/digest machinery checked.
-    "bm25_search": "r07-local",
-    # psi_drift_by_status took a slot; psi_drift_totalprice (in-window)
-    # exercises the identical binning/smoothing/quantization law with
-    # the grouped==solo equivalence test-pinned — displace
-    # mix_sources_weighted: its md5-permille draw law is the in-window
-    # dsir_select/weighted_sample md5 contract and train_val_test_split
-    # (tail) shares the same draw; 3-SF local evidence.
-    "mix_sources_weighted": "r07-local",
-    # psi_drift_totalprice took a slot; ks_drift_totalprice + welch
-    # (in-window) keep the cohort-drift machinery checked and
-    # value_histogram_events (tail, r05-local) the binning law —
-    # displace token_shards_4k: the parallel prefix-sum it anchors is
-    # exercised in-window by ks_drift's bucketed prefix and the
-    # order-statistics backbone, and it keeps 3-SF local evidence.
-    "token_shards_4k": "r07-local",
-    # linkage_reciprocal_best took a slot; record_linkage_fs (in-window)
-    # produces the exact scored-pair relation the assignment ranks, and
-    # keep_latest holds the rank-1-window r04 driver row — displace
-    # minhash_incremental_verified, whose full==incremental equivalence
-    # is test-pinned and whose md5 family evidence rides
-    # minhash_near_dup_verified's r04 driver row (3-SF local evidence).
-    "minhash_incremental_verified": "r07-local",
-    # pca_top_component_embeddings took a slot; kmeans_embeddings
-    # (in-window) exercises the same quantize/fixed-point-iterate/
-    # checkpoint discipline over the same corpus — displace
-    # embedding_ivf_topk_verified, whose deterministic grid twin keeps
-    # 3-SF local evidence and whose adaptive path is exercised via the
-    # in-window kmeans machinery.
-    "embedding_ivf_topk_verified": "r07-local",
-    # record_linkage_em_fit took a slot; record_linkage_em (in-window)
-    # exercises the identical EM chain the fit audit extends — displace
-    # fuzzy_name_pairs_collapsed (its plain sibling holds an r04 driver
-    # row, the collapsed==plain equality is test-pinned, and it keeps
-    # 3-SF local oracle evidence).
-    "fuzzy_name_pairs_collapsed": "r07-local",
-    # linkage_snm_multipass took a slot; linkage_sorted_neighborhood
-    # (in-window) exercises the identical rank/band machinery both
-    # passes compose — displace doc_winnow_fingerprint_verified, whose
-    # md5-hex winnowing law keeps full parity evidence via the
-    # in-window minhash_incremental_verified md5 family plus its own
-    # 3-SF local oracle record.
-    "doc_winnow_fingerprint_verified": "r07-local",
-    # audio_resample_rational took a slot; q22_inactive_rich_customers
-    # stays in-window exercising q16's anti-join shape and the
-    # distinct-count agg family holds r03/r04 driver rows — displace
-    # q16_supplier_part_count (3-SF local evidence).
-    "q16_supplier_part_count": "r07-local",
-    # mutual_info_type_hour took a slot; it exercises the identical
-    # count x round(ln,6)-decimal law and window-sum-marginal shape as
-    # bigram_lm_score (displaced, 3-SF local evidence) — with
-    # dsir_importance_en in-window as the second sibling.
-    "bigram_lm_score": "r07-local",
-    # linkage_sorted_neighborhood took a slot; record_linkage_fs and
-    # record_linkage_em stay in-window exercising the blocked-pair
-    # fixture, and fuzzy_name_pairs_collapsed the variant-blocking
-    # alternative — displace cooccurrence_sessions (its sessionize
-    # machinery has the r03 events_sessionize driver row and the pair
-    # machinery lives in the r03 cooccurrence battery; 3-SF local
-    # evidence).
-    "cooccurrence_sessions": "r07-local",
-    # markov_stationary_events took a slot; minhash_incremental_verified
-    # (in-window) keeps the incremental batch-vs-persisted-index
-    # discipline checked, and the KMV k-minima law has its own tail
-    # entries — displace kmv_incremental_verified (3-SF local evidence).
-    "kmv_incremental_verified": "r07-local",
-    # benford_screen_totalprice took a slot; cusum (in-window) keeps
-    # the event-hourly machinery checked, and the chi-square quantized-
-    # term law is benford's own in-window twin now — displace
-    # resample_gapfill_events, whose LOCF/interp machinery keeps its
-    # composition sibling rollup_hour_day_compose argument via the r06
-    # full-pass evidence (3-SF local evidence, untouched since r05).
-    "resample_gapfill_events": "r07-local",
-    # dp_noisy_counts_priority took a slot; privacy_k_anonymity_orders
-    # (in-window) keeps the privacy-release family checked and
-    # kmv_incremental_verified's oracle re-derives the same md5-dyadic
-    # uniform law; scd2's machinery keeps pit_join as its tail sibling
-    # and is itself exercised by keep_latest (r04 driver row) — displace
-    # scd2_user_event_type with 3-SF local evidence.
-    "scd2_user_event_type": "r07-local",
-    "lateral_top2_orders": "r05-local",
-    "recursive_cte_doc_ancestry": "r05-local",
-    "scalar_try_funcs": "r05-local",
-    "collation_case_insensitive": "r05-local",
-    "json_extract_events": "r05-local",
-    "scalar_map_funcs": "r05-local",
-    "scalar_regexp_funcs": "r05-local",
+    # Green driver rows from CORRECTNESS_r07 (50/50 hash-match),
+    # implementations untouched by round 8.
+    "cooccurrence_pairs_skewed": "r07",
+    "multimodal_features_verified": "r07",
+    "q22_inactive_rich_customers": "r07",
+    "q21_waiting_supplier": "r07",
+    "q2_min_cost_supplier": "r07",
+    "q11_important_stock": "r07",
+    "q8_market_share": "r07",
+    "q9_product_profit": "r07",
+    "q19_disjunctive_revenue": "r07",
+    "q20_excess_supply": "r07",
+    "decontaminate_ngrams": "r07",
+    "variant_extract_events": "r07",
+    "window_range_frame_orders": "r07",
+    "pagerank_cooccurrence": "r07",
+    "tfidf_cosine_pairs": "r07",
+    "weighted_sample_orders": "r07",
+    "kmeans_embeddings": "r07",
+    "markov_stationary_events": "r07",
+    "hits_customer_part": "r07",
+    "mutual_info_type_hour": "r07",
+    "welch_ttest_urgent": "r07",
+    "dp_noisy_counts_priority": "r07",
+    "hashing_trick_features": "r07",
+    "entropy_screen_docs": "r07",
+    "cusum_changepoint_events": "r07",
+    "theilsen_trend_events": "r07",
+    "dsir_importance_en": "r07",
+    "dsir_select_gumbel100": "r07",
+    "multimodal_ahash_dedup": "r07",
+    "audio_features_verified": "r07",
+    "audio_resample_fir": "r07",
+    "audio_resample_rational": "r07",
+    "pca_two_components_embeddings": "r07",
+    "pca_top_component_embeddings": "r07",
+    "semantic_dedup_embeddings": "r07",
+    "privacy_k_anonymity_orders": "r07",
+    "cluster_topics_embeddings": "r07",
+    "gdpr_cascade_forget": "r07",
+    "linkage_reciprocal_best": "r07",
+    "record_linkage_fs": "r07",
+    "record_linkage_em_fit": "r07",
+    "record_linkage_em": "r07",
+    "fingerprint_incremental_orders": "r07",
+    "calibration_curve_doclen": "r07",
+    # Never driver-checked; 3-SF local oracle evidence from the r05, r06
+    # and r07 full-registry passes. 75 remain after the r08 promotion of
+    # the first 7 — they fill the r09 window next.
     "scalar_conditional_funcs": "r05-local",
     "value_histogram_events": "r05-local",
     "anomaly_zscore_events": "r05-local",
