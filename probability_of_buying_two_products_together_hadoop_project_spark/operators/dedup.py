@@ -25,7 +25,7 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import ngram_array, tokens
 
 
 def normalize_text(text: Column) -> Column:
@@ -1836,4 +1836,90 @@ def reciprocal_best_match(
         .withColumn("_rb", F.row_number().over(wb))
         .filter((F.col("_ra") == 1) & (F.col("_rb") == 1))
         .drop("_ra", "_rb")
+    )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    gram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring span extraction — the exact
+    substring-dedup primitive of LLM training-data curation (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    find, per document, the maximal token spans every part of which is
+    covered by a word ``gram``-gram occurring at least ``min_count``
+    times in the whole corpus (elsewhere OR repeated within the same
+    document). Downstream, the spans are what gets cut — unlike
+    whole-document MinHash/SimHash dedup, this catches boilerplate and
+    quoted blocks embedded in otherwise-unique documents.
+
+    Mechanics: normalize (lower, collapse whitespace — the corpus_ngrams
+    convention), posexplode the ``gram``-gram array (1-based positions),
+    hash each gram (md5), count occurrences corpus-wide, keep grams with
+    count >= min_count, and merge each document's covered intervals
+    [p, p+gram-1] into maximal spans (islands-and-gaps: a new island
+    starts when the next position exceeds the previous start + gram —
+    same-length intervals make the running max end just lag(p)+gram-1,
+    with adjacency merged).
+
+    Scale: the gram table is ~tokens-per-corpus rows but carries only
+    (id, pos, 16-byte md5) — never the text; the count aggregation is
+    map-side combined; only DUPLICATED gram positions (∝ duplicated
+    content, not corpus size) flow into the per-document window; the
+    window partitions by document (bounded). No all-pairs term anywhere.
+    Reference-parity note: the reference engine has no substring dedup —
+    this is part of the demanded LLM-pipeline extension surface.
+
+    Output per (document, span): (id_col, span_start, span_end,
+    span_len, n_dup_grams), positions 1-based token indices, spans
+    non-overlapping within a document.
+    """
+    if gram < 2:
+        raise ValueError(f"gram must be >= 2, got {gram}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toked = docs.select(
+        F.col(id_col).alias("_id"), tokens(norm).alias("_tk")
+    ).filter(F.size("_tk") >= gram)
+    g = toked.select(
+        "_id",
+        F.posexplode(ngram_array(F.col("_tk"), gram)).alias("_p0", "_gram"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).alias("_pos"),
+        F.md5(F.col("_gram")).alias("_h"),
+    )
+    counts = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+    )
+    dup = g.join(counts.select("_h"), "_h")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagp = F.lag("_pos").over(w)
+    brk = F.when(
+        lagp.isNull() | (F.col("_pos") > lagp + F.lit(gram)), 1
+    ).otherwise(0)
+    isl = dup.select(
+        "_id", "_pos", F.sum(brk).over(w_run).alias("_island")
+    )
+    return (
+        isl.groupBy("_id", "_island")
+        .agg(
+            F.min("_pos").alias("_lo"),
+            F.max("_pos").alias("_hi"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_lo").cast("long").alias("span_start"),
+            (F.col("_hi") + gram - 1).cast("long").alias("span_end"),
+            (F.col("_hi") + gram - F.col("_lo")).cast("long").alias("span_len"),
+            "n_dup_grams",
+        )
     )

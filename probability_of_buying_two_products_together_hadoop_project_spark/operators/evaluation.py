@@ -752,6 +752,343 @@ def ks_two_sample(
     )
 
 
+def wasserstein_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth-mover) distance between two
+    cohorts of one relation over an INTEGER-valued column — the
+    magnitude-aware companion to :func:`ks_two_sample`: KS reports the
+    worst POINT gap between the ECDFs, W1 the AREA between them
+    (``∫ |F1 - F2| dx``), so a small-but-everywhere shift that KS
+    underweights shows up in full.
+
+    Exactness: for step ECDFs over integer values the integral is the
+    exact sum over consecutive pooled distinct values of
+    ``|cc1·n2 - cc2·n1| · Δv``, every factor a DECIMAL(38,0) integer
+    (cc·n reaches n² — the roc_auc overflow rule), so ``w1_num`` is an
+    exact integer and W1 one correctly-rounded division by ``n1·n2``.
+    The integer-type requirement is enforced loudly: on a float column
+    the caller must choose the grid (e.g. ``floor(x)``) — silently
+    differencing doubles would not be cross-engine exact.
+
+    Plan: one (value, c1, c2) aggregation, then the bucketed parallel
+    prefix (the ks_two_sample shape) extended with a previous-value
+    carry: lag(v) inside each bucket, and the first row of a bucket
+    takes the previous non-empty bucket's max(v) from the broadcast
+    offsets table — no single-partition window anywhere corpus-sized.
+    NULL values are excluded from both samples (no position on the
+    line), matching KS.
+
+    Output (one row): n1, n2, w1_num (exact integer numerator, VARCHAR
+    — the dataset_fingerprints decimal-transport rule), w1 (double =
+    w1_num / (n1·n2); null if either sample is empty — the distance is
+    undefined, not 0).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if value_col in {"_c1", "_c2", "_vb", "_lc1", "_lc2", "_pv", "_pvb"}:
+        raise ValueError(f"w1 value_col clashes with a working name: {value_col}")
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"wasserstein_two_sample needs an integer-typed value column "
+            f"(got {dt.simpleString()}): pick the grid explicitly, e.g. "
+            f"floor(x) cast to bigint"
+        )
+    b = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.floor(F.col(value_col) / F.lit(4096))
+    )
+    dv = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
+        )
+        .withColumn("_vb", b)
+    )
+    w_local = (
+        Window.partitionBy("_vb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("_vb").orderBy(value_col)
+    local = dv.select(
+        value_col,
+        "_vb",
+        "_c1",
+        "_c2",
+        F.sum("_c1").over(w_local).alias("_lc1"),
+        F.sum("_c2").over(w_local).alias("_lc2"),
+        F.lag(value_col).over(w_lag).alias("_pv"),
+    )
+    totals = dv.groupBy("_vb").agg(
+        F.sum("_c1").alias("_t1"),
+        F.sum("_c2").alias("_t2"),
+        F.max(value_col).alias("_vmax"),
+    )
+    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
+    w_prev = Window.orderBy("_vb")
+    w_all = Window.partitionBy()
+    offsets = totals.select(
+        "_vb",
+        F.coalesce(F.sum("_t1").over(w_off), F.lit(0)).alias("_o1"),
+        F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
+        F.lag("_vmax").over(w_prev).alias("_pvb"),
+        F.sum("_t1").over(w_all).alias("_n1"),
+        F.sum("_t2").over(w_all).alias("_n2"),
+    )
+    dec = "decimal(38,0)"
+    joined = local.join(F.broadcast(offsets), "_vb")
+    prev_v = F.coalesce(F.col("_pv"), F.col("_pvb"))
+    # ECDF level on the half-open segment (prev_v, v): the cumulative
+    # counts just BEFORE this value
+    pc1 = (F.col("_lc1") + F.col("_o1") - F.col("_c1")).cast(dec)
+    pc2 = (F.col("_lc2") + F.col("_o2") - F.col("_c2")).cast(dec)
+    contrib = F.when(prev_v.isNull(), F.lit(0).cast(dec)).otherwise(
+        F.abs(pc1 * F.col("_n2").cast(dec) - pc2 * F.col("_n1").cast(dec))
+        * (F.col(value_col).cast(dec) - prev_v.cast(dec))
+    )
+    scored = joined.select(
+        F.col("_c1"), F.col("_c2"), contrib.alias("_w")
+    )
+    agg = scored.agg(
+        F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("n2"),
+        F.coalesce(F.sum("_w"), F.lit(0).cast(dec)).cast(dec).alias("_num"),
+    )
+    w1 = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("_num").cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("_num").cast("string").alias("w1_num"),
+        w1.alias("w1"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Mann-Whitney / Wilcoxon rank-sum test between two cohorts of one
+    relation — the NONPARAMETRIC location test completing the drift
+    battery: Welch compares means (assumes rough normality), KS/W1
+    compare whole distributions, Mann-Whitney asks "do draws from one
+    cohort stochastically dominate the other?" robustly to outliers and
+    any monotone transform.
+
+    Exactness: ranks are midranks over the distinct-value table — for a
+    value with t tied rows after ``cumbefore`` smaller rows, each tied
+    row's midrank is ``cumbefore + (t+1)/2``, so DOUBLED rank sums are
+    exact integers: ``2·R1 = Σ c1·(2·cumbefore + t + 1)`` accumulates in
+    DECIMAL(38,0) (terms reach 3·N² — the roc_auc overflow rule), as
+    does the tie-correction term ``Σ (t³ - t)`` (t³ caps at N³). U, R
+    and the tie term cross engines as VARCHAR integers; the normal
+    z-score (no continuity correction; ties-corrected variance
+    ``n1·n2·(N³-N-T)/(12·N·(N-1))``) is a fixed sequence of
+    correctly-rounded double ops (+,×,/,sqrt — never transcendental)
+    over those pinned integers, the welch_ttest precedent.
+
+    Plan: one (value, c1, c2) aggregation, the bucketed parallel prefix
+    (ks_two_sample shape) for cumbefore, one final 1-row aggregate.
+    NULL values are excluded from both samples.
+
+    Output (one row): n1, n2, r1_x2, u1_x2, u2_x2, tie_cubes (VARCHAR
+    exact integers), z (double; null if either sample is empty or every
+    value is tied — the variance is 0 and the test degenerate).
+    """
+    if value_col in {"_c1", "_c2", "_t", "_vb", "_lct", "_cb"}:
+        raise ValueError(f"mw value_col clashes with a working name: {value_col}")
+    b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
+    dv = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
+            F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
+        )
+        .withColumn("_vb", b)
+    )
+    w_local = (
+        Window.partitionBy("_vb")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("_c1") + F.col("_c2")
+    local = dv.select(
+        value_col,
+        "_vb",
+        "_c1",
+        "_c2",
+        t.alias("_t"),
+        F.sum(t).over(w_local).alias("_lct"),
+    )
+    totals = dv.groupBy("_vb").agg(F.sum(t).alias("_tt"))
+    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_vb",
+        F.coalesce(F.sum("_tt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    dec = "decimal(38,0)"
+    joined = local.join(F.broadcast(offsets), "_vb")
+    cumbefore = (F.col("_lct") + F.col("_off") - F.col("_t")).cast(dec)
+    r1x2_term = F.col("_c1").cast(dec) * (
+        F.lit(2).cast(dec) * cumbefore + F.col("_t").cast(dec) + F.lit(1).cast(dec)
+    )
+    tie_term = (
+        F.col("_t").cast(dec) * F.col("_t").cast(dec) * F.col("_t").cast(dec)
+        - F.col("_t").cast(dec)
+    )
+    agg = joined.select(
+        F.col("_c1"), F.col("_c2"), r1x2_term.alias("_r"), tie_term.alias("_k")
+    ).agg(
+        F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("n2"),
+        F.coalesce(F.sum("_r"), F.lit(0).cast(dec)).cast(dec).alias("_r1x2"),
+        F.coalesce(F.sum("_k"), F.lit(0).cast(dec)).cast(dec).alias("_ties"),
+    )
+    n1d, n2d = F.col("n1").cast(dec), F.col("n2").cast(dec)
+    nd = n1d + n2d
+    u1x2 = F.col("_r1x2") - n1d * (n1d + F.lit(1).cast(dec))
+    u2x2 = F.lit(2).cast(dec) * n1d * n2d - u1x2
+    var_num = nd * nd * nd - nd - F.col("_ties")  # N^3 - N - T, exact
+    scored = agg.select(
+        "n1",
+        "n2",
+        F.col("_r1x2").alias("_r1x2"),
+        u1x2.alias("_u1x2"),
+        u2x2.alias("_u2x2"),
+        F.col("_ties").alias("_tiec"),
+        var_num.alias("_vn"),
+    )
+    n1f, n2f = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nf = n1f + n2f
+    sigma2 = (
+        n1f * n2f * F.col("_vn").cast("double") / (F.lit(12.0) * nf * (nf - 1))
+    )
+    num2 = (F.col("_u1x2") - n1d * n2d).cast("double")  # 2(U1 - mu)
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("_vn") > 0),
+        num2 / (F.lit(2.0) * F.sqrt(sigma2)),
+    )
+    return scored.select(
+        "n1",
+        "n2",
+        F.col("_r1x2").cast("string").alias("r1_x2"),
+        F.col("_u1x2").cast("string").alias("u1_x2"),
+        F.col("_u2x2").cast("string").alias("u2_x2"),
+        F.col("_tiec").cast("string").alias("tie_cubes"),
+        z.alias("z"),
+    )
+
+
+def isotonic_fit_bins(
+    df: DataFrame,
+    bin_col: Column,
+    y_col: Column,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression over binned data —
+    pool-adjacent-violators calibration, the standard way to turn a
+    monotone-ish score into calibrated probabilities without assuming
+    a parametric shape (Platt scaling's nonparametric rival).
+
+    PAV is textbook-sequential, but over BINS it has an exact parallel
+    formulation — the max-min characterization of the isotonic fit:
+    ``fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k)`` with
+    ``avg(j,k) = (S_k - S_{j-1}) / (N_k - N_{j-1})`` from prefix sums.
+    Engine plan: one corpus scan to the <= B-row (bin, n, s) table,
+    prefix sums over it, the B² (j,k) pair grid, a per-j running min
+    from the right, and a per-i max — every post-scan stage is
+    bin-table-sized (B² rows, B <= ~1000), never corpus-sized.
+
+    Cross-engine exactness: n and s accumulate as exact integers
+    (``y_col`` must be integer-valued — 0/1 labels in the calibration
+    use); every candidate average is ONE correctly-rounded IEEE
+    division of exact integers, and min/max over such doubles picks
+    identical values in every engine (ties in the double domain pick
+    equal doubles — the selected VALUE is unambiguous even if the
+    attaining (j,k) is not). No transcendentals anywhere.
+
+    Output per non-empty bin: bin, n, s, mean_raw, fitted — with
+    ``fitted`` non-decreasing in bin and matching pool-adjacent-
+    violators exactly (the max-min form is the PAV solution).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ydt = df.select(y_col.alias("_y")).schema["_y"].dataType
+    if not isinstance(ydt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"isotonic_fit_bins needs an integer-valued y (0/1 labels or "
+            f"integer targets), got {ydt.simpleString()} — quantize first"
+        )
+    binned = df.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y_col).cast("long").alias("s")
+    )
+    # prefix sums over the tiny bin table: a single-partition window is
+    # fine HERE (<= B rows), never on the corpus
+    w_pfx = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pfx = binned.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(w_pfx).alias("_cn"),
+        F.sum("s").over(w_pfx).alias("_cs"),
+    )
+    lo = pfx.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_nj"),  # N_{j-1}
+        (F.col("_cs") - F.col("s")).alias("_sj"),  # S_{j-1}
+    )
+    hi = pfx.select(
+        F.col("bin").alias("_k"),
+        F.col("_cn").alias("_nk"),
+        F.col("_cs").alias("_sk"),
+    )
+    grid = lo.join(hi, F.col("_j") <= F.col("_k")).select(
+        "_j",
+        "_k",
+        (
+            (F.col("_sk") - F.col("_sj")).cast("double")
+            / (F.col("_nk") - F.col("_nj")).cast("double")
+        ).alias("_avg"),
+    )
+    # m(j, i) = min over k >= i of avg(j, k): running min from the right
+    w_right = (
+        Window.partitionBy("_j")
+        .orderBy(F.col("_k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = grid.select(
+        "_j",
+        F.col("_k").alias("_i"),
+        F.min("_avg").over(w_right).alias("_m"),
+    )
+    fit = m.groupBy("_i").agg(F.max("_m").alias("fitted"))
+    return (
+        binned.join(F.broadcast(fit), binned["bin"] == fit["_i"])
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "s",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean_raw"
+            ),
+            "fitted",
+        )
+    )
+
+
 def target_encode(
     df: DataFrame,
     category_col: str,

@@ -1,0 +1,220 @@
+"""Round-8 evaluation operators: Wasserstein-1, Mann-Whitney U,
+parallel isotonic (PAV) fit — each against an independent pure-Python
+reference."""
+
+import math
+import random
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+    evaluation,
+)
+
+
+def py_w1(xs, ys):
+    """Exact integer W1 numerator over integer samples: sum over
+    consecutive pooled values of |cc1*n2 - cc2*n1| * dv."""
+    n1, n2 = len(xs), len(ys)
+    vals = sorted(set(xs) | set(ys))
+    cc1 = cc2 = 0
+    num = 0
+    for i, v in enumerate(vals[:-1]):
+        cc1 += sum(1 for x in xs if x == v)
+        cc2 += sum(1 for y in ys if y == v)
+        num += abs(cc1 * n2 - cc2 * n1) * (vals[i + 1] - v)
+    return num
+
+
+def test_wasserstein_matches_bruteforce(spark):
+    rng = random.Random(7)
+    xs = [rng.randint(0, 40) for _ in range(150)]
+    ys = [rng.randint(10, 60) for _ in range(90)]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v bigint, s boolean")
+    row = evaluation.wasserstein_two_sample(df, "v", F.col("s")).collect()[0]
+    num = py_w1(xs, ys)
+    assert (row.n1, row.n2) == (len(xs), len(ys))
+    assert int(row.w1_num) == num
+    assert row.w1 == num / float(len(xs) * len(ys))
+    # cross-check against the textbook mean-of-|ECDF-diff| integral
+    want = float(
+        sum(
+            Fraction(abs(sum(1 for x in xs if x <= v) * len(ys)
+                         - sum(1 for y in ys if y <= v) * len(xs)),
+                     len(xs) * len(ys)) * (nv - v)
+            for v, nv in zip(sorted(set(xs) | set(ys))[:-1],
+                             sorted(set(xs) | set(ys))[1:])
+        )
+    )
+    assert row.w1 == pytest.approx(want, rel=1e-12)
+
+
+def test_wasserstein_shift_and_identity(spark):
+    xs = list(range(100))
+    # identical samples: W1 = 0
+    rows = [(v, True) for v in xs] + [(v, False) for v in xs]
+    row = evaluation.wasserstein_two_sample(
+        spark.createDataFrame(rows, "v bigint, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert int(row.w1_num) == 0 and row.w1 == 0.0
+    # pure shift by +5: W1 = 5 exactly (KS would report a modest sup-gap)
+    rows = [(v, True) for v in xs] + [(v + 5, False) for v in xs]
+    row = evaluation.wasserstein_two_sample(
+        spark.createDataFrame(rows, "v bigint, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert row.w1 == 5.0
+
+
+def test_wasserstein_nulls_empty_and_type_guard(spark):
+    rows = [(1, True), (3, True), (None, True), (2, False), (None, False)]
+    df = spark.createDataFrame(rows, "v bigint, s boolean")
+    row = evaluation.wasserstein_two_sample(df, "v", F.col("s")).collect()[0]
+    assert (row.n1, row.n2) == (2, 1)
+    assert int(row.w1_num) == py_w1([1, 3], [2])
+    # empty side -> null
+    row = evaluation.wasserstein_two_sample(
+        spark.createDataFrame([(1, True)], "v bigint, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert row.n2 == 0 and row.w1 is None
+    # float column refused loudly
+    with pytest.raises(ValueError):
+        evaluation.wasserstein_two_sample(
+            spark.createDataFrame([(1.0, True)], "v double, s boolean"),
+            "v",
+            F.col("s"),
+        )
+
+
+def py_mw(xs, ys):
+    """Midrank Mann-Whitney: returns (2*R1, 2*U1, tie_cubes)."""
+    pooled = sorted(xs + ys)
+    n1 = len(xs)
+    # midrank per value (1-based ranks)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    r1x2 = 0
+    cum = 0
+    tie = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        c1 = sum(1 for x in xs if x == v)
+        r1x2 += c1 * (2 * cum + t + 1)
+        tie += t**3 - t
+        cum += t
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    return r1x2, u1x2, tie
+
+
+def test_mann_whitney_matches_reference(spark):
+    rng = random.Random(19)
+    xs = [rng.randint(0, 25) for _ in range(130)]
+    ys = [rng.randint(5, 30) for _ in range(70)]
+    rows = [(v, True) for v in xs] + [(v, False) for v in ys]
+    df = spark.createDataFrame(rows, "v int, s boolean")
+    row = evaluation.mann_whitney_u(df, "v", F.col("s")).collect()[0]
+    r1x2, u1x2, tie = py_mw(xs, ys)
+    n1, n2 = len(xs), len(ys)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert int(row.r1_x2) == r1x2
+    assert int(row.u1_x2) == u1x2
+    assert int(row.u2_x2) == 2 * n1 * n2 - u1x2
+    assert int(row.tie_cubes) == tie
+    nn = n1 + n2
+    sigma2 = n1 * n2 * (nn**3 - nn - tie) / (12.0 * nn * (nn - 1))
+    want_z = (u1x2 - n1 * n2) / (2.0 * math.sqrt(sigma2))
+    assert row.z == pytest.approx(want_z, rel=1e-12)
+
+
+def test_mann_whitney_degenerate_cases(spark):
+    # all values tied: variance 0 -> z null
+    rows = [(7, True)] * 5 + [(7, False)] * 4
+    row = evaluation.mann_whitney_u(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert row.z is None and int(row.tie_cubes) == 9**3 - 9
+    # empty side -> z null; NULL values excluded
+    rows = [(1, True), (2, True), (None, True)]
+    row = evaluation.mann_whitney_u(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert (row.n1, row.n2) == (2, 0) and row.z is None
+    # clean separation: xs all below ys -> U1 = 0, z strongly negative
+    rows = [(v, True) for v in range(10)] + [(v + 100, False) for v in range(10)]
+    row = evaluation.mann_whitney_u(
+        spark.createDataFrame(rows, "v int, s boolean"), "v", F.col("s")
+    ).collect()[0]
+    assert int(row.u1_x2) == 0 and row.z < -3.5
+
+
+def py_pav(pairs):
+    """Classic sequential pool-adjacent-violators over (n, s) bins,
+    returning bin -> fitted value."""
+    blocks = [[b, n, s] for b, n, s in pairs]  # (first_bin, n, s)
+    out = []
+    stack = []
+    for b, n, s in blocks:
+        stack.append([n, s, [b]])
+        while len(stack) >= 2 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            n2, s2, b2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += s2
+            stack[-1][2].extend(b2)
+    fit = {}
+    for n, s, bs in stack:
+        for b in bs:
+            fit[b] = s / n
+    return fit
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    rng = random.Random(3)
+    # noisy monotone-ish signal: p(y=1) grows with bin, with violations
+    rows = []
+    for b in range(20):
+        p = min(0.95, 0.05 + 0.05 * b + rng.uniform(-0.15, 0.15))
+        for _ in range(rng.randint(5, 40)):
+            rows.append((b, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "b int, y int")
+    got = {
+        r.bin: r
+        for r in evaluation.isotonic_fit_bins(df, F.col("b"), F.col("y")).collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for b, y in rows:
+        agg[b][0] += 1
+        agg[b][1] += y
+    pairs = [(b, n, s) for b, (n, s) in sorted(agg.items())]
+    want = py_pav(pairs)
+    assert sorted(got) == sorted(want)
+    for b in want:
+        assert got[b].fitted == pytest.approx(want[b], rel=1e-12)
+        assert got[b].n == agg[b][0] and got[b].s == agg[b][1]
+    # monotone non-decreasing by construction
+    fitted = [got[b].fitted for b in sorted(got)]
+    assert all(a <= c + 1e-15 for a, c in zip(fitted, fitted[1:]))
+
+
+def test_isotonic_already_monotone_is_identity_and_guard(spark):
+    rows = [(b, y) for b in range(5) for y in ([1] * b + [0] * (5 - b))]
+    df = spark.createDataFrame(rows, "b int, y int")
+    got = {
+        r.bin: r
+        for r in evaluation.isotonic_fit_bins(df, F.col("b"), F.col("y")).collect()
+    }
+    for b in range(5):
+        assert got[b].fitted == pytest.approx(b / 5.0, rel=1e-12)
+        assert got[b].mean_raw == got[b].fitted
+    with pytest.raises(ValueError):
+        evaluation.isotonic_fit_bins(
+            spark.createDataFrame([(1, 0.5)], "b int, y double"),
+            F.col("b"),
+            F.col("y"),
+        )

@@ -1,0 +1,98 @@
+"""duplicated_substring_spans — Lee-et-al-style exact substring dedup:
+pure-Python reference parity plus contract edges."""
+
+import hashlib
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+    dedup,
+)
+
+
+def py_spans(docs, gram, min_count=2):
+    """(id -> text) -> set of (id, start, end, span_len, n_grams)."""
+    toks = {
+        i: " ".join(t.strip().lower().split()).split()
+        for i, t in docs.items()
+    }
+    grams = []
+    for i, tk in toks.items():
+        if len(tk) < gram:
+            continue
+        for p in range(len(tk) - gram + 1):
+            grams.append((i, p + 1, " ".join(tk[p : p + gram])))
+    cnt = Counter(g for _, _, g in grams)
+    out = set()
+    for i in toks:
+        pos = sorted(p for d, p, g in grams if d == i and cnt[g] >= min_count)
+        if not pos:
+            continue
+        start = prev = pos[0]
+        n = 1
+        for p in pos[1:]:
+            if p > prev + gram:
+                out.add((i, start, prev + gram - 1, prev + gram - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        out.add((i, start, prev + gram - 1, prev + gram - start, n))
+    return out
+
+
+def _rows(df):
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_dup_grams)
+        for r in df.collect()
+    }
+
+
+def test_spans_match_python_reference(spark):
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "the quick brown fox jumps over the lazy dog again today"
+    docs = {}
+    for i in range(25):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+        if i % 3 == 0:  # a third of docs embed the same boilerplate block
+            docs[i] = body + " " + boiler + " " + body[::-1]
+        else:
+            docs[i] = body
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = _rows(dedup.duplicated_substring_spans(df, gram=4))
+    assert got == py_spans(docs, 4)
+    # the boilerplate block must surface in every embedding doc
+    embedders = {i for i in docs if i % 3 == 0}
+    assert embedders <= {i for i, *_ in got}
+
+
+def test_spans_merge_adjacent_and_within_doc_repeats(spark):
+    # one doc repeats its own phrase: within-doc repetition counts
+    docs = {
+        1: "alpha beta gamma delta epsilon alpha beta gamma delta epsilon",
+        2: "unrelated words only here nothing shared at all",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = _rows(dedup.duplicated_substring_spans(df, gram=5))
+    assert got == py_spans(docs, 5)
+    assert {i for i, *_ in got} == {1}
+    # the two occurrences of the 5-gram are adjacent (positions 1 and 6)
+    # -> merged into ONE span covering the whole doc
+    assert got == {(1, 1, 10, 10, 2)}
+
+
+def test_spans_validation_and_empty(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        dedup.duplicated_substring_spans(df, gram=1)
+    with pytest.raises(ValueError):
+        dedup.duplicated_substring_spans(df, min_count=1)
+    # nothing duplicated -> empty result
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "j k l m n o p q r")],
+        "doc_id bigint, text string",
+    )
+    assert dedup.duplicated_substring_spans(df2, gram=8).count() == 0
