@@ -489,6 +489,154 @@ def cusum_from_counts(
     )
 
 
+def cusum_adaptive_from_counts(
+    hc: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    lookback: int = 8,
+    unit: int = 10**6,
+    alarm_mean_mult: int = 4,
+) -> DataFrame:
+    """Two-sided CUSUM with a LEARNED reference — the ROADMAP "EWMA-fed
+    k" chart: instead of testing drift against the series' own global
+    mean (:func:`cusum_from_counts`), each hour is compared to the
+    one-step-behind EWMA prediction of its level, so the chart adapts
+    to slow trends and alarms only on breaks FROM the local baseline
+    (the self-starting CUSUM of the SPC literature).
+
+    The closed form survives a time-varying reference: for ANY
+    innovation sequence d_t = x_t - k_t,
+    ``S_t = max(0, S_{t-1} + d_t) = P_t - min(0, min_{i<=t} P_i)``
+    (and the downward arm symmetrically with the running max), so the
+    adaptive chart is still window SUM + MIN + MAX over the bucket-
+    sized hourly relation — no sequential fold.
+
+    Exactness: the reference is :func:`ewma_bounded`'s closed-form
+    integer-weight EWMA (w_i = r^i * den^(L-i), one integer DIV — DIV
+    and DuckDB's // agree on the non-negative counts), kept in raw
+    1e6-fixed-point units; innovations q_t - ewma_{t-1} are exact
+    bigints; prefix sums / minima / maxima run in DECIMAL(38,0); the
+    alarm ``S >= mult * global_mean`` cross-multiplies to the exact
+    integer comparison ``n*S >= mult*T*unit``. The first hour of each
+    group has no prediction and contributes d = 0 (the chart starts at
+    the baseline, the SPC convention).
+
+    Plan: everything after the hourly aggregation shares ONE
+    (group, hr) sort — the L+1 EWMA lags, the prediction lag, and the
+    three running frames use the same partition + order spec, a single
+    exchange. Works from the same incrementally-maintained (group, hr,
+    cnt) state as cusum_from_counts (agg_state_sink feed).
+
+    Output per hour: (*group_cols, hr, cnt, ewma_pred, cusum_units,
+    cusum_means, is_alarm, cusum_down_units, is_alarm_down).
+    """
+    if alarm_mean_mult < 1:
+        raise ValueError("alarm_mean_mult must be >= 1")
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    if lookback < 1:
+        raise ValueError("lookback must be >= 1")
+    clash = {
+        "_q", "_num", "_den", "_ew", "_pred", "_d", "_pfx", "_floor",
+        "_ceil", "n_hours", "total_cnt", "ewma_pred", "cusum_units",
+        "cusum_means", "is_alarm", "cusum_down_units", "is_alarm_down",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"adaptive cusum group_cols clash with working names: {sorted(clash)}"
+        )
+    dec = "decimal(38,0)"
+    r = alpha_den - alpha_num
+    weights = [r**i * alpha_den ** (lookback - i) for i in range(lookback + 1)]
+    w = Window.partitionBy(*group_cols).orderBy("hr")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*group_cols)
+    q = (F.col("cnt").cast("bigint") * F.lit(unit)).alias("_q")
+    base = hc.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        q,
+        F.count(F.lit(1)).over(wall).alias("n_hours"),
+        F.sum("cnt").over(wall).alias("total_cnt"),
+    )
+    num = None
+    den = None
+    for i, wt in enumerate(weights):
+        lg = F.lag("_q", i).over(w)
+        term = F.coalesce(lg, F.lit(0)) * F.lit(wt)
+        pres = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    ew = base.withColumn("_num", num).withColumn("_den", den).withColumn(
+        "_ew", F.expr("_num DIV _den")
+    )
+    pred = F.lag("_ew").over(w)
+    d = F.when(pred.isNull(), F.lit(0).cast(dec)).otherwise(
+        (F.col("_q") - pred).cast(dec)
+    )
+    prefixed = ew.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        "n_hours",
+        "total_cnt",
+        pred.alias("_pred"),
+        F.sum(d).over(wrun).alias("_pfx"),
+    )
+    scored = prefixed.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        "n_hours",
+        "total_cnt",
+        "_pred",
+        "_pfx",
+        F.least(F.lit(0).cast(dec), F.min("_pfx").over(wrun)).alias("_floor"),
+        F.greatest(F.lit(0).cast(dec), F.max("_pfx").over(wrun)).alias("_ceil"),
+    )
+    s = (F.col("_pfx") - F.col("_floor")).cast(dec)
+    s_dn = (F.col("_ceil") - F.col("_pfx")).cast(dec)
+    # S >= mult * mean_units  <=>  n*S >= mult*T*unit, exact integers
+    lhs_up = F.col("n_hours").cast(dec) * s
+    lhs_dn = F.col("n_hours").cast(dec) * s_dn
+    rhs = (
+        F.lit(alarm_mean_mult).cast(dec)
+        * F.col("total_cnt").cast(dec)
+        * F.lit(unit).cast(dec)
+    )
+    means = (
+        s.cast("double")
+        * F.col("n_hours").cast("double")
+        / (F.col("total_cnt").cast("double") * F.lit(float(unit)))
+    )
+    return scored.select(
+        *group_cols,
+        "hr",
+        "cnt",
+        (F.col("_pred").cast("double") / F.lit(float(unit))).alias("ewma_pred"),
+        s.alias("cusum_units"),
+        means.alias("cusum_means"),
+        (lhs_up >= rhs).cast("bigint").alias("is_alarm"),
+        s_dn.alias("cusum_down_units"),
+        (lhs_dn >= rhs).cast("bigint").alias("is_alarm_down"),
+    )
+
+
+def cusum_adaptive_detect(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    **kwargs,
+) -> DataFrame:
+    """EWMA-referenced CUSUM over each group's hourly event counts —
+    :func:`cusum_adaptive_from_counts` over :func:`hourly_counts`."""
+    return cusum_adaptive_from_counts(
+        hourly_counts(df, group_cols, ts_col), group_cols, **kwargs
+    )
+
+
 def autocorr_lag1(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("event_type",),

@@ -52,3 +52,12 @@ def test_substring_spans_two_exchanges(spark, sf_smoke):
     n = explain.count_exchanges(df)
     assert n <= 3, f"substring-spans exchange budget is 3, got {n}"
     assert "Cartesian" not in explain.formatted_plan(df)
+
+
+def test_adaptive_cusum_two_exchanges(spark, sf_smoke):
+    """Hourly agg exchange + ONE group sort shared by the EWMA lags,
+    the prediction lag, and the three running frames — the plain
+    CUSUM budget, unchanged by the learned reference."""
+    df = _q(spark, sf_smoke, "cusum_adaptive_events")
+    n = explain.count_exchanges(df)
+    assert n == 2, f"adaptive CUSUM budget is 2 exchanges, got {n}"

@@ -964,6 +964,21 @@ def test_streaming_cusum_equals_batch_chart(spark, tmp_path):
     # and the planted level shift actually alarms in the streamed chart
     alarms = [r for r in got if r[-1] == 1]
     assert alarms
+    # the EWMA-referenced adaptive chart consumes the SAME maintained
+    # state: streamed == batch bit-for-bit there too
+    got_a = sorted(
+        tuple(r)
+        for r in timeseries.cusum_adaptive_from_counts(
+            hc, ("event_type",)
+        ).collect()
+    )
+    want_a = sorted(
+        tuple(r)
+        for r in timeseries.cusum_adaptive_detect(
+            full, ("event_type",)
+        ).collect()
+    )
+    assert got_a == want_a
 
 
 def test_streaming_theilsen_equals_batch_trend(spark, tmp_path):
