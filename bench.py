@@ -166,6 +166,13 @@ HEADLINE = [
     "psi_drift_totalprice",
     "psi_drift_by_status",
     "pca_two_components_embeddings",
+    # r08 additions
+    "wasserstein_drift_totalprice",
+    "mannwhitney_urgent_totalprice",
+    "isotonic_calibration_doclen",
+    "dedup_substring_spans",
+    "cusum_adaptive_events",
+    "decontaminate_span_report",
 ]
 
 

@@ -1881,11 +1881,29 @@ def duplicated_substring_spans(
         raise ValueError(f"gram must be >= 2, got {gram}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    g = gram_positions(docs, gram, id_col, text_col)
+    counts = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+    )
+    dup = g.join(counts.select("_h"), "_h")
+    return merge_position_spans(dup, gram, id_col, "n_dup_grams")
+
+
+def gram_positions(
+    docs: DataFrame, gram: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(_id, _pos, _h): every word ``gram``-gram of each document as a
+    1-based token position plus its md5 — normalized with the
+    corpus_ngrams convention (lower, collapse whitespace). The shared
+    front end of substring-level dedup and span decontamination: only
+    (id, pos, 16-byte digest) ever shuffles, never text."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toked = docs.select(
         F.col(id_col).alias("_id"), tokens(norm).alias("_tk")
     ).filter(F.size("_tk") >= gram)
-    g = toked.select(
+    return toked.select(
         "_id",
         F.posexplode(ngram_array(F.col("_tk"), gram)).alias("_p0", "_gram"),
     ).select(
@@ -1893,19 +1911,23 @@ def duplicated_substring_spans(
         (F.col("_p0") + 1).alias("_pos"),
         F.md5(F.col("_gram")).alias("_h"),
     )
-    counts = (
-        g.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-    )
-    dup = g.join(counts.select("_h"), "_h")
+
+
+def merge_position_spans(
+    flagged: DataFrame, gram: int, id_col: str, count_alias: str
+) -> DataFrame:
+    """Islands-and-gaps merge of flagged gram positions into maximal
+    per-document spans: each position covers [p, p+gram-1]; same-length
+    intervals make the running max end just lag(p)+gram-1, so a new
+    island starts exactly when p > lag(p) + gram (adjacency merges).
+    Input: (_id, _pos); window partitions per document (bounded)."""
     w = Window.partitionBy("_id").orderBy("_pos")
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lagp = F.lag("_pos").over(w)
     brk = F.when(
         lagp.isNull() | (F.col("_pos") > lagp + F.lit(gram)), 1
     ).otherwise(0)
-    isl = dup.select(
+    isl = flagged.select(
         "_id", "_pos", F.sum(brk).over(w_run).alias("_island")
     )
     return (
@@ -1913,13 +1935,51 @@ def duplicated_substring_spans(
         .agg(
             F.min("_pos").alias("_lo"),
             F.max("_pos").alias("_hi"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.count(F.lit(1)).alias(count_alias),
         )
         .select(
             F.col("_id").alias(id_col),
             F.col("_lo").cast("long").alias("span_start"),
             (F.col("_hi") + gram - 1).cast("long").alias("span_end"),
             (F.col("_hi") + gram - F.col("_lo")).cast("long").alias("span_len"),
-            "n_dup_grams",
+            count_alias,
         )
     )
+
+
+def decontaminate_span_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    gram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Span-LEVEL benchmark decontamination — the surgical upgrade of
+    the GPT-3-style whole-document n-gram screen
+    (:func:`..operators.text.ngram_decontaminate`): instead of flagging
+    a document for sharing ANY gram with the benchmark, report the
+    exact maximal token spans covered by benchmark grams, so curation
+    can cut the contaminated spans and keep the rest of the document
+    (the Lee-et-al substring machinery pointed at an external reference
+    set instead of the corpus itself).
+
+    Scale: the corpus side reduces to (id, pos, digest); the benchmark
+    side to a DISTINCT digest set that broadcasts (benchmarks are
+    small by construction — the ngram_decontaminate posture); shuffle
+    after the join is proportional to CONTAMINATED positions only.
+
+    Output per (document, span): (id_col, span_start, span_end,
+    span_len, n_bench_grams) — 1-based token positions in the
+    normalized (lower, collapsed-whitespace) tokenization.
+    """
+    if gram < 2:
+        raise ValueError(f"gram must be >= 2, got {gram}")
+    g = gram_positions(docs, gram, id_col, text_col)
+    bench = (
+        gram_positions(benchmark, gram, id_col, bench_text_col)
+        .select("_h")
+        .distinct()
+    )
+    flagged = g.join(F.broadcast(bench), "_h")
+    return merge_position_spans(flagged, gram, id_col, "n_bench_grams")

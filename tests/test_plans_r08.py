@@ -61,3 +61,11 @@ def test_adaptive_cusum_two_exchanges(spark, sf_smoke):
     df = _q(spark, sf_smoke, "cusum_adaptive_events")
     n = explain.count_exchanges(df)
     assert n == 2, f"adaptive CUSUM budget is 2 exchanges, got {n}"
+
+
+def test_decontaminate_spans_broadcast_bench(spark, sf_smoke):
+    """The benchmark digest set must broadcast; post-join shuffle is
+    contaminated positions only (the island window)."""
+    df = _q(spark, sf_smoke, "decontaminate_span_report")
+    assert explain.has_broadcast_join(df), "bench digests must broadcast"
+    assert "Cartesian" not in explain.formatted_plan(df)

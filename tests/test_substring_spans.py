@@ -96,3 +96,64 @@ def test_spans_validation_and_empty(spark):
         "doc_id bigint, text string",
     )
     assert dedup.duplicated_substring_spans(df2, gram=8).count() == 0
+
+
+def py_bench_spans(docs, bench_texts, gram):
+    """Spans of docs covered by grams present in the benchmark set."""
+    def toks(t):
+        return " ".join(t.strip().lower().split()).split()
+
+    bench = set()
+    for t in bench_texts:
+        tk = toks(t)
+        for p in range(len(tk) - gram + 1):
+            bench.add(" ".join(tk[p : p + gram]))
+    out = set()
+    for i, t in docs.items():
+        tk = toks(t)
+        pos = sorted(
+            p + 1
+            for p in range(len(tk) - gram + 1)
+            if " ".join(tk[p : p + gram]) in bench
+        )
+        if not pos:
+            continue
+        start = prev = pos[0]
+        n = 1
+        for p in pos[1:]:
+            if p > prev + gram:
+                out.add((i, start, prev + gram - 1, prev + gram - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        out.add((i, start, prev + gram - 1, prev + gram - start, n))
+    return out
+
+
+def test_decontaminate_span_report_matches_python(spark):
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    bench_texts = [
+        "what is the capital of france paris obviously",
+        "solve for x in two x plus three equals seven",
+    ]
+    docs = {}
+    for i in range(20):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(10, 50)))
+        if i % 4 == 0:  # leak a benchmark fragment into some docs
+            frag = bench_texts[i % 2].split()[0:6]
+            docs[i] = body + " " + " ".join(frag) + " " + body
+        else:
+            docs[i] = body
+    corpus = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(1000 + j, t) for j, t in enumerate(bench_texts)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_bench_grams)
+        for r in dedup.decontaminate_span_report(corpus, bench, gram=4).collect()
+    }
+    assert got == py_bench_spans(docs, bench_texts, 4)
+    # every leaking doc is caught, clean docs are not
+    assert {i for i, *_ in got} == {i for i in docs if i % 4 == 0}
