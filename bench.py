@@ -173,6 +173,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "cusum_adaptive_events",
     "decontaminate_span_report",
+    "audio_dft_energy",
 ]
 
 

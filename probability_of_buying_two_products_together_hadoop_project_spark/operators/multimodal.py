@@ -1416,3 +1416,117 @@ def resample_rational(
         "media_id bigint, sample_rate int, channels int, n_frames bigint, "
         "payload binary, samples array<int>",
     )
+
+
+def _dft_tables(n_window: int) -> tuple[list[int], list[int]]:
+    """Integer DFT coefficient tables: cos/sin(2*pi*m/N) for m in
+    0..N-1, quantized ONCE in Python to 1e-6 units with decimal
+    ROUND_HALF_UP (the BENFORD_P6 rule) — transcendentals never cross
+    engines raw; both the engine expressions and the SQL oracle embed
+    THESE integers as literals, so every downstream product and sum is
+    exact integer arithmetic."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q(x: float) -> int:
+        return int(
+            (Decimal(repr(x)) * 1_000_000).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    cos_u = [q(math.cos(2 * math.pi * m / n_window)) for m in range(n_window)]
+    sin_u = [q(math.sin(2 * math.pi * m / n_window)) for m in range(n_window)]
+    return cos_u, sin_u
+
+
+def decode_samples(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads to their raw int16 samples (interleaved if
+    multichannel) as an ``array<int>`` column — the Arrow-batched
+    bridge from opaque binary to JVM-side signal processing. Everything
+    AFTER this (windowing, spectral sums) stays in codegen."""
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, frames = decode_wav(bytes(p))
+                s = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+                rows.append((mid, rate, channels, list(s)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "samples"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id bigint, sample_rate int, channels int, samples array<int>",
+    )
+
+
+def audio_dft_energy(
+    media: DataFrame,
+    n_window: int = 64,
+    freqs: tuple[int, ...] = (1, 4, 8, 16),
+) -> DataFrame:
+    """Spectral band energies per non-overlapping ``n_window``-sample
+    window at selected DFT bins — the frequency-domain audio screen
+    (tone detection, bandwidth checks, silence/noise triage) that
+    normally needs an FFT library; here it is EXACT distributed integer
+    arithmetic: |X_f|^2 = (sum s_n*cos_u[(f*n)%N])^2 +
+    (sum s_n*sin_u[(f*n)%N])^2 in 1e-12 units, with the cos/sin tables
+    quantized once in Python (:func:`_dft_tables`) and embedded as
+    integer literals in BOTH engines.
+
+    Headroom: |term| <= 32767*1e6, window sums <= N*that ~ 2.1e12
+    (bigint), squares <= 4.5e24 summed in DECIMAL(38,0) — overflow-free.
+
+    Plan: one Arrow decode pass (:func:`decode_samples`), posexplode,
+    ONE (media, window) hash aggregation carrying 2*len(freqs)
+    conditional sums — map-side combined, shuffle rows = windows, never
+    samples. The last window of each clip may be partial
+    (``n_in_window`` reports it; energies are over the samples present,
+    the standard short-block convention).
+
+    Output: media_id, win (0-based), n_in_window, and per selected bin
+    f: ``e{f}_u2`` (exact integer |X_f|^2 in 1e-12 units, VARCHAR) and
+    ``e{f}`` (double, /1e12).
+    """
+    if n_window < 2:
+        raise ValueError(f"n_window must be >= 2, got {n_window}")
+    if not freqs or any(not 0 <= f < n_window for f in freqs):
+        raise ValueError(f"freqs must be in [0, {n_window}), got {freqs}")
+    cos_u, sin_u = _dft_tables(n_window)
+    cos_arr = F.array(*[F.lit(c) for c in cos_u])
+    sin_arr = F.array(*[F.lit(c) for c in sin_u])
+    s = decode_samples(media).select(
+        "media_id",
+        F.posexplode("samples").alias("_pos", "_v"),
+    )
+    base = s.select(
+        "media_id",
+        (F.col("_pos") / F.lit(n_window)).cast("long").alias("win"),
+        (F.col("_pos") % F.lit(n_window)).alias("_m"),
+        F.col("_v").cast("long").alias("_v"),
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n_in_window")]
+    for f in freqs:
+        idx = (F.col("_m") * F.lit(f)) % F.lit(n_window) + F.lit(1)
+        term_c = F.col("_v") * F.element_at(cos_arr, idx)
+        term_s = F.col("_v") * F.element_at(sin_arr, idx)
+        aggs.append(F.sum(term_c).cast(dec).alias(f"_re{f}"))
+        aggs.append(F.sum(term_s).cast(dec).alias(f"_im{f}"))
+    g = base.groupBy("media_id", "win").agg(*aggs)
+    out_cols = ["media_id", "win", "n_in_window"]
+    sel = [F.col("media_id"), F.col("win"), F.col("n_in_window")]
+    for f in freqs:
+        u2 = (
+            F.col(f"_re{f}") * F.col(f"_re{f}")
+            + F.col(f"_im{f}") * F.col(f"_im{f}")
+        ).cast(dec)
+        sel.append(u2.cast("string").alias(f"e{f}_u2"))
+        sel.append((u2.cast("double") / F.lit(1e12)).alias(f"e{f}"))
+        out_cols += [f"e{f}_u2", f"e{f}"]
+    return g.select(*sel)

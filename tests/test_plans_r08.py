@@ -69,3 +69,11 @@ def test_decontaminate_spans_broadcast_bench(spark, sf_smoke):
     df = _q(spark, sf_smoke, "decontaminate_span_report")
     assert explain.has_broadcast_join(df), "bench digests must broadcast"
     assert "Cartesian" not in explain.formatted_plan(df)
+
+
+def test_audio_dft_single_aggregation_after_decode(spark, sf_smoke):
+    """One (media, window) hash aggregation after the Arrow decode:
+    shuffle rows = windows, never samples."""
+    df = _q(spark, sf_smoke, "audio_dft_energy")
+    n = explain.count_exchanges(df)
+    assert n == 1, f"audio DFT budget is 1 exchange, got {n}"
