@@ -174,6 +174,8 @@ HEADLINE = [
     "cusum_adaptive_events",
     "decontaminate_span_report",
     "audio_dft_energy",
+    "xml_source_supplier_agg",
+    "normalize_text_nfc",
 ]
 
 

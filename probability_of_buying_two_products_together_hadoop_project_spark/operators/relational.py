@@ -1278,7 +1278,7 @@ def apply_fingerprint_delta(
     sign_col: str = "_sign",
 ) -> DataFrame:
     """Incremental fingerprint maintenance: the content hash is an
-    ADDITIVE monoid — fp(base ∪ inserts \ deletes) = fp(base)
+    ADDITIVE monoid — fp(base ∪ inserts minus deletes) = fp(base)
     + Σ digest(insert) - Σ digest(delete) — so a persisted
     (dataset, n_rows, content_hash) state absorbs a CDC delta with
     work ∝ delta, never a base rescan (the incremental_agg pattern

@@ -11,6 +11,8 @@ pruning (only ``text`` + projected columns are read).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1943,4 +1945,63 @@ def hashing_trick_features(
             F.coalesce(F.col("l1_signed"), F.lit(0)).cast("long").alias("l1_signed"),
             F.coalesce(F.col("vec_csv"), F.lit(zeros)).alias("vec_csv"),
         )
+    )
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode text normalization — the first cleaning pass of every
+    LLM data pipeline: NFC-compose (so 'e'+COMBINING ACUTE and the
+    precomposed accented char hash/tokenize identically), strip
+    zero-width characters (U+200B/200C/200D/FEFF — invisible dedup and
+    tokenizer poison), map NBSP to a plain space, replace C0/DEL
+    control characters with spaces, collapse ASCII whitespace runs and
+    trim.
+
+    Cross-engine contract: NFC is Python ``unicodedata`` engine-side
+    and ``nfc_normalize`` (utf8proc) oracle-side — both implement the
+    same Unicode normalization form; zero-width/NBSP removal is EXACT
+    character replacement (no regex, no engine class semantics); the
+    control and whitespace classes are explicit ASCII-only character
+    classes identical in Python re and RE2 (a bare ``\\s`` would
+    diverge — Python's matches Unicode spaces, RE2's is ASCII).
+
+    Per-row Python (Arrow-batched pandas UDF) is the honest path here:
+    the JVM has no Unicode-normalization builtin; this is a documented
+    slow-path exception, and the map-only plan keeps it shuffle-free.
+
+    Output: (id_col, text cleaned, n_chars_raw, n_chars_clean, changed
+    1/0) — lengths in codepoints in both engines.
+    """
+    import re as _re
+    import unicodedata as _ud
+
+    zw = dict.fromkeys(map(ord, "\u200b\u200c\u200d\ufeff"), None)
+    ctrl = _re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("string")
+    def clean(col: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = _ud.normalize("NFC", t).translate(zw).replace("\xa0", " ")
+            t = ctrl.sub(" ", t)
+            return ws.sub(" ", t).strip()
+
+        return col.map(one)
+
+    raw = F.col(text_col)
+    cleaned = docs.select(
+        F.col(id_col),
+        raw.alias("_raw"),
+        clean(raw).alias(text_col),
+    )
+    return cleaned.select(
+        id_col,
+        text_col,
+        F.length("_raw").cast("long").alias("n_chars_raw"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_clean"),
+        (F.col(text_col) != F.col("_raw")).cast("bigint").alias("changed"),
     )

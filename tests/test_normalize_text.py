@@ -1,0 +1,87 @@
+"""normalize_text: NFC + zero-width/control/whitespace cleanup parity
+with an independent Python reference on adversarial unicode fixtures."""
+
+import unicodedata
+
+import pytest
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+    text as text_ops,
+)
+
+
+CASES = [
+    # decomposed accent -> NFC composes it
+    ("café latte", "café latte"),
+    # zero-widths vanish entirely (no space left behind)
+    ("ab​cd‌ e‍f﻿g", "abcd efg"),
+    # NBSP becomes a plain space, then collapses with neighbors
+    ("a\xa0\xa0b", "a b"),
+    # control chars become spaces, runs collapse, ends trim
+    ("\x00x\x01\x02y\x7f", "x y"),
+    ("  tabs\t\tand\nnewlines\r\n  ", "tabs and newlines"),
+    # already-clean ASCII is untouched
+    ("hello world", "hello world"),
+    # all-junk collapses to empty
+    ("​\x00 \t", ""),
+    # NFC keeps singletons composed (precomposed stays itself)
+    ("café", "café"),
+]
+
+
+def test_normalize_text_cases_and_flags(spark):
+    rows = [(i, dirty) for i, (dirty, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in text_ops.normalize_text(df).collect()}
+    for i, (dirty, want) in enumerate(CASES):
+        r = got[i]
+        assert r.text == want, (dirty, r.text, want)
+        assert r.n_chars_raw == len(dirty)
+        assert r.n_chars_clean == len(want)
+        assert r.changed == int(want != dirty)
+
+
+def test_normalize_text_null_and_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "ok then")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in text_ops.normalize_text(df).collect()}
+    assert got[1].text is None and got[1].changed is None
+    assert got[2].changed == 0
+    # idempotence: cleaning clean output changes nothing
+    out = text_ops.normalize_text(
+        spark.createDataFrame(
+            [(i, w) for i, (_, w) in enumerate(CASES)], "doc_id bigint, text string"
+        )
+    ).collect()
+    assert all(r.changed == 0 for r in out)
+
+
+def test_normalize_matches_python_unicodedata_on_random_junk(spark):
+    import random
+
+    rng = random.Random(21)
+    pool = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["́", "̈", "​", "\xa0", "\t", "\n", "\x03", "é", "ß", "中"]
+    )
+    texts = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    import re
+
+    zw = dict.fromkeys(map(ord, "​‌‍﻿"), None)
+    ctrl = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def ref(t):
+        t = unicodedata.normalize("NFC", t).translate(zw).replace("\xa0", " ")
+        return ws.sub(" ", ctrl.sub(" ", t)).strip()
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.text for r in text_ops.normalize_text(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t)

@@ -77,3 +77,10 @@ def test_audio_dft_single_aggregation_after_decode(spark, sf_smoke):
     df = _q(spark, sf_smoke, "audio_dft_energy")
     n = explain.count_exchanges(df)
     assert n == 1, f"audio DFT budget is 1 exchange, got {n}"
+
+
+def test_normalize_text_map_only(spark, sf_smoke):
+    """The cleaning pass is a map-only Arrow-batched projection."""
+    df = _q(spark, sf_smoke, "normalize_text_nfc")
+    n = explain.count_exchanges(df)
+    assert n == 0, f"normalize_text must be map-only, got {n} exchanges"
