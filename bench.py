@@ -176,6 +176,8 @@ HEADLINE = [
     "audio_dft_energy",
     "xml_source_supplier_agg",
     "normalize_text_nfc",
+    "isotonic_calibration_by_source",
+    "join_size_report_partkey",
 ]
 
 

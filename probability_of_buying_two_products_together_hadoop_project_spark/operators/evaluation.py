@@ -997,20 +997,25 @@ def isotonic_fit_bins(
     df: DataFrame,
     bin_col: Column,
     y_col: Column,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Isotonic (monotone non-decreasing) regression over binned data —
     pool-adjacent-violators calibration, the standard way to turn a
     monotone-ish score into calibrated probabilities without assuming
-    a parametric shape (Platt scaling's nonparametric rival).
+    a parametric shape (Platt scaling's nonparametric rival). With
+    ``group_cols`` it is the per-segment calibration DASHBOARD: one
+    independent PAV fit per group from ONE scan (the psi_drift_by_*
+    monitoring shape).
 
     PAV is textbook-sequential, but over BINS it has an exact parallel
     formulation — the max-min characterization of the isotonic fit:
     ``fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k)`` with
     ``avg(j,k) = (S_k - S_{j-1}) / (N_k - N_{j-1})`` from prefix sums.
-    Engine plan: one corpus scan to the <= B-row (bin, n, s) table,
-    prefix sums over it, the B² (j,k) pair grid, a per-j running min
-    from the right, and a per-i max — every post-scan stage is
-    bin-table-sized (B² rows, B <= ~1000), never corpus-sized.
+    Engine plan: one corpus scan to the <= groups x B row (group, bin,
+    n, s) table, per-group prefix sums, the per-group B² (j,k) pair
+    grid, a per-(group, j) running min from the right, and a
+    per-(group, i) max — every post-scan stage is bin-table-sized,
+    never corpus-sized.
 
     Cross-engine exactness: n and s accumulate as exact integers
     (``y_col`` must be integer-valued — 0/1 labels in the calibration
@@ -1020,25 +1025,40 @@ def isotonic_fit_bins(
     equal doubles — the selected VALUE is unambiguous even if the
     attaining (j,k) is not). No transcendentals anywhere.
 
-    Output per non-empty bin: bin, n, s, mean_raw, fitted — with
-    ``fitted`` non-decreasing in bin and matching pool-adjacent-
-    violators exactly (the max-min form is the PAV solution).
+    Output per non-empty (group, bin): (*group_cols, bin, n, s,
+    mean_raw, fitted) — ``fitted`` non-decreasing in bin within each
+    group and matching pool-adjacent-violators exactly (the max-min
+    form is the PAV solution).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    clash = {
+        "bin", "n", "s", "_cn", "_cs", "_j", "_k", "_nj", "_sj", "_nk",
+        "_sk", "_avg", "_i", "_m", "mean_raw", "fitted",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"isotonic group_cols clash with working names: {sorted(clash)}"
+        )
     ydt = df.select(y_col.alias("_y")).schema["_y"].dataType
     if not isinstance(ydt, (ByteType, ShortType, IntegerType, LongType)):
         raise ValueError(
             f"isotonic_fit_bins needs an integer-valued y (0/1 labels or "
             f"integer targets), got {ydt.simpleString()} — quantize first"
         )
-    binned = df.groupBy(bin_col.alias("bin")).agg(
+    binned = df.groupBy(*group_cols, bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"), F.sum(y_col).cast("long").alias("s")
     )
-    # prefix sums over the tiny bin table: a single-partition window is
-    # fine HERE (<= B rows), never on the corpus
-    w_pfx = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # prefix sums over the tiny bin table: a per-group (or, ungrouped,
+    # single-partition) window is fine HERE (<= B rows per group),
+    # never on the corpus
+    w_pfx = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     pfx = binned.select(
+        *group_cols,
         "bin",
         "n",
         "s",
@@ -1046,16 +1066,22 @@ def isotonic_fit_bins(
         F.sum("s").over(w_pfx).alias("_cs"),
     )
     lo = pfx.select(
+        *group_cols,
         F.col("bin").alias("_j"),
         (F.col("_cn") - F.col("n")).alias("_nj"),  # N_{j-1}
         (F.col("_cs") - F.col("s")).alias("_sj"),  # S_{j-1}
     )
     hi = pfx.select(
+        *[F.col(g).alias(f"_rg_{g}") for g in group_cols],
         F.col("bin").alias("_k"),
         F.col("_cn").alias("_nk"),
         F.col("_cs").alias("_sk"),
     )
-    grid = lo.join(hi, F.col("_j") <= F.col("_k")).select(
+    cond = F.col("_j") <= F.col("_k")
+    for g in group_cols:
+        cond = (F.col(g) == F.col(f"_rg_{g}")) & cond
+    grid = lo.join(hi, cond).select(
+        *group_cols,
         "_j",
         "_k",
         (
@@ -1065,19 +1091,27 @@ def isotonic_fit_bins(
     )
     # m(j, i) = min over k >= i of avg(j, k): running min from the right
     w_right = (
-        Window.partitionBy("_j")
+        Window.partitionBy(*group_cols, "_j")
         .orderBy(F.col("_k").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     m = grid.select(
+        *group_cols,
         "_j",
         F.col("_k").alias("_i"),
         F.min("_avg").over(w_right).alias("_m"),
     )
-    fit = m.groupBy("_i").agg(F.max("_m").alias("fitted"))
+    fit = m.groupBy(*group_cols, "_i").agg(F.max("_m").alias("fitted"))
+    fit2 = fit.select(
+        *[F.col(g).alias(f"_fg_{g}") for g in group_cols], "_i", "fitted"
+    )
+    cond2 = binned["bin"] == fit2["_i"]
+    for g in group_cols:
+        cond2 = (binned[g] == fit2[f"_fg_{g}"]) & cond2
     return (
-        binned.join(F.broadcast(fit), binned["bin"] == fit["_i"])
+        binned.join(F.broadcast(fit2), cond2)
         .select(
+            *group_cols,
             F.col("bin").cast("long").alias("bin"),
             "n",
             "s",

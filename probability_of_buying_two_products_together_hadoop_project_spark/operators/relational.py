@@ -1400,3 +1400,75 @@ def dp_noisy_counts(
         F.col("noisy_count_q").cast("string").alias("noisy_count_str"),
         F.col("noisy_count_q").cast("double").alias("noisy_count"),
     )
+
+
+def join_size_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 10,
+) -> DataFrame:
+    """EXACT join-size and skew forecast for an equi-join — the
+    planning primitive behind salting/broadcast decisions: the join's
+    output cardinality is exactly ``sum over matched keys of
+    c_left(k) * c_right(k)``, computable from two key-count aggregates
+    WITHOUT running the join. The report surfaces the ``top`` hottest
+    keys (the ones a salted join would split) with each key's exact
+    pair contribution and share of the total.
+
+    Exactness: per-key products and their total accumulate in
+    DECIMAL(38,0) (a single hot key can contribute c² pairs — far past
+    int64 at corpus scale) and cross engines as VARCHAR; ``share`` is
+    one correctly-rounded division of the pinned integers.
+
+    Plan: two key-count aggregations (map-side combined), a key-table
+    join, a 1-row totals aggregate broadcast back, and a
+    TakeOrderedAndProject — the branch totals recompute the key tables
+    (the ks_two_sample branch-recompute trade: the key relation is
+    distinct-key-sized and must not be checkpointed at scale).
+    Deterministic order: pair contribution DESC, key ASC.
+
+    Output (top rows): key, left_rows, right_rows, pair_rows,
+    total_pair_rows, matched_keys, left_keys, right_keys, share.
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    dec = "decimal(38,0)"
+    a = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    b = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    per = a.join(b, "_k").select(
+        "_k",
+        "_ca",
+        "_cb",
+        (F.col("_ca").cast(dec) * F.col("_cb").cast(dec)).alias("_p"),
+    )
+    totals = per.agg(
+        F.coalesce(F.sum("_p"), F.lit(0).cast(dec)).cast(dec).alias("_tp"),
+        F.count(F.lit(1)).alias("_mk"),
+    )
+    lk = a.agg(F.count(F.lit(1)).alias("_lk"))
+    rk = b.agg(F.count(F.lit(1)).alias("_rk"))
+    tot = totals.crossJoin(lk).crossJoin(rk)
+    scored = per.crossJoin(F.broadcast(tot))
+    return (
+        scored.orderBy(F.col("_p").desc(), F.col("_k").asc())
+        .limit(top)
+        .select(
+            F.col("_k").alias("key"),
+            F.col("_ca").cast("long").alias("left_rows"),
+            F.col("_cb").cast("long").alias("right_rows"),
+            F.col("_p").cast("string").alias("pair_rows"),
+            F.col("_tp").cast("string").alias("total_pair_rows"),
+            F.col("_mk").cast("long").alias("matched_keys"),
+            F.col("_lk").cast("long").alias("left_keys"),
+            F.col("_rk").cast("long").alias("right_keys"),
+            (F.col("_p").cast("double") / F.col("_tp").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -218,3 +218,60 @@ def test_isotonic_already_monotone_is_identity_and_guard(spark):
             F.col("b"),
             F.col("y"),
         )
+
+
+def test_isotonic_grouped_matches_ungrouped_per_group(spark):
+    rng = random.Random(41)
+    rows = []
+    for g in ("a", "b", "c"):
+        bias = {"a": 0.0, "b": 0.3, "c": -0.1}[g]
+        for b in range(12):
+            p = min(0.95, max(0.02, 0.1 + 0.07 * b + bias + rng.uniform(-0.1, 0.1)))
+            for _ in range(rng.randint(3, 25)):
+                rows.append((g, b, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "g string, b int, y int")
+    grouped = {
+        (r.g, r.bin): r
+        for r in evaluation.isotonic_fit_bins(
+            df, F.col("b"), F.col("y"), group_cols=("g",)
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        solo = {
+            r.bin: r
+            for r in evaluation.isotonic_fit_bins(
+                df.filter(F.col("g") == g), F.col("b"), F.col("y")
+            ).collect()
+        }
+        assert {b for gg, b in grouped if gg == g} == set(solo)
+        for b, r in solo.items():
+            got = grouped[(g, b)]
+            assert (got.n, got.s) == (r.n, r.s)
+            assert got.fitted == r.fitted
+    with pytest.raises(ValueError):
+        evaluation.isotonic_fit_bins(df, F.col("b"), F.col("y"), group_cols=("bin",))
+
+
+def test_join_size_report_exact_forecast(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        relational,
+    )
+
+    # skewed left: key 0 is hot; right has its own multiplicities
+    left = [(k,) for k in [0] * 50 + [1] * 5 + [2] * 3 + [3]]
+    right = [(k,) for k in [0] * 4 + [1] * 7 + [2] * 2 + [9]]
+    ldf = spark.createDataFrame(left, "k bigint")
+    rdf = spark.createDataFrame(right, "k bigint")
+    rows = relational.join_size_report(ldf, rdf, "k", "k", top=2).collect()
+    # exact forecast: 50*4 + 5*7 + 3*2 = 241 pairs over 3 matched keys
+    assert len(rows) == 2
+    hot = rows[0]
+    assert hot.key == 0 and hot.pair_rows == "200"
+    assert hot.total_pair_rows == "241"
+    assert (hot.matched_keys, hot.left_keys, hot.right_keys) == (3, 4, 4)
+    assert hot.share == pytest.approx(200 / 241)
+    assert rows[1].key == 1 and rows[1].pair_rows == "35"
+    # the forecast equals the actual join size
+    assert ldf.join(rdf, "k").count() == 241
+    with pytest.raises(ValueError):
+        relational.join_size_report(ldf, rdf, "k", "k", top=0)

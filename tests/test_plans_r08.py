@@ -84,3 +84,12 @@ def test_normalize_text_map_only(spark, sf_smoke):
     df = _q(spark, sf_smoke, "normalize_text_nfc")
     n = explain.count_exchanges(df)
     assert n == 0, f"normalize_text must be map-only, got {n} exchanges"
+
+
+def test_join_size_report_no_cartesian_blowup(spark, sf_smoke):
+    """Two key aggs + key join + broadcast 1-row totals + TakeOrdered;
+    the only cross joins are against the broadcast single-row totals."""
+    df = _q(spark, sf_smoke, "join_size_report_partkey")
+    p = explain.formatted_plan(df)
+    assert explain.has_broadcast_join(df)
+    assert "TakeOrdered" in p
