@@ -178,6 +178,8 @@ HEADLINE = [
     "normalize_text_nfc",
     "isotonic_calibration_by_source",
     "join_size_report_partkey",
+    "dsir_weight_ess",
+    "linkage_blocking_quality",
 ]
 
 

@@ -1455,3 +1455,120 @@ def rank_score(
             / (F.count(F.lit(1)).over(n) - 1).cast("double")
         ),
     ).drop("_r")
+
+
+def weight_ess(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Effective sample size of importance weights — the health check
+    every importance-sampling pipeline (DSIR selection, temperature
+    mixing, A-ES draws) needs before trusting its weights:
+    ``ESS = (Σw)² / Σw²`` collapses toward 1 when a few documents
+    dominate the weight mass (the selection degenerates to those few)
+    and approaches n for uniform weights.
+
+    Contract: ``weight_col`` must already be 6dp-QUANTIZED non-negative
+    doubles (the dsir round(exp(lw), 6) convention — raw exp is
+    engine-divergent). Weights convert to exact 1e-6 integer units
+    (recovering the quantized integer each engine shares), both sums
+    accumulate in DECIMAL(38,0), and the ratio is a fixed
+    correctly-rounded double expression over the two pinned sums (the
+    unit scale cancels in (Σw)²/Σw²). Headroom: Σw_units < ~1e19 —
+    far above any real weight mass at 6dp.
+
+    One aggregation; output per group: n, sum_w_units, sum_w2_units
+    (VARCHAR exact), ess (double; null on empty/zero mass), ess_ratio
+    (= ess / n).
+    """
+    clash = {
+        "n", "sum_w_units", "sum_w2_units", "ess", "ess_ratio", "_wu",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"ess group_cols clash with working names: {sorted(clash)}")
+    dec = "decimal(38,0)"
+    wu = F.round(F.col(weight_col) * F.lit(1e6), 0).cast("long")
+    base = df.select(*group_cols, wu.alias("_wu"))
+    g = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("_wu").cast(dec)), F.lit(0).cast(dec))
+        .cast(dec)
+        .alias("_s"),
+        F.coalesce(
+            F.sum(F.col("_wu").cast(dec) * F.col("_wu").cast(dec)),
+            F.lit(0).cast(dec),
+        )
+        .cast(dec)
+        .alias("_q"),
+    )
+    sd, qd = F.col("_s").cast("double"), F.col("_q").cast("double")
+    ess = F.when(F.col("_q") > 0, sd * sd / qd)
+    return g.select(
+        *group_cols,
+        "n",
+        F.col("_s").cast("string").alias("sum_w_units"),
+        F.col("_q").cast("string").alias("sum_w2_units"),
+        ess.alias("ess"),
+        (ess / F.col("n").cast("double")).alias("ess_ratio"),
+    )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    true_pairs: DataFrame,
+    n_records: int,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Blocking-strategy evaluation — the measurement step that closes
+    the linkage pipeline (block → score → EM → fit → assign →
+    EVALUATE): pair completeness (recall of true duplicate pairs inside
+    the candidate set) versus reduction ratio (fraction of the n·(n-1)/2
+    all-pairs space the blocker pruned). A blocker is only as good as
+    this trade-off; window/band knobs should be tuned against it.
+
+    Pairs are canonicalized to (min, max) id order on BOTH inputs, and
+    deduplicated, so any blocker's output shape qualifies. All counts
+    are exact integers (the pair-space total in DECIMAL(38,0) — n²
+    passes int64 at corpus scale); the two rates are single
+    correctly-rounded divisions.
+
+    Output (one row): n_records, n_candidates, n_true, n_found,
+    pair_completeness, reduction_ratio.
+    """
+    if n_records < 2:
+        raise ValueError(f"n_records must be >= 2, got {n_records}")
+
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(a_col), F.col(b_col)
+        return df.select(
+            F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
+        ).distinct()
+
+    cand = canon(candidates)
+    true = canon(true_pairs)
+    found = true.join(cand, ["_pa", "_pb"], "left_semi")
+    counts = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(true.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+    )
+    dec = "decimal(38,0)"
+    # exact in Python (n*(n-1) is even), transported as a string literal
+    # so the pair-space total survives past int64
+    total_pairs = F.lit(str(n_records * (n_records - 1) // 2)).cast(dec)
+    return counts.select(
+        F.lit(n_records).cast("long").alias("n_records"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+        ).alias("pair_completeness"),
+        (
+            F.lit(1.0)
+            - F.col("n_candidates").cast("double") / total_pairs.cast("double")
+        ).alias("reduction_ratio"),
+    )

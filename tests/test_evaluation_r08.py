@@ -275,3 +275,62 @@ def test_join_size_report_exact_forecast(spark):
     assert ldf.join(rdf, "k").count() == 241
     with pytest.raises(ValueError):
         relational.join_size_report(ldf, rdf, "k", "k", top=0)
+
+
+def test_weight_ess_uniform_and_degenerate(spark):
+    # uniform weights: ESS == n exactly
+    df = spark.createDataFrame([(1.0,)] * 40, "w double")
+    r = evaluation.weight_ess(df, "w").collect()[0]
+    assert r.n == 40 and r.ess == pytest.approx(40.0) and r.ess_ratio == 1.0
+    assert r.sum_w_units == str(40 * 10**6)
+    # one dominant weight: ESS collapses toward 1
+    rows = [(1000.0,)] + [(0.001,)] * 99
+    r = evaluation.weight_ess(
+        spark.createDataFrame(rows, "w double"), "w"
+    ).collect()[0]
+    assert 1.0 <= r.ess < 1.01
+    # exact reference on quantized mixed weights
+    ws = [round(v, 6) for v in (0.25, 1.5, 0.125, 2.0, 0.333333)]
+    r = evaluation.weight_ess(
+        spark.createDataFrame([(w,) for w in ws], "w double"), "w"
+    ).collect()[0]
+    units = [round(w * 10**6) for w in ws]
+    s, q = sum(units), sum(u * u for u in units)
+    assert (r.sum_w_units, r.sum_w2_units) == (str(s), str(q))
+    assert r.ess == pytest.approx(s * s / q, rel=1e-15)
+    # zero mass -> null
+    r = evaluation.weight_ess(
+        spark.createDataFrame([(0.0,)] * 3, "w double"), "w"
+    ).collect()[0]
+    assert r.ess is None
+    # grouped
+    rows = [("a", 1.0)] * 10 + [("b", 5.0)] + [("b", 0.5)] * 4
+    got = {
+        r[0]: r
+        for r in evaluation.weight_ess(
+            spark.createDataFrame(rows, "g string, w double"), "w", ("g",)
+        ).collect()
+    }
+    assert got["a"].ess == pytest.approx(10.0)
+    assert got["b"].ess < 2.1
+
+
+def test_blocking_quality_exact_rates(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        evaluation as ev,
+    )
+
+    # 10 records; truth: 4 dup pairs; blocker found 3 of them plus junk
+    true = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "a_id bigint, b_id bigint"
+    )
+    cand = spark.createDataFrame(
+        [(2, 1), (3, 4), (5, 6), (9, 10), (1, 5), (6, 5)],  # dups+reversed
+        "a_id bigint, b_id bigint",
+    )
+    r = ev.blocking_quality(cand, true, n_records=10).collect()[0]
+    assert (r.n_candidates, r.n_true, r.n_found) == (5, 4, 3)
+    assert r.pair_completeness == pytest.approx(3 / 4)
+    assert r.reduction_ratio == pytest.approx(1 - 5 / 45)
+    with pytest.raises(ValueError):
+        ev.blocking_quality(cand, true, n_records=1)
