@@ -180,6 +180,8 @@ HEADLINE = [
     "join_size_report_partkey",
     "dsir_weight_ess",
     "linkage_blocking_quality",
+    "wasserstein_drift_by_status",
+    "mannwhitney_by_status",
 ]
 
 

@@ -757,13 +757,16 @@ def wasserstein_two_sample(
     value_col: str,
     side_col: Column,
     bucket_expr: Column | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact two-sample Wasserstein-1 (earth-mover) distance between two
     cohorts of one relation over an INTEGER-valued column — the
     magnitude-aware companion to :func:`ks_two_sample`: KS reports the
     worst POINT gap between the ECDFs, W1 the AREA between them
     (``∫ |F1 - F2| dx``), so a small-but-everywhere shift that KS
-    underweights shows up in full.
+    underweights shows up in full. With ``group_cols`` it is the
+    per-segment drift DASHBOARD: one independent W1 per group from ONE
+    scan (the psi_drift_by_* monitoring shape).
 
     Exactness: for step ECDFs over integer values the integral is the
     exact sum over consecutive pooled distinct values of
@@ -774,21 +777,28 @@ def wasserstein_two_sample(
     the caller must choose the grid (e.g. ``floor(x)``) — silently
     differencing doubles would not be cross-engine exact.
 
-    Plan: one (value, c1, c2) aggregation, then the bucketed parallel
-    prefix (the ks_two_sample shape) extended with a previous-value
-    carry: lag(v) inside each bucket, and the first row of a bucket
-    takes the previous non-empty bucket's max(v) from the broadcast
-    offsets table — no single-partition window anywhere corpus-sized.
-    NULL values are excluded from both samples (no position on the
-    line), matching KS.
+    Plan: one (group, value, c1, c2) aggregation, then the bucketed
+    parallel prefix (the ks_two_sample shape) extended with a
+    previous-value carry: lag(v) inside each (group, bucket), and the
+    first row of a bucket takes the previous non-empty bucket's max(v)
+    from the broadcast per-group offsets table — no single-partition
+    window anywhere corpus-sized. NULL values are excluded from both
+    samples (no position on the line), matching KS.
 
-    Output (one row): n1, n2, w1_num (exact integer numerator, VARCHAR
-    — the dataset_fingerprints decimal-transport rule), w1 (double =
-    w1_num / (n1·n2); null if either sample is empty — the distance is
-    undefined, not 0).
+    Output (one row per group): (*group_cols, n1, n2, w1_num — exact
+    integer numerator, VARCHAR, the dataset_fingerprints
+    decimal-transport rule — and w1 = w1_num / (n1·n2); null if either
+    sample is empty — the distance is undefined, not 0).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    clash = {
+        "_c1", "_c2", "_vb", "_lc1", "_lc2", "_pv", "_pvb", "_o1", "_o2",
+        "_n1", "_n2", "_t1", "_t2", "_vmax", "_w", "n1", "n2", "w1_num",
+        "w1", value_col,
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"w1 group_cols clash with working names: {sorted(clash)}")
     if value_col in {"_c1", "_c2", "_vb", "_lc1", "_lc2", "_pv", "_pvb"}:
         raise ValueError(f"w1 value_col clashes with a working name: {value_col}")
     dt = df.schema[value_col].dataType
@@ -805,7 +815,7 @@ def wasserstein_two_sample(
     )
     dv = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col)
+        .groupBy(*group_cols, value_col)
         .agg(
             F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
             F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
@@ -813,12 +823,13 @@ def wasserstein_two_sample(
         .withColumn("_vb", b)
     )
     w_local = (
-        Window.partitionBy("_vb")
+        Window.partitionBy(*group_cols, "_vb")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_lag = Window.partitionBy("_vb").orderBy(value_col)
+    w_lag = Window.partitionBy(*group_cols, "_vb").orderBy(value_col)
     local = dv.select(
+        *group_cols,
         value_col,
         "_vb",
         "_c1",
@@ -827,15 +838,20 @@ def wasserstein_two_sample(
         F.sum("_c2").over(w_local).alias("_lc2"),
         F.lag(value_col).over(w_lag).alias("_pv"),
     )
-    totals = dv.groupBy("_vb").agg(
+    totals = dv.groupBy(*group_cols, "_vb").agg(
         F.sum("_c1").alias("_t1"),
         F.sum("_c2").alias("_t2"),
         F.max(value_col).alias("_vmax"),
     )
-    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
-    w_prev = Window.orderBy("_vb")
-    w_all = Window.partitionBy()
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_prev = Window.partitionBy(*group_cols).orderBy("_vb")
+    w_all = Window.partitionBy(*group_cols)
     offsets = totals.select(
+        *group_cols,
         "_vb",
         F.coalesce(F.sum("_t1").over(w_off), F.lit(0)).alias("_o1"),
         F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
@@ -844,7 +860,7 @@ def wasserstein_two_sample(
         F.sum("_t2").over(w_all).alias("_n2"),
     )
     dec = "decimal(38,0)"
-    joined = local.join(F.broadcast(offsets), "_vb")
+    joined = local.join(F.broadcast(offsets), [*group_cols, "_vb"])
     prev_v = F.coalesce(F.col("_pv"), F.col("_pvb"))
     # ECDF level on the half-open segment (prev_v, v): the cumulative
     # counts just BEFORE this value
@@ -855,9 +871,9 @@ def wasserstein_two_sample(
         * (F.col(value_col).cast(dec) - prev_v.cast(dec))
     )
     scored = joined.select(
-        F.col("_c1"), F.col("_c2"), contrib.alias("_w")
+        *group_cols, F.col("_c1"), F.col("_c2"), contrib.alias("_w")
     )
-    agg = scored.agg(
+    agg = scored.groupBy(*group_cols).agg(
         F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("n1"),
         F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("n2"),
         F.coalesce(F.sum("_w"), F.lit(0).cast(dec)).cast(dec).alias("_num"),
@@ -868,6 +884,7 @@ def wasserstein_two_sample(
         / (F.col("n1").cast("double") * F.col("n2").cast("double")),
     )
     return agg.select(
+        *group_cols,
         "n1",
         "n2",
         F.col("_num").cast("string").alias("w1_num"),
@@ -880,13 +897,15 @@ def mann_whitney_u(
     value_col: str,
     side_col: Column,
     bucket_expr: Column | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mann-Whitney / Wilcoxon rank-sum test between two cohorts of one
     relation — the NONPARAMETRIC location test completing the drift
     battery: Welch compares means (assumes rough normality), KS/W1
     compare whole distributions, Mann-Whitney asks "do draws from one
     cohort stochastically dominate the other?" robustly to outliers and
-    any monotone transform.
+    any monotone transform. With ``group_cols`` it is the per-segment
+    dashboard: one independent test per group from ONE scan.
 
     Exactness: ranks are midranks over the distinct-value table — for a
     value with t tied rows after ``cumbefore`` smaller rows, each tied
@@ -900,20 +919,28 @@ def mann_whitney_u(
     correctly-rounded double ops (+,×,/,sqrt — never transcendental)
     over those pinned integers, the welch_ttest precedent.
 
-    Plan: one (value, c1, c2) aggregation, the bucketed parallel prefix
-    (ks_two_sample shape) for cumbefore, one final 1-row aggregate.
-    NULL values are excluded from both samples.
+    Plan: one (group, value, c1, c2) aggregation, the bucketed parallel
+    prefix (ks_two_sample shape, partitioned per group) for cumbefore,
+    one final per-group aggregate. NULL values are excluded from both
+    samples.
 
-    Output (one row): n1, n2, r1_x2, u1_x2, u2_x2, tie_cubes (VARCHAR
-    exact integers), z (double; null if either sample is empty or every
-    value is tied — the variance is 0 and the test degenerate).
+    Output (one row per group): (*group_cols, n1, n2, r1_x2, u1_x2,
+    u2_x2, tie_cubes — VARCHAR exact integers — and z: double; null if
+    either sample is empty or every value is tied).
     """
+    clash = {
+        "_c1", "_c2", "_t", "_vb", "_lct", "_cb", "_tt", "_off", "_r",
+        "_k", "n1", "n2", "r1_x2", "u1_x2", "u2_x2", "tie_cubes", "z",
+        value_col,
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"mw group_cols clash with working names: {sorted(clash)}")
     if value_col in {"_c1", "_c2", "_t", "_vb", "_lct", "_cb"}:
         raise ValueError(f"mw value_col clashes with a working name: {value_col}")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
     dv = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col)
+        .groupBy(*group_cols, value_col)
         .agg(
             F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
             F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
@@ -921,12 +948,13 @@ def mann_whitney_u(
         .withColumn("_vb", b)
     )
     w_local = (
-        Window.partitionBy("_vb")
+        Window.partitionBy(*group_cols, "_vb")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = F.col("_c1") + F.col("_c2")
     local = dv.select(
+        *group_cols,
         value_col,
         "_vb",
         "_c1",
@@ -934,14 +962,19 @@ def mann_whitney_u(
         t.alias("_t"),
         F.sum(t).over(w_local).alias("_lct"),
     )
-    totals = dv.groupBy("_vb").agg(F.sum(t).alias("_tt"))
-    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
+    totals = dv.groupBy(*group_cols, "_vb").agg(F.sum(t).alias("_tt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
+        *group_cols,
         "_vb",
         F.coalesce(F.sum("_tt").over(w_off), F.lit(0)).alias("_off"),
     )
     dec = "decimal(38,0)"
-    joined = local.join(F.broadcast(offsets), "_vb")
+    joined = local.join(F.broadcast(offsets), [*group_cols, "_vb"])
     cumbefore = (F.col("_lct") + F.col("_off") - F.col("_t")).cast(dec)
     r1x2_term = F.col("_c1").cast(dec) * (
         F.lit(2).cast(dec) * cumbefore + F.col("_t").cast(dec) + F.lit(1).cast(dec)
@@ -951,8 +984,12 @@ def mann_whitney_u(
         - F.col("_t").cast(dec)
     )
     agg = joined.select(
-        F.col("_c1"), F.col("_c2"), r1x2_term.alias("_r"), tie_term.alias("_k")
-    ).agg(
+        *group_cols,
+        F.col("_c1"),
+        F.col("_c2"),
+        r1x2_term.alias("_r"),
+        tie_term.alias("_k"),
+    ).groupBy(*group_cols).agg(
         F.coalesce(F.sum("_c1"), F.lit(0)).cast("long").alias("n1"),
         F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("n2"),
         F.coalesce(F.sum("_r"), F.lit(0).cast(dec)).cast(dec).alias("_r1x2"),
@@ -964,6 +1001,7 @@ def mann_whitney_u(
     u2x2 = F.lit(2).cast(dec) * n1d * n2d - u1x2
     var_num = nd * nd * nd - nd - F.col("_ties")  # N^3 - N - T, exact
     scored = agg.select(
+        *group_cols,
         "n1",
         "n2",
         F.col("_r1x2").alias("_r1x2"),
@@ -983,6 +1021,7 @@ def mann_whitney_u(
         num2 / (F.lit(2.0) * F.sqrt(sigma2)),
     )
     return scored.select(
+        *group_cols,
         "n1",
         "n2",
         F.col("_r1x2").cast("string").alias("r1_x2"),

@@ -334,3 +334,35 @@ def test_blocking_quality_exact_rates(spark):
     assert r.reduction_ratio == pytest.approx(1 - 5 / 45)
     with pytest.raises(ValueError):
         ev.blocking_quality(cand, true, n_records=1)
+
+
+def test_w1_and_mw_grouped_match_ungrouped_per_group(spark):
+    rng = random.Random(47)
+    rows = []
+    for g in ("x", "y"):
+        shift = 0 if g == "x" else 8
+        rows += [(g, rng.randint(0, 30) + shift, True) for _ in range(80)]
+        rows += [(g, rng.randint(5, 40), False) for _ in range(60)]
+    df = spark.createDataFrame(rows, "g string, v bigint, s boolean")
+    gw = {
+        r.g: r
+        for r in evaluation.wasserstein_two_sample(
+            df, "v", F.col("s"), group_cols=("g",)
+        ).collect()
+    }
+    gm = {
+        r.g: r
+        for r in evaluation.mann_whitney_u(
+            df, "v", F.col("s"), group_cols=("g",)
+        ).collect()
+    }
+    for g in ("x", "y"):
+        sub = df.filter(F.col("g") == g)
+        sw = evaluation.wasserstein_two_sample(sub, "v", F.col("s")).collect()[0]
+        sm = evaluation.mann_whitney_u(sub, "v", F.col("s")).collect()[0]
+        assert (gw[g].n1, gw[g].n2, gw[g].w1_num, gw[g].w1) == tuple(sw)
+        assert tuple(gm[g])[1:] == tuple(sm)
+    with pytest.raises(ValueError):
+        evaluation.wasserstein_two_sample(df, "v", F.col("s"), group_cols=("w1",))
+    with pytest.raises(ValueError):
+        evaluation.mann_whitney_u(df, "v", F.col("s"), group_cols=("z",))
