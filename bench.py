@@ -182,6 +182,7 @@ HEADLINE = [
     "linkage_blocking_quality",
     "wasserstein_drift_by_status",
     "mannwhitney_by_status",
+    "ks_drift_by_status",
 ]
 
 

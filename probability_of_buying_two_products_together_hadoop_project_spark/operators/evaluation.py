@@ -659,12 +659,14 @@ def ks_two_sample(
     value_col: str,
     side_col: Column,
     bucket_expr: Column | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic — the standard
     distribution-drift test between two cohorts of one relation
     (``side_col`` boolean: True = sample 1): D = sup_x |F1(x) - F2(x)|,
     evaluated at every pooled distinct value (where the sup of step
-    ECDFs is attained).
+    ECDFs is attained). With ``group_cols`` it is the per-segment drift
+    DASHBOARD: one independent KS per group from ONE scan.
 
     Exactness: at each distinct value the ECDF gap is the RATIONAL
     |c1*n2 - c2*n1| / (n1*n2); the numerator is an exact DECIMAL(38,0)
@@ -673,19 +675,28 @@ def ks_two_sample(
     The reported ``ks_d`` is two correctly-rounded casts and one
     division over pinned integers.
 
-    Plan: one (value, c1, c2) aggregation (map-side combined), then the
-    :func:`..operators.relational.global_prefix_sum` shape generalized
-    to two parallel running sums over one bucketed window — no
-    single-partition funnel, every window partition bounded by one
-    value-bucket — and a 1-row TakeOrderedAndProject (max gap, smallest
-    attaining value as the deterministic tie-break).
+    Plan: one (group, value, c1, c2) aggregation (map-side combined),
+    then the :func:`..operators.relational.global_prefix_sum` shape
+    generalized to two parallel running sums over one bucketed window
+    (partitioned per group) — no single-partition funnel. Ungrouped,
+    the argmax is a 1-row TakeOrderedAndProject; grouped, it is a
+    per-group max-gap aggregate joined back and tie-broken by the
+    smallest attaining value — never a per-group global sort of the
+    distinct-value relation.
 
-    Output (one row): n1, n2, at_value (where the sup is attained),
-    d_num (the exact scaled numerator, VARCHAR — the
-    dataset_fingerprints decimal-transport rule), ks_d (double; null if
-    either sample is empty — KS is undefined, not 0/0). NULL values
-    are excluded from both samples before anything is counted.
+    Output (one row per group): (*group_cols,) n1, n2, at_value (where
+    the sup is attained), d_num (the exact scaled numerator, VARCHAR —
+    the dataset_fingerprints decimal-transport rule), ks_d (double;
+    null if either sample is empty — KS is undefined, not 0/0). NULL
+    values are excluded from both samples before anything is counted.
     """
+    clash = {
+        "_c1", "_c2", "_vb", "_lc1", "_lc2", "_t1", "_t2", "_o1", "_o2",
+        "_n1", "_n2", "_gap", "n1", "n2", "at_value", "d_num", "ks_d",
+        value_col,
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"ks group_cols clash with working names: {sorted(clash)}")
     if value_col in {"_c1", "_c2", "_vb", "_lc1", "_lc2"}:
         raise ValueError(f"ks value_col clashes with a working name: {value_col}")
     b = bucket_expr if bucket_expr is not None else F.floor(F.col(value_col))
@@ -695,7 +706,7 @@ def ks_two_sample(
     # engines — Spark nulls-first, DuckDB nulls-last)
     dv = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(value_col)
+        .groupBy(*group_cols, value_col)
         .agg(
             F.sum(F.when(side_col, 1).otherwise(0)).alias("_c1"),
             F.sum(F.when(side_col, 0).otherwise(1)).alias("_c2"),
@@ -703,22 +714,28 @@ def ks_two_sample(
         .withColumn("_vb", b)
     )
     w_local = (
-        Window.partitionBy("_vb")
+        Window.partitionBy(*group_cols, "_vb")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = dv.select(
+        *group_cols,
         value_col,
         "_vb",
         F.sum("_c1").over(w_local).alias("_lc1"),
         F.sum("_c2").over(w_local).alias("_lc2"),
     )
-    totals = dv.groupBy("_vb").agg(
+    totals = dv.groupBy(*group_cols, "_vb").agg(
         F.sum("_c1").alias("_t1"), F.sum("_c2").alias("_t2")
     )
-    w_off = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
     offsets = totals.select(
+        *group_cols,
         "_vb",
         F.coalesce(F.sum("_t1").over(w_off), F.lit(0)).alias("_o1"),
         F.coalesce(F.sum("_t2").over(w_off), F.lit(0)).alias("_o2"),
@@ -731,19 +748,36 @@ def ks_two_sample(
     gap = F.abs(
         cc1 * F.col("_n2").cast(dec) - cc2 * F.col("_n1").cast(dec)
     )
-    scored = local.join(F.broadcast(offsets), "_vb").select(
+    scored = local.join(F.broadcast(offsets), [*group_cols, "_vb"]).select(
+        *group_cols,
         F.col(value_col).alias("at_value"),
         F.col("_n1").cast("long").alias("n1"),
         F.col("_n2").cast("long").alias("n2"),
         gap.alias("_gap"),
     )
-    top = scored.orderBy(F.col("_gap").desc(), F.col("at_value").asc()).limit(1)
+    if group_cols:
+        gm = scored.groupBy(*group_cols).agg(F.max("_gap").alias("_gap"))
+        top = (
+            scored.join(gm, [*group_cols, "_gap"])
+            .groupBy(*group_cols)
+            .agg(
+                F.max("n1").alias("n1"),  # constant within a group
+                F.max("n2").alias("n2"),
+                F.min("at_value").alias("at_value"),  # deterministic tie
+                F.max("_gap").alias("_gap"),
+            )
+        )
+    else:
+        top = scored.orderBy(
+            F.col("_gap").desc(), F.col("at_value").asc()
+        ).limit(1)
     ks = F.when(
         (F.col("n1") > 0) & (F.col("n2") > 0),
         F.col("_gap").cast("double")
         / (F.col("n1").cast("double") * F.col("n2").cast("double")),
     )
     return top.select(
+        *group_cols,
         "n1",
         "n2",
         "at_value",

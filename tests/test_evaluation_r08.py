@@ -366,3 +366,26 @@ def test_w1_and_mw_grouped_match_ungrouped_per_group(spark):
         evaluation.wasserstein_two_sample(df, "v", F.col("s"), group_cols=("w1",))
     with pytest.raises(ValueError):
         evaluation.mann_whitney_u(df, "v", F.col("s"), group_cols=("z",))
+
+
+def test_ks_grouped_matches_ungrouped_per_group(spark):
+    rng = random.Random(53)
+    rows = []
+    for g in ("p", "q", "r"):
+        lo = {"p": 0, "q": 10, "r": 5}[g]
+        rows += [(g, rng.randint(lo, lo + 25), True) for _ in range(70)]
+        rows += [(g, rng.randint(3, 30), False) for _ in range(50)]
+    df = spark.createDataFrame(rows, "g string, v int, s boolean")
+    grouped = {
+        r.g: r
+        for r in evaluation.ks_two_sample(
+            df, "v", F.col("s"), group_cols=("g",)
+        ).collect()
+    }
+    for g in ("p", "q", "r"):
+        solo = evaluation.ks_two_sample(
+            df.filter(F.col("g") == g), "v", F.col("s")
+        ).collect()[0]
+        assert tuple(grouped[g])[1:] == tuple(solo)
+    with pytest.raises(ValueError):
+        evaluation.ks_two_sample(df, "v", F.col("s"), group_cols=("ks_d",))
