@@ -183,6 +183,7 @@ HEADLINE = [
     "wasserstein_drift_by_status",
     "mannwhitney_by_status",
     "ks_drift_by_status",
+    "oov_rate_by_source",
 ]
 
 

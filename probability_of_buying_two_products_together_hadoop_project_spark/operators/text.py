@@ -2005,3 +2005,74 @@ def normalize_text(
         F.length(F.col(text_col)).cast("long").alias("n_chars_clean"),
         (F.col(text_col) != F.col("_raw")).cast("bigint").alias("changed"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+    vocab_token_col: str = "token",
+) -> DataFrame:
+    """Out-of-vocabulary rate per segment — the tokenizer-coverage
+    report every vocab decision needs: given a vocabulary relation
+    (e.g. :func:`build_vocab`'s output), what fraction of each
+    segment's token OCCURRENCES and of its DISTINCT token types fall
+    outside it? High OOV on a source flags a domain the tokenizer will
+    shred into bytes/unknowns.
+
+    Plan: tokens aggregate to (group, token, n) multiplicities — the
+    one corpus-sized pass, map-side combined — then LEFT-join the
+    vocabulary's token column (semi-shaped: a broadcast when the vocab
+    is small, AQE decides) and reduce to one row per group. All counts
+    are exact integers; the two rates are single correctly-rounded
+    divisions.
+
+    Output per group: (*group_cols, n_tokens, n_oov_tokens, n_types,
+    n_oov_types, oov_token_rate, oov_type_rate).
+    """
+    clash = {
+        "_tok", "_n", "_inv", "n_tokens", "n_oov_tokens", "n_types",
+        "n_oov_types", "oov_token_rate", "oov_type_rate",
+    } & set(group_cols)
+    if clash:
+        raise ValueError(f"oov group_cols clash with working names: {sorted(clash)}")
+    toked = docs.select(
+        *group_cols,
+        F.explode(
+            tokens(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            )
+        ).alias("_tok"),
+    )
+    counts = toked.groupBy(*group_cols, "_tok").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    voc = vocab.select(
+        F.col(vocab_token_col).alias("_tok"), F.lit(1).alias("_inv")
+    ).distinct()
+    j = counts.join(voc, "_tok", "left")
+    oov = F.col("_inv").isNull()
+    g = j.groupBy(*group_cols).agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.sum(F.when(oov, F.col("_n")).otherwise(0)).cast("long").alias(
+            "n_oov_tokens"
+        ),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("n_oov_types"),
+    )
+    return g.select(
+        *group_cols,
+        "n_tokens",
+        "n_oov_tokens",
+        "n_types",
+        "n_oov_types",
+        (
+            F.col("n_oov_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("oov_token_rate"),
+        (
+            F.col("n_oov_types").cast("double")
+            / F.col("n_types").cast("double")
+        ).alias("oov_type_rate"),
+    )

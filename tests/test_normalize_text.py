@@ -85,3 +85,34 @@ def test_normalize_matches_python_unicodedata_on_random_junk(spark):
     got = {r.doc_id: r.text for r in text_ops.normalize_text(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref(t)
+
+
+def test_oov_rate_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat"),
+            ("a", "the dog Ran"),
+            ("b", "zyx qqq the"),
+        ],
+        "source string, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("dog",), ("ran",)], "token string"
+    )
+    got = {
+        r.source: r
+        for r in text_ops.oov_rate(docs, vocab, ("source",)).collect()
+    }
+    # source a: tokens [the cat sat on the mat the dog ran] -> 9 tokens,
+    # oov occurrences: sat, on, mat = 3; types {the cat sat on mat dog ran}=7,
+    # oov types {sat on mat}=3
+    assert (got["a"].n_tokens, got["a"].n_oov_tokens) == (9, 3)
+    assert (got["a"].n_types, got["a"].n_oov_types) == (7, 3)
+    assert got["a"].oov_token_rate == 3 / 9
+    # source b: zyx qqq the -> 2/3 occurrences oov, 2/3 types oov
+    assert (got["b"].n_tokens, got["b"].n_oov_tokens) == (3, 2)
+    assert got["b"].oov_type_rate == 2 / 3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        text_ops.oov_rate(docs, vocab, ("n_tokens",))
