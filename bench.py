@@ -184,6 +184,7 @@ HEADLINE = [
     "mannwhitney_by_status",
     "ks_drift_by_status",
     "oov_rate_by_source",
+    "dedup_cut_spans",
 ]
 
 

@@ -1983,3 +1983,61 @@ def decontaminate_span_report(
     )
     flagged = g.join(F.broadcast(bench), "_h")
     return merge_position_spans(flagged, gram, id_col, "n_bench_grams")
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY substring-level dedup/decontamination: remove the token
+    spans reported by :func:`duplicated_substring_spans` /
+    :func:`decontaminate_span_report` from each document and emit the
+    cleaned text — the CUT step that makes span detection actionable
+    (Lee et al. cut duplicated spans rather than dropping documents).
+
+    Contract: span positions are 1-based indices into the NORMALIZED
+    token stream (lower, collapsed whitespace — the same corpus_ngrams
+    convention the span extractors use), so the cleaned text is the
+    space-join of the surviving normalized tokens. Documents with no
+    spans pass through with their normalized token join (the
+    normalization is part of the pipeline, not a side effect).
+
+    Plan: spans collapse to one struct-array row per document (bounded
+    by spans-per-doc), join onto the corpus, and the cut is ONE
+    JVM-side indexed higher-order filter — no explode, no per-token
+    shuffle; the only exchanges are the span collapse and the join.
+
+    Output: (id_col, text_clean, n_tokens, n_tokens_removed).
+    """
+    sp = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toked = docs.select(F.col(id_col).alias("_id"), tokens(norm).alias("_tk"))
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = toked.join(sp, "_id", "left").select(
+        "_id", "_tk", F.coalesce(F.col("_spans"), empty).alias("_spans")
+    )
+    # Spark HOF index is 0-based; span positions are 1-based
+    kept = F.filter(
+        F.col("_tk"),
+        lambda x, i: F.size(
+            F.filter(
+                F.col("_spans"),
+                lambda sp_: ((i + 1) >= sp_["s"]) & ((i + 1) <= sp_["e"]),
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -157,3 +157,38 @@ def test_decontaminate_span_report_matches_python(spark):
     assert got == py_bench_spans(docs, bench_texts, 4)
     # every leaking doc is caught, clean docs are not
     assert {i for i, *_ in got} == {i for i in docs if i % 4 == 0}
+
+
+def test_cut_spans_removes_exactly_the_spans(spark):
+    docs = {
+        1: "alpha beta gamma delta epsilon alpha beta gamma delta epsilon",
+        2: "unrelated words only here nothing shared at all",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    spans = dedup.duplicated_substring_spans(df, gram=5)
+    out = {r.doc_id: r for r in dedup.cut_spans(df, spans).collect()}
+    # doc 1's single span covers the whole doc -> everything cut
+    assert out[1].text_clean == "" and out[1].n_tokens_removed == 10
+    # doc 2 untouched (normalized join of its own tokens)
+    assert out[2].text_clean == docs[2]
+    assert out[2].n_tokens_removed == 0 and out[2].n_tokens == 8
+
+
+def test_cut_spans_partial_and_positions(spark):
+    # hand-built spans: cut tokens 2..3 and 6..6 of a 7-token doc
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7")], "doc_id bigint, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 6, 6)],
+        "doc_id bigint, span_start bigint, span_end bigint",
+    )
+    r = dedup.cut_spans(df, spans).collect()[0]
+    assert r.text_clean == "t1 t4 t5 t7"
+    assert (r.n_tokens, r.n_tokens_removed) == (7, 3)
+    # case/whitespace normalization is part of the contract
+    df2 = spark.createDataFrame([(9, "  A   B\tC ")], "doc_id bigint, text string")
+    r2 = dedup.cut_spans(
+        df2, spans.filter(F.col("doc_id") < 0)
+    ).collect()[0]
+    assert r2.text_clean == "a b c" and r2.n_tokens_removed == 0
