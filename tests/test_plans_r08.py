@@ -93,3 +93,11 @@ def test_join_size_report_no_cartesian_blowup(spark, sf_smoke):
     p = explain.formatted_plan(df)
     assert explain.has_broadcast_join(df)
     assert "TakeOrdered" in p
+
+
+def test_cut_spans_no_per_token_shuffle(spark, sf_smoke):
+    """Span collapse + join are the only exchanges beyond the span
+    extractor's own; the cut itself is one indexed HOF filter."""
+    df = _q(spark, sf_smoke, "dedup_cut_spans")
+    n = explain.count_exchanges(df)
+    assert n <= 3, f"cut-spans exchange budget is 3, got {n}"
