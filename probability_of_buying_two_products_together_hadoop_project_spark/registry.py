@@ -13107,6 +13107,13 @@ def q_cut_spans(spark, sf_dir):
 # displacement first: all 12 r06-local, all 25 r07-local, and the first
 # 7 r05-local entries (lateral/recursive-CTE/try/collation/json-extract/
 # map/regexp scalar batteries). 75 r05-local entries remain for r09+.
+# The round then added EIGHTEEN new queries (drift quartet completion
+# incl. grouped dashboards, isotonic PAV x2, substring spans / span
+# decontamination / span cutting, adaptive CUSUM, audio DFT, NFC
+# normalize, XML source, join-size forecast, weight ESS, blocking
+# quality, OOV rate) — each took a window slot, displacing a promoted
+# member back to the tail with the sibling argument recorded inline
+# below. Final r08 window: 6 ADVICE-touched + 18 new + 26 promoted.
 _ROTATION_TAIL = {
     # Last driver hash-match row r03 (CORRECTNESS_r03.json); implementations
     # untouched since; re-confirmed by every full-registry local oracle pass
