@@ -185,6 +185,7 @@ HEADLINE = [
     "ks_drift_by_status",
     "oov_rate_by_source",
     "dedup_cut_spans",
+    "benford_by_priority",
 ]
 
 
