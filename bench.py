@@ -186,6 +186,7 @@ HEADLINE = [
     "oov_rate_by_source",
     "dedup_cut_spans",
     "benford_by_priority",
+    "kendall_tau_spend_frequency",
 ]
 
 

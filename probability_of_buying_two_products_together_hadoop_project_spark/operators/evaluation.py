@@ -1645,3 +1645,110 @@ def blocking_quality(
             - F.col("n_candidates").cast("double") / total_pairs.cast("double")
         ).alias("reduction_ratio"),
     )
+
+
+def kendall_tau_sampled(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 1500,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation over a FIXED-SIZE deterministic
+    sample — completing the correlation family (Pearson via exact
+    moments, Spearman via midranks, Kendall via pair concordance, the
+    outlier-robust ordinal measure). Exact tau needs all n(n-1)/2 pairs
+    — quadratic and impossible at corpus scale — so the established
+    sampled-exact pattern (triangle_count_sampled) applies: the k rows
+    with the SMALLEST md5(key) form a uniform, rerun-stable,
+    coordination-free sample (top-k via per-partition heaps —
+    TakeOrderedAndProject, never a global sort), and the pair stage is
+    k²/2 — CONSTANT in corpus size, exact within the sample.
+
+    Exactness: concordant/discordant/tie counts are exact integers from
+    sign comparisons (x/y compared natively — decimals exact); tau-b =
+    (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = k(k-1)/2, n1/n2 the
+    x/y tie-pair counts, is a fixed correctly-rounded double sequence
+    over those pinned integers (sqrt, never transcendental). The
+    identity C + D + tx + ty + txy = n0 holds by construction.
+
+    Output (one row): n, n_pairs, concordant, discordant, ties_x,
+    ties_y, ties_xy, tau_b (null when either margin is all-ties).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    s = (
+        df.select(
+            F.md5(F.col(key_col).cast("string")).alias("_h"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    a = s.select(
+        F.col("_h").alias("_ha"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b = s.select(
+        F.col("_h").alias("_hb"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("_ha") < F.col("_hb"))
+    # native-type comparisons (decimal/int exact) — a double-difference
+    # signum could collapse sub-ulp-distinct decimals into false ties
+    dx = (
+        F.when(F.col("_xa") > F.col("_xb"), 1)
+        .when(F.col("_xa") < F.col("_xb"), -1)
+        .otherwise(0)
+    )
+    dy = (
+        F.when(F.col("_ya") > F.col("_yb"), 1)
+        .when(F.col("_ya") < F.col("_yb"), -1)
+        .otherwise(0)
+    )
+    agg = pairs.agg(
+        F.coalesce(F.sum(F.when(dx * dy > 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("concordant"),
+        F.coalesce(F.sum(F.when(dx * dy < 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("discordant"),
+        F.coalesce(
+            F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("ties_x"),
+        F.coalesce(
+            F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("ties_y"),
+        F.coalesce(
+            F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("ties_xy"),
+    )
+    scored = agg.crossJoin(F.broadcast(s.agg(F.count(F.lit(1)).alias("n"))))
+    n0 = F.col("concordant") + F.col("discordant") + F.col("ties_x") + F.col(
+        "ties_y"
+    ) + F.col("ties_xy")
+    n1 = F.col("ties_x") + F.col("ties_xy")
+    n2 = F.col("ties_y") + F.col("ties_xy")
+    den = (
+        (n0 - n1).cast("double") * (n0 - n2).cast("double")
+    )
+    tau = F.when(
+        den > 0,
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(den),
+    )
+    return scored.select(
+        "n",
+        n0.cast("long").alias("n_pairs"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        "ties_xy",
+        tau.alias("tau_b"),
+    )

@@ -389,3 +389,54 @@ def test_ks_grouped_matches_ungrouped_per_group(spark):
         assert tuple(grouped[g])[1:] == tuple(solo)
     with pytest.raises(ValueError):
         evaluation.ks_two_sample(df, "v", F.col("s"), group_cols=("ks_d",))
+
+
+def py_kendall(pairs_xy):
+    C = D = tx = ty = txy = 0
+    for i in range(len(pairs_xy)):
+        for j in range(i + 1, len(pairs_xy)):
+            (xa, ya), (xb, yb) = pairs_xy[i], pairs_xy[j]
+            dx = (xa > xb) - (xa < xb)
+            dy = (ya > yb) - (ya < yb)
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    return C, D, tx, ty, txy
+
+
+def test_kendall_sampled_matches_bruteforce(spark):
+    rng = random.Random(61)
+    rows = [
+        (i, rng.randint(0, 15), rng.randint(0, 15)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, x int, y int")
+    # k larger than the relation: the "sample" is everything -> exact
+    r = evaluation.kendall_tau_sampled(df, "k", "x", "y", k=500).collect()[0]
+    C, D, tx, ty, txy = py_kendall([(x, y) for _, x, y in rows])
+    assert (r.concordant, r.discordant) == (C, D)
+    assert (r.ties_x, r.ties_y, r.ties_xy) == (tx, ty, txy)
+    n0 = 120 * 119 // 2
+    assert r.n_pairs == n0 == C + D + tx + ty + txy
+    want = (C - D) / math.sqrt((n0 - tx - txy) * (n0 - ty - txy))
+    assert r.tau_b == pytest.approx(want, rel=1e-14)
+    # perfect monotone relation: tau_b = 1
+    mono = spark.createDataFrame(
+        [(i, i, i * 2) for i in range(50)], "k bigint, x int, y int"
+    )
+    r2 = evaluation.kendall_tau_sampled(mono, "k", "x", "y", k=500).collect()[0]
+    assert r2.tau_b == 1.0
+    # constant margin: undefined -> null
+    const = spark.createDataFrame(
+        [(i, 7, i) for i in range(10)], "k bigint, x int, y int"
+    )
+    r3 = evaluation.kendall_tau_sampled(const, "k", "x", "y", k=500).collect()[0]
+    assert r3.tau_b is None
+    with pytest.raises(ValueError):
+        evaluation.kendall_tau_sampled(df, "k", "x", "y", k=1)
