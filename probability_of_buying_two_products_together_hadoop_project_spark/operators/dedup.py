@@ -2002,7 +2002,9 @@ def cut_spans(
     convention the span extractors use), so the cleaned text is the
     space-join of the surviving normalized tokens. Documents with no
     spans pass through with their normalized token join (the
-    normalization is part of the pipeline, not a side effect).
+    normalization is part of the pipeline, not a side effect); a
+    NULL-text document emits ('', 0, 0) — its token array coalesces to
+    empty, matching the oracle convention.
 
     Plan: spans collapse to one struct-array row per document (bounded
     by spans-per-doc), join onto the corpus, and the cut is ONE
@@ -2019,7 +2021,16 @@ def cut_spans(
         ).alias("_spans")
     )
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    toked = docs.select(F.col(id_col).alias("_id"), tokens(norm).alias("_tk"))
+    # NULL text coalesces to an EMPTY token array (the oracle-side
+    # COALESCE convention): without it _tk = NULL makes n_tokens =
+    # size(NULL) = -1 and text_clean = NULL, breaking the "documents
+    # pass through normalized" contract — NULL-text docs emit ('', 0, 0)
+    toked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(
+            tokens(norm), F.array().cast("array<string>")
+        ).alias("_tk"),
+    )
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
     joined = toked.join(sp, "_id", "left").select(
         "_id", "_tk", F.coalesce(F.col("_spans"), empty).alias("_spans")

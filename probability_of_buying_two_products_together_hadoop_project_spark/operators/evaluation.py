@@ -33,6 +33,33 @@ from pyspark.sql import functions as F
 from .relational import grouped_value_cum
 
 
+def _join_nullsafe_keys(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    nullsafe: set[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``keys`` with ``eqNullSafe`` applied to the
+    ``nullsafe`` subset (group columns): a NULL group key is ONE regular
+    group — the window-partition convention psi_drift already follows —
+    so the grouped drift/calibration joins must not silently drop it.
+    The right side's key copies are dropped, mirroring
+    ``join(on=[names])``. Null-safe equality is a supported hash-join
+    key, so broadcast hints on ``right`` survive.
+    """
+    la, ra = left.alias("_jl"), right.alias("_jr")
+    cond = None
+    for k in keys:
+        lc, rc = F.col(f"_jl.{k}"), F.col(f"_jr.{k}")
+        c = lc.eqNullSafe(rc) if k in nullsafe else (lc == rc)
+        cond = c if cond is None else cond & c
+    out = la.join(ra, cond, how)
+    for k in keys:
+        out = out.drop(F.col(f"_jr.{k}"))
+    return out
+
+
 def roc_auc(
     df: DataFrame,
     label_col: str,
@@ -272,7 +299,10 @@ def benford_screen(
     still contributes its full (0 - E)^2 / E = E term to chi-square —
     a wholly absent digit is the STRONGEST fabrication signal and must
     not silently vanish from the statistic. Groups with zero eligible
-    rows produce no output (chi-square is undefined there).
+    rows produce no output (chi-square is undefined there). A NULL
+    group key is ONE regular group (the window-partition convention) —
+    the spine join is null-safe on group columns so a NULL group's
+    observed counts aggregate like any other's.
 
     Exactness: the first digit comes from the INTEGER part's string
     form (integers print identically in every engine — no log10, no
@@ -326,11 +356,25 @@ def benford_screen(
             .crossJoin(F.broadcast(digits_df))
             .drop("_spine")
         )
-    full = spine.join(obs, [*group_cols, "digit"], "left").select(
-        *group_cols,
-        "digit",
-        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
-    )
+    # null-SAFE equality on group columns: the spine's distinct() and the
+    # final window both treat a NULL group key as one regular group, so
+    # the join must too — a null-unsafe key would emit the NULL group's
+    # 9 spine rows with n_obs=0 while its real digit counts vanish
+    if group_cols:
+        sp, ob = spine.alias("_sp"), obs.alias("_ob")
+        cond = F.col("_sp.digit") == F.col("_ob.digit")
+        for c in group_cols:
+            cond = cond & F.col(f"_sp.{c}").eqNullSafe(F.col(f"_ob.{c}"))
+        full = sp.join(ob, cond, "left").select(
+            *[F.col(f"_sp.{c}").alias(c) for c in group_cols],
+            F.col("_sp.digit").alias("digit"),
+            F.coalesce(F.col("_ob.n_obs"), F.lit(0)).alias("n_obs"),
+        )
+    else:
+        full = spine.join(obs, ["digit"], "left").select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        )
     # skipped rows ride along as digit-NULL rows so the window sees
     # them; groups with ONLY skipped rows vanish at the final filter
     allrows = full.unionByName(counts.filter(F.col("digit").isNull()))
@@ -673,7 +717,9 @@ def ks_two_sample(
     integer (c*n products reach n² — the roc_auc overflow rule), so the
     argmax over values is pure integer comparison, engine-independent.
     The reported ``ks_d`` is two correctly-rounded casts and one
-    division over pinned integers.
+    division over pinned integers. A NULL group key is ONE regular
+    group (null-safe joins — the window-partition convention psi_drift
+    follows).
 
     Plan: one (group, value, c1, c2) aggregation (map-side combined),
     then the :func:`..operators.relational.global_prefix_sum` shape
@@ -748,7 +794,9 @@ def ks_two_sample(
     gap = F.abs(
         cc1 * F.col("_n2").cast(dec) - cc2 * F.col("_n1").cast(dec)
     )
-    scored = local.join(F.broadcast(offsets), [*group_cols, "_vb"]).select(
+    scored = _join_nullsafe_keys(
+        local, F.broadcast(offsets), [*group_cols, "_vb"], set(group_cols)
+    ).select(
         *group_cols,
         F.col(value_col).alias("at_value"),
         F.col("_n1").cast("long").alias("n1"),
@@ -756,9 +804,15 @@ def ks_two_sample(
         gap.alias("_gap"),
     )
     if group_cols:
+        # gm is groups-sized (one row per group) — broadcast it
+        # explicitly so the max-gap join-back never SMJ-exchanges the
+        # distinct-value relation (the r09 bench caught the null-safe
+        # keys defeating AQE's runtime broadcast conversion here)
         gm = scored.groupBy(*group_cols).agg(F.max("_gap").alias("_gap"))
         top = (
-            scored.join(gm, [*group_cols, "_gap"])
+            _join_nullsafe_keys(
+                scored, F.broadcast(gm), [*group_cols, "_gap"], set(group_cols)
+            )
             .groupBy(*group_cols)
             .agg(
                 F.max("n1").alias("n1"),  # constant within a group
@@ -817,7 +871,9 @@ def wasserstein_two_sample(
     first row of a bucket takes the previous non-empty bucket's max(v)
     from the broadcast per-group offsets table — no single-partition
     window anywhere corpus-sized. NULL values are excluded from both
-    samples (no position on the line), matching KS.
+    samples (no position on the line), matching KS; a NULL GROUP key is
+    one regular group (null-safe joins, the window-partition
+    convention).
 
     Output (one row per group): (*group_cols, n1, n2, w1_num — exact
     integer numerator, VARCHAR, the dataset_fingerprints
@@ -894,7 +950,9 @@ def wasserstein_two_sample(
         F.sum("_t2").over(w_all).alias("_n2"),
     )
     dec = "decimal(38,0)"
-    joined = local.join(F.broadcast(offsets), [*group_cols, "_vb"])
+    joined = _join_nullsafe_keys(
+        local, F.broadcast(offsets), [*group_cols, "_vb"], set(group_cols)
+    )
     prev_v = F.coalesce(F.col("_pv"), F.col("_pvb"))
     # ECDF level on the half-open segment (prev_v, v): the cumulative
     # counts just BEFORE this value
@@ -956,7 +1014,8 @@ def mann_whitney_u(
     Plan: one (group, value, c1, c2) aggregation, the bucketed parallel
     prefix (ks_two_sample shape, partitioned per group) for cumbefore,
     one final per-group aggregate. NULL values are excluded from both
-    samples.
+    samples; a NULL GROUP key is one regular group (null-safe joins,
+    the window-partition convention).
 
     Output (one row per group): (*group_cols, n1, n2, r1_x2, u1_x2,
     u2_x2, tie_cubes — VARCHAR exact integers — and z: double; null if
@@ -1008,7 +1067,9 @@ def mann_whitney_u(
         F.coalesce(F.sum("_tt").over(w_off), F.lit(0)).alias("_off"),
     )
     dec = "decimal(38,0)"
-    joined = local.join(F.broadcast(offsets), [*group_cols, "_vb"])
+    joined = _join_nullsafe_keys(
+        local, F.broadcast(offsets), [*group_cols, "_vb"], set(group_cols)
+    )
     cumbefore = (F.col("_lct") + F.col("_off") - F.col("_t")).cast(dec)
     r1x2_term = F.col("_c1").cast(dec) * (
         F.lit(2).cast(dec) * cumbefore + F.col("_t").cast(dec) + F.lit(1).cast(dec)
@@ -1101,7 +1162,8 @@ def isotonic_fit_bins(
     Output per non-empty (group, bin): (*group_cols, bin, n, s,
     mean_raw, fitted) — ``fitted`` non-decreasing in bin within each
     group and matching pool-adjacent-violators exactly (the max-min
-    form is the PAV solution).
+    form is the PAV solution). A NULL group key is ONE regular group
+    (null-safe join keys, the window-partition convention).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -1152,7 +1214,9 @@ def isotonic_fit_bins(
     )
     cond = F.col("_j") <= F.col("_k")
     for g in group_cols:
-        cond = (F.col(g) == F.col(f"_rg_{g}")) & cond
+        # null-safe: a NULL group key is one regular group (the
+        # window-partition convention — see _join_nullsafe_keys)
+        cond = F.col(g).eqNullSafe(F.col(f"_rg_{g}")) & cond
     grid = lo.join(hi, cond).select(
         *group_cols,
         "_j",
@@ -1180,7 +1244,7 @@ def isotonic_fit_bins(
     )
     cond2 = binned["bin"] == fit2["_i"]
     for g in group_cols:
-        cond2 = (binned[g] == fit2[f"_fg_{g}"]) & cond2
+        cond2 = binned[g].eqNullSafe(fit2[f"_fg_{g}"]) & cond2
     return (
         binned.join(F.broadcast(fit2), cond2)
         .select(
@@ -1653,6 +1717,7 @@ def kendall_tau_sampled(
     x_col: str,
     y_col: str,
     k: int = 1500,
+    assume_unique_key: bool = False,
 ) -> DataFrame:
     """Kendall's tau-b rank correlation over a FIXED-SIZE deterministic
     sample — completing the correlation family (Pearson via exact
@@ -1672,16 +1737,37 @@ def kendall_tau_sampled(
     over those pinned integers (sqrt, never transcendental). The
     identity C + D + tx + ty + txy = n0 holds by construction.
 
+    Key contract (LOUD): the sample law and the ``_ha < _hb`` pair
+    predicate both assume ``key_col`` is unique — duplicate keys share
+    one md5, which would make the top-k boundary nondeterministic (and
+    the two references to the limited plan could disagree within one
+    run). Duplicates are therefore COLLAPSED deterministically before
+    the top-k: each key keeps its lexicographically smallest (x, y)
+    pair (min over struct — engine-independent), so the sampled
+    multiset is unique whatever the input duplication. On a unique key
+    the collapse is the identity; the one extra map-side-combined
+    exchange it costs is the price of a rerun-stable sample. A caller
+    whose key is unique BY CONSTRUCTION (e.g. the output of a groupBy
+    on that key) passes ``assume_unique_key=True`` to skip the
+    collapse and keep the zero-exchange TakeOrderedAndProject sample —
+    asserting uniqueness is then the caller's contract.
+
     Output (one row): n, n_pairs, concordant, discordant, ties_x,
     ties_y, ties_xy, tau_b (null when either margin is all-ties).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    proj = df.select(
+        F.md5(F.col(key_col).cast("string")).alias("_h"),
+        F.struct(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        ).alias("_s"),
+    )
+    if not assume_unique_key:
+        proj = proj.groupBy("_h").agg(F.min("_s").alias("_s"))
     s = (
-        df.select(
-            F.md5(F.col(key_col).cast("string")).alias("_h"),
-            F.col(x_col).alias("_x"),
-            F.col(y_col).alias("_y"),
+        proj.select(
+            "_h", F.col("_s._x").alias("_x"), F.col("_s._y").alias("_y")
         )
         .orderBy("_h")
         .limit(k)

@@ -1348,6 +1348,100 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def _dct_table(n: int) -> list[int]:
+    """Integer DCT-II coefficient table C[u][y] = cos(pi*(2y+1)*u/(2n))
+    flattened row-major (index u*n + y), quantized ONCE in Python to
+    1e-6 units with decimal ROUND_HALF_UP (the BENFORD_P6 / _dft_tables
+    rule) — transcendentals never cross engines raw; the engine and the
+    SQL oracle embed THESE integers as literals, so every downstream
+    product, truncation, and comparison is exact integer arithmetic."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q(x: float) -> int:
+        return int(
+            (Decimal(repr(x)) * 1_000_000).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    return [
+        q(math.cos(math.pi * (2 * y + 1) * u / (2 * n)))
+        for u in range(n)
+        for y in range(n)
+    ]
+
+
+def image_phash(media: DataFrame, grid: int = 16, block: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) image fingerprint — aHash's robust
+    sibling: instead of comparing raw cells to the mean (sensitive to
+    local texture), compare the image's LOW-FREQUENCY structure —
+    nearest-neighbor downsample to ``grid``×``grid`` integer BT.601
+    luma, 2-D DCT-II, keep the top-left ``block``×``block``
+    coefficients EXCLUDING the DC term (pure brightness — dropping it
+    makes the hash approximately brightness-invariant), bit = coeff
+    greater than the block's lower median. Near-identical images agree
+    on coarse structure and collide; hamming distance tracks visual
+    difference through blur/noise that flips aHash bits.
+
+    Exact end to end (the audio-DFT discipline): the DCT basis is the
+    1e-6-unit integer table :func:`_dct_table`; the row pass C·L stays
+    in int64 (≤ grid·1e6·255000), is rescaled by ONE truncate-toward-
+    zero division by 1e6 (sign·(abs // 1e6) — the resample_rational
+    rule, floor-vs-trunc on negatives differs across engines), and the
+    column pass (C·L)'·Cᵀ stays ≤ grid·grid·255000·1e6 in int64. The
+    median is the SORTED block's element at 0-based index
+    (block²-1-1)//2 — a pinned integer pick, no float averaging of
+    middle elements. Bits emit as the (block²-1)-char bit STRING (the
+    ahash engine-portable-key rule).
+
+    Arrow-batched ``mapInPandas``; map-only, zero exchanges. Output:
+    (media_id, width, height, phash).
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    if not 1 < block <= grid:
+        raise ValueError("need 1 < block <= grid")
+    import numpy as np
+
+    C = np.array(_dct_table(grid), dtype=np.int64).reshape(grid, grid)
+    nbits = block * block - 1
+    med_idx = (nbits - 1) // 2
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = decode_bmp(bytes(p))
+                px = (
+                    np.frombuffer(body, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = px[np.ix_(ys, xs)]  # (grid, grid, BGR)
+                lum = (
+                    114 * cells[:, :, 0]
+                    + 587 * cells[:, :, 1]
+                    + 299 * cells[:, :, 2]
+                )  # <= 255000, exact
+                m1 = C @ lum  # |.| <= grid * 1e6 * 255000 ~ 4e12
+                m1 = np.sign(m1) * (np.abs(m1) // 1_000_000)
+                d = m1 @ C.T  # |.| <= grid^2 * 255000 * 1e6 ~ 6.5e13
+                low = d[:block, :block].flatten()[1:]  # drop DC
+                med = int(np.sort(low)[med_idx])
+                bits = "".join("1" if int(v) > med else "0" for v in low)
+                rows.append((mid, w, h, bits))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "phash"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id bigint, width int, height int, phash string"
+    )
+
+
 def resample_rational(
     media: DataFrame,
     up: int,

@@ -41,6 +41,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _embedding_dim(embeddings: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from ONE input row (the fixed-dim
+    contract: every non-null vector in an embeddings relation has the
+    same length). A limit-1 probe on the source replaces the former
+    full-table max-index aggregation — one row-group read instead of an
+    extra corpus-derived Spark job per call. Returns None when no
+    usable vector exists (empty relation or all-NULL/empty vectors)."""
+    head = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("_d"))
+        .first()
+    )
+    if head is None or head[0] is None or head[0] <= 0:
+        return None
+    return int(head[0])
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1440,14 +1457,14 @@ def pca_top_component(
         .localCheckpoint(eager=True)
     )
     spark = embeddings.sparkSession
-    dim = scatter.agg(F.max("i")).collect()[0][0]
-    if dim is None:
+    ndim = _embedding_dim(embeddings, vec_col)
+    if ndim is None:
         return spark.createDataFrame(
             [],
             "pos int, loading_units long, loading double, "
             "eigenvalue_str string, var_ratio double, n_vecs long",
         )
-    v = spark.range(int(dim) + 1).select(
+    v = spark.range(ndim).select(
         F.col("id").cast("int").alias("j"),
         F.lit(unit).cast("long").alias("_vu"),
     ).localCheckpoint(eager=True)
@@ -1587,12 +1604,12 @@ def pca_components(
         .localCheckpoint(eager=True)
     )
     spark = embeddings.sparkSession
-    dim = scatter.agg(F.max("i")).collect()[0][0]
+    ndim = _embedding_dim(embeddings, vec_col)
     empty_schema = (
         "component int, pos int, loading_units long, loading double, "
         "eigenvalue_str string, var_ratio double, n_vecs long"
     )
-    if dim is None:
+    if ndim is None:
         return spark.createDataFrame([], empty_schema)
     trace0 = scatter.filter(F.col("i") == F.col("j")).agg(
         F.sum("_s").cast(dec).alias("_tr")
@@ -1602,7 +1619,7 @@ def pca_components(
     )
     out = None
     for c in range(n_components):
-        v = spark.range(int(dim) + 1).select(
+        v = spark.range(ndim).select(
             F.col("id").cast("int").alias("j"),
             F.lit(unit).cast("long").alias("_vu"),
         ).localCheckpoint(eager=True)

@@ -2076,3 +2076,175 @@ def oov_rate(
             / F.col("n_types").cast("double")
         ).alias("oov_type_rate"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame, min_count: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law rank-frequency fit over the corpus vocabulary — the
+    classic corpus-health diagnostic (natural language follows
+    freq ∝ rank^(-s) with s ≈ 1; machine-generated or templated text
+    bends the log-log line): ordinary least squares of ln(freq) on
+    ln(rank) over every type with ``count >= min_count``, plus the fit
+    r² so a bad straight-line assumption is visible, not hidden.
+
+    The rank comes from :func:`build_vocab` (the bucketed parallel
+    prefix-sum — no single-partition vocabulary sort); ln values are
+    quantized ONCE to 6dp decimals (the pmi/bigram-LM log rule) so the
+    five OLS sums Σx, Σy, Σxy, Σx², Σy² accumulate EXACTLY in decimal;
+    slope / intercept / r² are fixed float expressions over those
+    pinned sums (one more correctly-rounded op each — never iterated
+    float arithmetic). Shuffle: the token count (map-side combined,
+    the only corpus-sized term), the vocab prefix-sum, one 1-row
+    reduce.
+
+    Output (one row): n_types, n_tokens, slope, intercept, r2 (slope
+    and r2 NULL for degenerate fits: fewer than 2 types or zero x/y
+    variance).
+    """
+    v = build_vocab(docs, min_count=min_count, text_col=text_col)
+    d6 = "decimal(18,6)"
+    pts = v.select(
+        "n",
+        F.round(F.log(F.col("vocab_id").cast("double")), 6).cast(d6).alias("_x"),
+        F.round(F.log(F.col("n").cast("double")), 6).cast(d6).alias("_y"),
+    )
+    # xy/x²/y² are exact 12dp products of 6dp decimals; sums stay exact
+    d12 = "decimal(38,12)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("_x").cast(d12)).cast(d12).alias("_sx"),
+        F.sum(F.col("_y").cast(d12)).cast(d12).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d12)).cast(d12).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d12)).cast(d12).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d12)).cast(d12).alias("_syy"),
+    )
+    nf = F.col("n_types").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = nf * sxy - sx * sy  # n-scaled covariance, one expression
+    varx_n = nf * sxx - sx * sx
+    vary_n = nf * syy - sy * sy
+    slope = F.when((F.col("n_types") >= 2) & (varx_n > 0), cov_n / varx_n)
+    return s.select(
+        "n_types",
+        "n_tokens",
+        slope.alias("slope"),
+        F.when(
+            (F.col("n_types") >= 2) & (varx_n > 0),
+            (sy - (cov_n / varx_n) * sx) / nf,
+        ).alias("intercept"),
+        F.when(
+            (F.col("n_types") >= 2) & (varx_n > 0) & (vary_n > 0),
+            cov_n * cov_n / (varx_n * vary_n),
+        ).alias("r2"),
+    )
+
+
+# Rae et al. 2021 (Gopher), Table A1: the required-word list and the
+# rule thresholds below are the published constants.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_permille: int = 100,
+    min_alpha_permille: int = 800,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a PER-RULE
+    breakdown — the industry-standard document filter, reported rule by
+    rule so curation can see WHICH gate a document fails (the composite
+    :func:`quality_score` hides that): word-count band, mean-word-length
+    band, symbol-to-word ratio, fraction of words with an alphabetic
+    character, and the required-stopword presence.
+
+    Exactness: every rule is an INTEGER comparison — the two ratio
+    rules cross-multiply (``1000·n_sym <= max_permille·n_words``;
+    ``1000·n_alpha >= min_permille·n_words``) and the mean-length band
+    compares ``min·n <= Σlen <= max·n`` — so no float ever decides a
+    keep/drop. The reported ratio columns are single correctly-rounded
+    divisions for human eyes only. One map-only pass: token arrays and
+    their HOF reductions, zero exchanges at any corpus size.
+
+    Output per document: (id_col, n_words, mean_word_len,
+    symbol_ratio, alpha_word_frac, stop_hits, r_wordcount, r_wordlen,
+    r_symbol, r_alpha, r_stop — 1/0 bigints — and keep = all rules).
+    Empty/NULL text fails the word-count rule and passes nothing.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tk = F.coalesce(tokens(t), F.array().cast("array<string>"))
+    n = F.size(tk).cast("long")
+    sum_len = F.coalesce(
+        F.aggregate(
+            tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long")
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_sym = F.size(
+        F.filter(tk, lambda x: x.rlike("^(#+|\\.\\.\\.)$"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x))).cast(
+        "long"
+    )
+    base = docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        sum_len.alias("_sl"),
+        n_sym.alias("_nsym"),
+        n_alpha.alias("_nal"),
+        n_stop.alias("stop_hits"),
+    )
+    r_wc = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ).cast("bigint")
+    r_wl = (
+        (F.col("n_words") > 0)
+        & (F.lit(min_mean_word_len) * F.col("n_words") <= F.col("_sl"))
+        & (F.col("_sl") <= F.lit(max_mean_word_len) * F.col("n_words"))
+    ).cast("bigint")
+    r_sym = (
+        (F.col("n_words") > 0)
+        & (F.lit(1000) * F.col("_nsym") <= F.lit(max_symbol_permille) * F.col("n_words"))
+    ).cast("bigint")
+    r_al = (
+        (F.col("n_words") > 0)
+        & (F.lit(1000) * F.col("_nal") >= F.lit(min_alpha_permille) * F.col("n_words"))
+    ).cast("bigint")
+    r_st = (F.col("stop_hits") >= min_stop_hits).cast("bigint")
+    return base.select(
+        id_col,
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("_sl").cast("double") / F.col("n_words").cast("double"),
+        ).alias("mean_word_len"),
+        F.when(
+            F.col("n_words") > 0,
+            F.col("_nsym").cast("double") / F.col("n_words").cast("double"),
+        ).alias("symbol_ratio"),
+        F.when(
+            F.col("n_words") > 0,
+            F.col("_nal").cast("double") / F.col("n_words").cast("double"),
+        ).alias("alpha_word_frac"),
+        "stop_hits",
+        r_wc.alias("r_wordcount"),
+        r_wl.alias("r_wordlen"),
+        r_sym.alias("r_symbol"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stop"),
+        (r_wc.cast("boolean") & r_wl.cast("boolean") & r_sym.cast("boolean")
+         & r_al.cast("boolean") & r_st.cast("boolean")).cast("bigint").alias(
+            "keep"
+        ),
+    )

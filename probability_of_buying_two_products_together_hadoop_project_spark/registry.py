@@ -12287,7 +12287,17 @@ def _cusum_adaptive_oracle() -> str:
     "statistic columns VARCHAR-transported",
 )
 def q_cusum_adaptive(spark, sf_dir):
-    return timeseries.cusum_adaptive_detect(_t(spark, sf_dir, "events"))
+    # VARCHAR-transport the DECIMAL(38,0) statistic columns on the Spark
+    # side too (the dataset_fingerprints / cusum_changepoint rule): the
+    # r08 driver hash mismatch came from raw Decimal objects crossing
+    # against the oracle's VARCHAR — registry.py:8647 is the passing
+    # precedent for the identical chart.
+    out = timeseries.cusum_adaptive_detect(_t(spark, sf_dir, "events"))
+    return out.withColumn(
+        "cusum_units", F.col("cusum_units").cast("string")
+    ).withColumn(
+        "cusum_down_units", F.col("cusum_down_units").cast("string")
+    )
 
 
 
@@ -12991,8 +13001,8 @@ def q_oov_rate(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(regexp_replace(lower(trim(text)),
-               '\\s+', ' ', 'g'), '\\s+') AS tk
+             COALESCE(string_split_regex(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), '\\s+'), CAST([] AS VARCHAR[])) AS tk
       FROM documents
     ),
     g AS (
@@ -13184,7 +13194,259 @@ def q_kendall_tau(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("x"),
         F.count(F.lit(1)).alias("y"),
     )
-    return evaluation.kendall_tau_sampled(base, "o_custkey", "x", "y", k=1500)
+    # o_custkey is unique by construction (the groupBy key), so the
+    # duplicate-collapse exchange is skipped — zero-shuffle top-k sample
+    return evaluation.kendall_tau_sampled(
+        base, "o_custkey", "x", "y", k=1500, assume_unique_key=True
+    )
+
+
+@register(
+    "zipf_fit_words",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY token
+      HAVING count(*) >= 1
+    ), r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c
+    ), p AS (
+      SELECT n,
+             CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM r
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             sum(CAST(x AS DECIMAL(38,12))) AS sx,
+             sum(CAST(y AS DECIMAL(38,12))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+      FROM p
+    )
+    SELECT n_types, n_tokens,
+      CASE WHEN n_types >= 2 AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      END AS slope,
+      CASE WHEN n_types >= 2 AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        (CAST(sy AS DOUBLE)
+           - ((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE))
+        / CAST(n_types AS DOUBLE)
+      END AS intercept,
+      CASE WHEN n_types >= 2
+             AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n_types AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      END AS r2
+    FROM s
+    """,
+    "Zipf's-law rank-frequency fit over the corpus vocabulary — the "
+    "corpus-health diagnostic (natural language gives slope ≈ -1 on "
+    "the log-log line; templated/machine text bends it): OLS of "
+    "ln(freq) on ln(rank) with the fit r². Rank comes from the "
+    "bucketed parallel prefix-sum (build_vocab — never a single-"
+    "partition vocabulary sort; the oracle states the same ranking as "
+    "the naive window); ln values quantize ONCE to 6dp decimals (the "
+    "pmi/bigram-LM log rule) so the five OLS sums are exact decimal "
+    "reductions, and slope/intercept/r2 are fixed float expressions "
+    "over those pinned sums",
+)
+def q_zipf_fit(spark, sf_dir):
+    return text.zipf_fit(_t(spark, sf_dir, "documents"), min_count=1)
+
+
+@register(
+    "gopher_rules_screen",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             COALESCE(list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != ''), CAST([] AS VARCHAR[])) AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               AS BIGINT) AS sl,
+             CAST(len(list_filter(t,
+               x -> regexp_matches(x, '^(#+|\\.\\.\\.)$'))) AS BIGINT)
+               AS nsym,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS nal,
+             CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x)))
+               AS BIGINT) AS stop_hits
+      FROM tk
+    )
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0 THEN CAST(sl AS DOUBLE) / CAST(n_words AS DOUBLE)
+        END AS mean_word_len,
+      CASE WHEN n_words > 0 THEN
+        CAST(nsym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+      CASE WHEN n_words > 0 THEN
+        CAST(nal AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_word_frac,
+      stop_hits,
+      CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+        AS BIGINT) AS r_wordcount,
+      CAST(CASE WHEN n_words > 0 AND 3 * n_words <= sl
+                 AND sl <= 10 * n_words THEN 1 ELSE 0 END
+        AS BIGINT) AS r_wordlen,
+      CAST(CASE WHEN n_words > 0 AND 1000 * nsym <= 100 * n_words
+        THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+      CAST(CASE WHEN n_words > 0 AND 1000 * nal >= 800 * n_words
+        THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+      CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND n_words > 0 AND 3 * n_words <= sl AND sl <= 10 * n_words
+                 AND 1000 * nsym <= 100 * n_words
+                 AND 1000 * nal >= 800 * n_words
+                 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+    "Gopher quality rules (Rae et al. 2021 A1.1) as a PER-RULE "
+    "breakdown — word-count band [50, 100k], mean-word-length band "
+    "[3, 10], symbol-to-word ratio <= 0.1, >= 80% words alphabetic, "
+    ">= 2 required stopwords — reported rule by rule so curation sees "
+    "WHICH gate a document fails (the composite quality_score hides "
+    "that). Every keep/drop decision is an INTEGER comparison (ratio "
+    "rules cross-multiplied to permille integers; the mean-length "
+    "band compares min*n <= sum_len <= max*n); the ratio columns are "
+    "single divisions for human eyes only. One map-only pass — token "
+    "HOF reductions, ZERO exchanges at any corpus size",
+)
+def q_gopher_rules(spark, sf_dir):
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def _phash_oracle(grid: int = 16, block: int = 8) -> str:
+    """pHash oracle: regenerates every luma cell from the source text
+    bytes via the BMP addressing (the _ahash_oracle machinery), then
+    the SAME integer DCT — the 1e-6-unit cos table embedded as a
+    literal (multimodal._dct_table, the audio-DFT rule), row pass,
+    sign·(abs // 1e6) truncate-toward-zero rescale, column pass,
+    DC-dropped 8×8 block, pinned lower-median pick — bit-for-bit."""
+    cc = multimodal._dct_table(grid)
+    cc_lit = "[" + ", ".join(str(v) for v in cc) + "]"
+    g2 = grid * grid
+    nbits = block * block - 1
+    med_1b = (nbits - 1) // 2 + 1  # 1-based lower-median index
+
+    def byte(off: str) -> str:
+        return (
+            f"(CASE WHEN {off} < n THEN ('0x' || substr(h, 2 * ({off}) + 1, 2))"
+            "::BIGINT ELSE 0 END)"
+        )
+
+    off = f"((k // {grid}) * hh // {grid}) * 48 + 3 * (k % {grid})"
+    return f"""
+    WITH cos_t AS (SELECT {cc_lit} AS cc),
+    b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n,
+             greatest(CAST(ceil(octet_length(encode(text)) / 48.0) AS INT),
+                      1) AS hh
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, hh,
+             list_transform(range(0, {g2}), k ->
+                 114 * {byte(off)}
+               + 587 * {byte(f"({off}) + 1")}
+               + 299 * {byte(f"({off}) + 2")}) AS lums
+      FROM b
+    ),
+    m1 AS (
+      SELECT doc_id, hh,
+             list_transform(range(0, {g2}), k ->
+               list_sum(list_transform(range(0, {grid}), y ->
+                 cc[(k // {grid}) * {grid} + y + 1]
+                 * lums[y * {grid} + (k % {grid}) + 1]))) AS raw
+      FROM l, cos_t
+    ),
+    m1s AS (
+      SELECT doc_id, hh,
+             list_transform(raw, s ->
+               CASE WHEN s >= 0 THEN s // 1000000
+                    ELSE -((-s) // 1000000) END) AS m1v
+      FROM m1
+    ),
+    d AS (
+      SELECT doc_id, hh,
+             list_transform(range(0, {block * block}), k ->
+               list_sum(list_transform(range(0, {grid}), x ->
+                 m1v[(k // {block}) * {grid} + x + 1]
+                 * cc[(k % {block}) * {grid} + x + 1]))) AS dd
+      FROM m1s, cos_t
+    ),
+    p AS (
+      SELECT doc_id, hh, dd[2:{block * block}] AS low
+      FROM d
+    ),
+    hsh AS (
+      SELECT doc_id, hh,
+             array_to_string(list_transform(low, v ->
+               CASE WHEN v > list_sort(low)[{med_1b}] THEN '1' ELSE '0' END),
+               '') AS phash
+      FROM p
+    )
+    SELECT doc_id AS media_id, {grid} AS width, CAST(hh AS INT) AS height,
+           phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+    FROM hsh
+    """
+
+
+@register(
+    "multimodal_phash_dedup",
+    _phash_oracle(grid=16, block=8),
+    "Perceptual DCT hash (pHash) image dedup over the synthetic BMP "
+    "corpus — aHash's robust sibling: 16x16 integer BT.601 luma "
+    "downsample, 2-D DCT-II against a 1e-6-unit integer cosine table "
+    "(quantized ONCE in Python — the audio-DFT transcendental rule), "
+    "one sign*(abs div 1e6) truncate-toward-zero rescale between the "
+    "row and column passes (int64-safe by construction), top-left 8x8 "
+    "block with the DC term DROPPED (brightness invariance), bit = "
+    "coefficient > the pinned lower median (sorted index 31 of 63 — "
+    "no float averaging), 63-char bit string grouped with a collision "
+    "window. Every bit regenerated by the oracle from source bytes "
+    "via the BMP addressing + the SAME cos literals. Map-only decode "
+    "+ one hash-keyed window",
+)
+def q_multimodal_phash(spark, sf_dir):
+    media = multimodal.media_bmp_from_documents(_t(spark, sf_dir, "documents"))
+    ph = multimodal.image_phash(media, grid=16, block=8)
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "media_id",
+        "width",
+        "height",
+        "phash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_same"),
+    )
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
@@ -13228,6 +13490,31 @@ def q_kendall_tau(spark, sf_dir):
 # rotated IN because its implementation changed (the ln-quantization
 # hardening). Never-driver-checked tail entries still outrank 1-round-old
 # refreshes whenever a CORRECTNESS_r07 artifact appears.
+# r09 rotation: CORRECTNESS_r08 landed — 49/50 hash-match, one FAIL
+# (cusum_adaptive_events: raw Decimal transport vs the oracle's
+# VARCHAR; fixed this round by string-casting the statistic columns in
+# the wrapper, the cusum_changepoint precedent). Per the rotation rule
+# the window keeps: cusum_adaptive_events (the red row, wrapper
+# changed) and the 12 r08-green queries whose implementations the r08
+# ADVICE fixes touched this round — benford_screen_totalprice /
+# benford_by_priority (null-safe spine join), ks_drift_totalprice /
+# ks_drift_by_status, wasserstein_drift_totalprice / _by_status,
+# mannwhitney_urgent_totalprice / _by_status (null-safe grouped offset
+# joins via _join_nullsafe_keys), isotonic_calibration_doclen /
+# _by_source (null-safe grid/fit joins), kendall_tau_spend_frequency
+# (deterministic duplicate-key collapse), dedup_cut_spans (NULL-text
+# coalesce, both sides). pca_top_component_embeddings and
+# pca_two_components_embeddings rotate IN from the tail because their
+# implementation changed (the _embedding_dim limit-1 probe replacing
+# the scatter-wide max-index collect). The other 37 r08-green members
+# rotate to the tail labelled "r08"; the 35 freed slots go to
+# never-driver-checked entries, oldest displacement first: all 20
+# named displaced members (the scalar batteries, recursive CTE,
+# boilerplate screen, split/mix, zorder, redact, privacy-suppress,
+# dataset fingerprints, audio decimate, incremental dedup, sequence
+# pack, rollup compose, bloom decontaminate, vocab build, curated
+# corpus) plus the first 15 of the r05-local backlog. 60 r05-local
+# entries remain for r10+.
 # r08 rotation: CORRECTNESS_r07 landed — 50/50 hash-match, the full r07
 # window. Those 50 rotate to the tail labelled "r07", EXCEPT the six
 # whose implementations changed this round per the rotation rule
@@ -13369,8 +13656,8 @@ _ROTATION_TAIL = {
     "audio_features_verified": "r07",
     "audio_resample_fir": "r07",
     "audio_resample_rational": "r07",
-    "pca_two_components_embeddings": "r07",
-    "pca_top_component_embeddings": "r07",
+    # pca_top/two_components rotated INTO the r09 window (implementation
+    # changed: _embedding_dim limit-1 probe).
     "semantic_dedup_embeddings": "r07",
     "privacy_k_anonymity_orders": "r07",
     "cluster_topics_embeddings": "r07",
@@ -13381,112 +13668,33 @@ _ROTATION_TAIL = {
     "record_linkage_em": "r07",
     "fingerprint_incremental_orders": "r07",
     "calibration_curve_doclen": "r07",
-    # The round's four NEW queries (wasserstein_drift_totalprice,
-    # mannwhitney_urgent_totalprice, isotonic_calibration_doclen,
-    # dedup_substring_spans) take window slots per the rotation rule;
-    # the four lowest-risk just-promoted members go back to the tail:
-    # the scalar batteries keep scalar_try_funcs + scalar_string_math/
-    # date/array driver history (r03 rows) as in-window/tail siblings
-    # of the same shape, and json_extract_events' VARIANT/JSON-path
-    # machinery is exercised in-window by variant_extract_events' r07
-    # driver row until r09.
-    "collation_case_insensitive": "r05-local",
-    "json_extract_events": "r05-local",
-    "scalar_map_funcs": "r05-local",
-    "scalar_regexp_funcs": "r05-local",
-    # cusum_adaptive_events (fifth r08 addition) took a slot; the
-    # scalar_try battery keeps its string_math/date/array r03-driver
-    # siblings and 3-pass local evidence until the r09 window.
-    "scalar_try_funcs": "r05-local",
-    # decontaminate_span_report (sixth r08 addition) took a slot; the
-    # recursive-CTE battery keeps 3-pass local evidence and its
-    # closure machinery is exercised in-window by dedup_clusters'
-    # recursive oracle family until r09.
-    "recursive_cte_doc_ancestry": "r05-local",
-    # audio_dft_energy (seventh r08 addition) took a slot; the
-    # boilerplate gram screen's md5-digest machinery is now exercised
-    # in-window by BOTH dedup_substring_spans and
-    # decontaminate_span_report (3-pass local evidence kept).
-    "boilerplate_gram_screen": "r06-local",
-    # xml_source_supplier_agg + normalize_text_nfc (eighth and ninth
-    # r08 additions) took two slots; the split/mix md5-permille draw
-    # law keeps dsir_select_gumbel100's r07 driver row plus the
-    # in-window weighted-sample machinery as siblings, and both
-    # displaced members keep 3-pass local evidence until r09.
-    "train_val_test_split": "r06-local",
-    "mix_sources_weighted": "r07-local",
-    # isotonic_calibration_by_source + join_size_report_partkey (tenth
-    # and eleventh r08 additions) took two slots; zorder's locality
-    # law keeps table_stats + the new join-size report as in-window
-    # introspection siblings, and redact_pii keeps pseudonymize's r04
-    # driver row as its masking sibling (both displaced members keep
-    # 3-pass local evidence until r09).
-    "zorder_locality_orders": "r06-local",
-    "redact_pii_customers": "r06-local",
-    # dsir_weight_ess + linkage_blocking_quality (twelfth and
-    # thirteenth r08 additions) took two slots; privacy_suppress keeps
-    # privacy_k_anonymity's r07 DRIVER row as its class-size sibling,
-    # and dataset_fingerprints' content-hash law is pinned by
-    # fingerprint_incremental_orders' r07 driver row (both keep 3-pass
-    # local evidence until r09).
-    "privacy_suppress_orders": "r07-local",
-    "dataset_fingerprints": "r07-local",
-    # wasserstein_drift_by_status + mannwhitney_by_status (fourteenth
-    # and fifteenth r08 additions) took two slots; audio_resample_
-    # decimate keeps audio_features_verified/fir/rational r07 DRIVER
-    # rows as codec-walk siblings, and dedup_incremental_batch's
-    # incremental discipline is pinned by fingerprint_incremental_
-    # orders' r07 driver row plus the test-pinned full==incremental
-    # equality (both keep 3-pass local evidence until r09).
-    "audio_resample_decimate": "r07-local",
-    "dedup_incremental_batch": "r06-local",
-    # ks_drift_by_status (sixteenth r08 addition) took a slot;
-    # sequence_pack_512's parallel prefix-sum backbone is exercised
-    # in-window by the KS/W1/MW bucketed prefixes and vocab_build_min5
-    # (in-window) keeps the token-contract sibling (3-pass local
-    # evidence until r09).
-    "sequence_pack_512": "r06-local",
-    # oov_rate_by_source (seventeenth r08 addition) took a slot;
-    # rollup_hour_day_compose keeps resample/rollup r07 driver-family
-    # evidence via cusum (in-window, same hourly machinery) and its
-    # own 3-pass local record until r09.
-    "rollup_hour_day_compose": "r06-local",
-    # dedup_cut_spans (eighteenth r08 addition) took a slot;
-    # decontaminate_bloom's digest-broadcast screen keeps
-    # decontaminate_span_report + dedup_substring_spans (both
-    # in-window, same gram machinery) as siblings plus its own
-    # 3-pass local record until r09.
-    "decontaminate_bloom": "r06-local",
-    # benford_by_priority (nineteenth r08 addition — exercises the new
-    # digit spine PER GROUP) took a slot; vocab_build_min5's ranked
-    # prefix machinery keeps oov_rate_by_source (in-window, recomputes
-    # the same min-5 vocabulary) as its sibling plus 3-pass local
-    # evidence until r09.
-    "vocab_build_min5": "r06-local",
-    # kendall_tau_spend_frequency (twentieth r08 addition) took a slot;
-    # curate_corpus_deduped's every component holds its own r03/r04/r07
-    # driver row (text_stats/quality/lang_id/repetition/dedup_exact)
-    # and the composition keeps bit-exact local evidence from FOUR
-    # full-registry passes (r05/r06/r07/r08).
-    "curate_corpus_deduped": "r07-local",
-    # Never driver-checked; 3-SF local oracle evidence from the r05, r06
-    # and r07 full-registry passes. 75 remain after the r08 promotion of
-    # the first 7 — they fill the r09 window next.
-    "scalar_conditional_funcs": "r05-local",
-    "value_histogram_events": "r05-local",
-    "anomaly_zscore_events": "r05-local",
-    "diverse_sample_embeddings": "r05-local",
-    "window_percentile_norm": "r05-local",
-    "embedding_centroids": "r05-local",
-    "nearest_centroid_confusion": "r05-local",
-    "split_leakage_near_dup": "r05-local",
-    "funnel_view_click_purchase": "r05-local",
-    "cohort_retention_events": "r05-local",
-    "countmin_word_freq": "r05-local",
-    "schema_evolution_union": "r05-local",
+    # (r09) The 20 members displaced during r08 — the scalar batteries,
+    # recursive CTE, boilerplate screen, split/mix, zorder, redact,
+    # privacy-suppress, dataset fingerprints, audio decimate,
+    # incremental dedup, sequence pack, rollup compose, bloom
+    # decontaminate, vocab build, curated corpus — and the first 15 of
+    # the r05-local backlog were PROMOTED into the r09 window (35
+    # never-driver-checked promotions filling the slots freed by the 37
+    # r08-green rotations below).
+    # The round's two NEW queries (zipf_fit_words, gopher_rules_screen)
+    # take window slots per the rotation rule; the two most recently
+    # promoted members go back to the tail: chunk_documents_200's
+    # prefix-sum chunk law keeps sequence_pack_512 (in-window, same
+    # parallel prefix backbone) as its sibling, and hybrid_rrf_search's
+    # two retrieval legs keep bm25_search's r08 driver row plus the
+    # in-window embedding machinery (both keep 3-pass local evidence
+    # until r10).
     "chunk_documents_200": "r05-local",
-    "triangle_count_items": "r05-local",
     "hybrid_rrf_search": "r05-local",
+    # multimodal_phash_dedup (third r09 addition) took a slot;
+    # split_leakage_near_dup's MinHash-LSH machinery keeps
+    # minhash_near_dup_verified (r04) + minhash_incremental_verified
+    # (r08) driver rows as in-family siblings plus its own 3-pass
+    # local evidence until r10.
+    "split_leakage_near_dup": "r05-local",
+    # Never driver-checked; 3-SF local oracle evidence from the r05, r06
+    # and r07 full-registry passes. 60 remain after the r09 promotion of
+    # the first 15 — they fill the r10 window next.
     "dedup_cluster_canonical": "r05-local",
     "source_kl_divergence": "r05-local",
     "window_distinct_running_events": "r05-local",
@@ -13547,6 +13755,47 @@ _ROTATION_TAIL = {
     "classification_report_langid": "r05-local",
     "source_vocab_overlap": "r05-local",
     "classification_summary_langid": "r05-local",
+    # Green driver rows from CORRECTNESS_r08 (49/50 hash-match),
+    # implementations untouched by round 9 (the 12 ADVICE-touched
+    # drift/calibration/benford/kendall/cut-span queries and the red
+    # cusum_adaptive_events stay IN the window instead).
+    "orc_source_supplier_agg": "r08",
+    "fuzzy_name_pairs_collapsed": "r08",
+    "minhash_incremental_verified": "r08",
+    "token_shards_4k": "r08",
+    "doc_winnow_fingerprint_verified": "r08",
+    "q7_nation_volume_shipping": "r08",
+    "q10_returned_item_revenue": "r08",
+    "q13_order_count_distribution": "r08",
+    "q18_large_quantity_orders": "r08",
+    "q12_late_shipments": "r08",
+    "q14_promo_revenue": "r08",
+    "q15_top_supplier": "r08",
+    "q16_supplier_part_count": "r08",
+    "bm25_search": "r08",
+    "embedding_ivf_topk_verified": "r08",
+    "lateral_top2_orders": "r08",
+    "table_stats_orders": "r08",
+    "scd2_user_event_type": "r08",
+    "salted_collect_priorities": "r08",
+    "resample_gapfill_events": "r08",
+    "bigram_lm_score": "r08",
+    "agg_corr_regression": "r08",
+    "cooccurrence_sessions": "r08",
+    "kmv_incremental_verified": "r08",
+    "psi_drift_totalprice": "r08",
+    "psi_drift_by_status": "r08",
+    "linkage_sorted_neighborhood": "r08",
+    "linkage_snm_multipass": "r08",
+    "dedup_substring_spans": "r08",
+    "decontaminate_span_report": "r08",
+    "audio_dft_energy": "r08",
+    "xml_source_supplier_agg": "r08",
+    "normalize_text_nfc": "r08",
+    "join_size_report_partkey": "r08",
+    "dsir_weight_ess": "r08",
+    "linkage_blocking_quality": "r08",
+    "oov_rate_by_source": "r08",
 }
 
 

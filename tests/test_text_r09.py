@@ -1,0 +1,113 @@
+"""Unit tests for the round-9 text operators: Zipf rank-frequency fit
+and the Gopher per-rule quality screen."""
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from probability_of_buying_two_products_together_hadoop_project_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _q6(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _zipf_reference(freqs):
+    """Python OLS replica with the operator's 6dp-log quantization."""
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (_q6(math.log(rk)), _q6(math.log(n)))
+        for rk, (_, n) in enumerate(ranked, start=1)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    nf, sxf, syf = float(n), float(sx), float(sy)
+    cov_n = nf * float(sxy) - sxf * syf
+    varx_n = nf * float(sxx) - sxf * sxf
+    slope = cov_n / varx_n
+    intercept = (syf - slope * sxf) / nf
+    return slope, intercept
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    # freq spectrum: a×8, b×4, c×2, d×1, e×1 — rank ties broken by token
+    rows = [
+        (1, "a a a a b b c d"),
+        (2, "a a a a b b c e"),
+    ]
+    out = text.zipf_fit(_docs(spark, rows)).collect()[0]
+    assert out.n_types == 5
+    assert out.n_tokens == 16
+    slope, intercept = _zipf_reference({"a": 8, "b": 4, "c": 2, "d": 1, "e": 1})
+    assert out.slope == slope
+    assert out.intercept == intercept
+    assert 0.0 <= out.r2 <= 1.0
+    # frequencies halve as rank doubles => slope near -1 (not exact:
+    # the tie-tail flattens it)
+    assert -1.6 < out.slope < -0.5
+
+
+def test_zipf_fit_degenerate_single_type(spark):
+    out = text.zipf_fit(_docs(spark, [(1, "same same same")])).collect()[0]
+    assert out.n_types == 1 and out.n_tokens == 3
+    assert out.slope is None and out.intercept is None and out.r2 is None
+
+
+def test_zipf_fit_min_count_filters_tail(spark):
+    rows = [(1, "a a a b b c")]
+    out = text.zipf_fit(_docs(spark, rows), min_count=2).collect()[0]
+    assert out.n_types == 2  # c dropped
+    assert out.n_tokens == 5
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    good = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"] * 8
+    )  # 64 words, all alpha, mean len ~3.1, plenty of stopwords
+    short = "tiny doc"  # fails word count + stopword
+    symbols = " ".join(["###"] * 60)  # no alpha, all symbol tokens
+    rows = [(1, good), (2, short), (3, symbols), (4, None)]
+    out = {
+        r.doc_id: r
+        for r in text.gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1].r_wordcount == 1 and out[1].r_wordlen == 1
+    assert out[1].r_symbol == 1 and out[1].r_alpha == 1 and out[1].r_stop == 1
+    assert out[1].keep == 1
+    assert out[2].r_wordcount == 0 and out[2].r_stop == 0 and out[2].keep == 0
+    # 60 symbol tokens: word count band ok but symbol/alpha rules fail
+    assert out[3].n_words == 60
+    assert out[3].r_symbol == 0 and out[3].r_alpha == 0 and out[3].keep == 0
+    # NULL text normalizes to the empty token array: everything fails
+    assert out[4].n_words == 0 and out[4].keep == 0
+    assert out[4].mean_word_len is None
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    # mean word length EXACTLY 3 and EXACTLY 10 must pass (closed band,
+    # integer cross-multiplication — no float boundary wobble)
+    w3 = " ".join(["abc"] * 50)
+    w10 = " ".join(["abcdefghij"] * 50)
+    w11 = " ".join(["abcdefghijk"] * 50)
+    rows = [(1, w3), (2, w10), (3, w11)]
+    out = {
+        r.doc_id: r
+        for r in text.gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1].r_wordlen == 1
+    assert out[2].r_wordlen == 1
+    assert out[3].r_wordlen == 0
+
+
+def test_gopher_rules_zero_exchange_plan(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = text.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

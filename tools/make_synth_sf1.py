@@ -23,6 +23,11 @@ the three tables the heavy queries read:
   lengths and corpus statistics while rewriting most shingles, so the
   near-dup RATE stays roughly constant as the corpus grows — the regime
   a linear-blocking claim must be measured in.
+- orders: 10 key-shifted copies (o_orderkey/o_custkey += i * (max+1))
+  with o_totalprice perturbed by copy-dependent cents (+= i/100) so the
+  DISTINCT VALUE population grows ~10x like a real sf1 — exact copies
+  would collapse in the (group, value) pre-aggregation the drift tests
+  (KS/W1/Mann-Whitney) are built on, faking constant shuffle.
 
 Usage: python tools/make_synth_sf1.py [out_dir]  (default .scratch_sf1.0)
 """
@@ -57,6 +62,24 @@ def main() -> None:
         "l_orderkey", F.col("l_orderkey") + F.col("_c") * F.lit(max_ok)
     ).drop("_c")
     li10.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    max_ok2 = od.agg(F.max("o_orderkey")).first()[0] + 1
+    max_ck2 = od.agg(F.max("o_custkey")).first()[0] + 1
+    od10 = (
+        od.crossJoin(spark.createDataFrame([(i,) for i in copies], ["_c"]))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_c") * F.lit(max_ok2))
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("_c") * F.lit(max_ck2))
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice")
+                + (F.col("_c").cast("decimal(4,2)") / F.lit(100))
+            ).cast(dict(od.dtypes)["o_totalprice"]),
+        )
+        .drop("_c")
+    )
+    od10.repartition(8).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
     cu = spark.read.parquet(f"{SRC}/customer.parquet")
     max_ck = cu.agg(F.max("c_custkey")).first()[0] + 1
