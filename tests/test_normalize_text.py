@@ -87,6 +87,46 @@ def test_normalize_matches_python_unicodedata_on_random_junk(spark):
         assert got[i] == ref(t)
 
 
+def test_normalize_ascii_fast_path_equals_udf_path(spark):
+    # the JVM fast branch must be output-identical to the pandas-UDF
+    # branch on every row it claims (pure ASCII incl. control chars and
+    # the \x0B/\f oddballs), and the union must route each row once
+    import random
+
+    rng = random.Random(9)
+    ascii_pool = [chr(c) for c in range(0x00, 0x80)]
+    texts = [
+        "".join(rng.choice(ascii_pool) for _ in range(rng.randint(0, 60)))
+        for _ in range(150)
+    ] + ["", "   ", "\x0b\x0c", "plain", None, "é mixed in", "中文 doc"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    fast = {
+        r.doc_id: (r.text, r.n_chars_raw, r.n_chars_clean, r.changed)
+        for r in text_ops.normalize_text(df, ascii_fast_path=True).collect()
+    }
+    slow = {
+        r.doc_id: (r.text, r.n_chars_raw, r.n_chars_clean, r.changed)
+        for r in text_ops.normalize_text(df, ascii_fast_path=False).collect()
+    }
+    assert fast == slow
+    assert len(fast) == len(texts)
+
+
+def test_normalize_fast_path_plan_has_no_exchange_and_splits_udf(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    plan = (
+        text_ops.normalize_text(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # exactly one python-UDF branch (the non-ASCII side), not two
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_oov_rate_exact_counts(spark):
     docs = spark.createDataFrame(
         [

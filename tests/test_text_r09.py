@@ -111,3 +111,46 @@ def test_gopher_rules_zero_exchange_plan(spark, sf_oracle):
     docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
     plan = text.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_perplexity_buckets_exact_thirds_per_source(spark):
+    # source A: 6 scoreable docs -> exactly 2 head, 2 middle, 2 tail;
+    # source B: 4 docs -> floor thirds: 1 head, 1 middle (rk*3<=8), 2 tail
+    rows = []
+    for i in range(6):
+        # vary bigram typicality: doc i repeats a common bigram i times
+        rows.append((i, "x y " * (i + 1) + "unique" + str(i) + " tail" + str(i), "A"))
+    for i in range(6, 10):
+        rows.append((i, "p q " * (i - 5) + "only" + str(i) + " end" + str(i), "B"))
+    out = text.perplexity_buckets(_src_docs(spark, rows)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.ppl_bucket)
+    a = sorted(by_src["A"])
+    b = sorted(by_src["B"])
+    assert a == ["head", "head", "middle", "middle", "tail", "tail"]
+    assert b == ["head", "middle", "tail", "tail"]
+
+
+def test_perplexity_buckets_excludes_unscoreable_docs(spark):
+    rows = [
+        (1, "a b a b a b", "A"),
+        (2, "single", "A"),  # < 2 tokens: no bigram, no score
+        (3, None, "A"),
+        (4, "a b c d", "A"),
+    ]
+    out = text.perplexity_buckets(_src_docs(spark, rows)).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 4]
+
+
+def test_perplexity_buckets_head_is_lowest_nll(spark):
+    rows = [(i, "c d " * 5 + f"rare{i} odd{i} " * (4 - i), "A") for i in range(3)]
+    out = {r.doc_id: r for r in text.perplexity_buckets(_src_docs(spark, rows)).collect()}
+    ranked = sorted(out.values(), key=lambda r: (r.avg_nll, r.doc_id))
+    assert ranked[0].ppl_bucket == "head"
+    assert ranked[-1].ppl_bucket == "tail"
