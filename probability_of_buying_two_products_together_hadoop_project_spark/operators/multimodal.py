@@ -674,7 +674,18 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     parsers above; PNG needs only stdlib zlib). PNG's native RGB is
     swapped to BGR so both formats honor the same channel contract.
     JPEG genuinely needs a codec library absent from this container and
-    raises — plug a real decoder into that branch."""
+    raises — plug a real decoder into that branch.
+
+    DECISION (r09, final): the JPEG branch STAYS a loud stub. A
+    pure-Python baseline-JPEG decoder (Huffman + dequant + iDCT +
+    chroma upsample) would be ~1k lines serving no oracle — DuckDB
+    could not replicate it, so it could never earn a hash-matched
+    registry row — and every Spark-side contract the stub guards
+    (schema, Arrow batch shape, partitioning, error surface) is
+    already exercised by the BMP/PNG/WAV REAL codecs. In a deployment
+    the branch takes `pillow`/`libjpeg` in one line; the media
+    synthesis matrix keeps JPEG out of its formats rather than faking
+    pixels."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload.startswith(PNG_SIG):

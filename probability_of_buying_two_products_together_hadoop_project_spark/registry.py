@@ -1799,7 +1799,14 @@ def q_hll_partitioned_merge(spark, sf_dir):
 @register(
     "agg_approx_count_distinct",
     None,  # HLL sketches differ across engines; tests assert <5% rel error
-    "approx_count_distinct (HyperLogLog++) vs exact cardinalities",
+    "approx_count_distinct (HyperLogLog++) vs exact cardinalities. "
+    "Rows-only BY NATURE (final): Spark's HLL++ register layout has no "
+    "SQL twin, so the oracle contract is the IN-QUERY exact column "
+    "pair (approx vs countDistinct, <5% relative error asserted in "
+    "tests/test_approx.py) plus the hash-pinned mergeable-sketch "
+    "siblings kmv_incremental_verified (r08 driver row — the KMV "
+    "estimator IS oracle-exact) and hll_sketch_partitioned_merge's "
+    "union==direct equality tests",
 )
 def q_approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
