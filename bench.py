@@ -191,6 +191,11 @@ HEADLINE = [
     "dedup_cut_spans",
     "benford_by_priority",
     "kendall_tau_spend_frequency",
+    # r09 additions
+    "zipf_fit_words",
+    "gopher_rules_screen",
+    "multimodal_phash_dedup",
+    "perplexity_buckets_ccnet",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —
