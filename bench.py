@@ -196,6 +196,7 @@ HEADLINE = [
     "gopher_rules_screen",
     "multimodal_phash_dedup",
     "perplexity_buckets_ccnet",
+    "attribution_markov_removal",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -40,7 +40,7 @@ dangling-mass redistribution term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -636,4 +636,206 @@ def markov_stationary(
         "state",
         "mass_units",
         (F.col("mass_units").cast("double") / F.lit(float(UNITS))).alias("mass"),
+    )
+
+
+def attribution_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """Build the Markov-attribution transition relation from an event
+    log: per user, order events by (ts, id) and split the stream into
+    EPISODES at each conversion — the classic customer-journey model.
+    Within an episode the first touch draws a (START -> type) edge,
+    consecutive touches (prev -> type), a conversion event absorbs into
+    CONV, and a path that ends without converting absorbs into NULL
+    from its last touch.
+
+    An episode contains at most one conversion and only at its end by
+    construction (the episode index counts STRICTLY-PRIOR conversions,
+    so every event after a conversion starts a new episode).
+
+    Plan: ONE (user, episode) sort shared by the episode counter, the
+    lag and the lead (same window spec — a single exchange), then a
+    map-side-combined (src, dst) count. Output: (src, dst, n) with
+    src in {START} ∪ touch types and dst in touch types ∪ {CONV, NULL}
+    — a states²-bounded relation at any corpus size.
+    """
+    w_prior = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ep = F.count(F.when(F.col(type_col) == conv_type, 1)).over(w_prior)
+    base = events.select(
+        user_col, ts_col, id_col, type_col, ep.alias("_ep")
+    )
+    w = Window.partitionBy(user_col, "_ep").orderBy(ts_col, id_col)
+    tr = base.select(
+        F.coalesce(F.lag(type_col).over(w), F.lit("START")).alias("src"),
+        F.when(F.col(type_col) == conv_type, F.lit("CONV"))
+        .otherwise(F.col(type_col))
+        .alias("dst"),
+        (
+            F.lead(type_col).over(w).isNull()
+            & (F.col(type_col) != conv_type)
+        ).alias("_tail"),
+        F.col(type_col).alias("_ty"),
+    )
+    main = tr.select("src", "dst")
+    tails = tr.filter(F.col("_tail")).select(
+        F.col("_ty").alias("src"), F.lit("NULL").alias("dst")
+    )
+    return (
+        main.unionByName(tails)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def markov_removal_attribution(
+    transitions: DataFrame,
+    channels: tuple[str, ...],
+    iters: int = 4,
+) -> DataFrame:
+    """Markov-chain multi-touch attribution by REMOVAL EFFECT — the
+    principled alternative to linear/last-touch credit (Anderl et al.
+    2016): model journeys as a Markov chain over touchpoints with
+    absorbing CONV/NULL states, compute the chain's conversion
+    probability, then for each channel recompute it with that channel
+    removed (every edge INTO the channel redirected to NULL — the
+    redirect convention, so row totals and all other probabilities are
+    untouched); the channel's credit is how much conversion drops
+    without it: ``RE(c) = 1 - P_conv(-c) / P_conv``.
+
+    Fixed-point contract (the PageRank/markov_stationary rules): the
+    conversion probability is the K-round absorption value pinned at
+    ``iters`` steps (not the asymptotic limit — the fixed-round rule
+    that keeps the whole computation ANSI-unrollable), computed in
+    1e-12 units: ``a_{k+1}(s) = (Σ_dst n(s,dst) · val_k(dst)) div
+    tot(s)`` with val(CONV) = 1e12, val(NULL) = 0 — integer products
+    in DECIMAL(38,0), one truncating division per state per round
+    (== DuckDB HUGEINT ``//``). The removal ratio is one more integer
+    cross-multiplication: ``re_units = 1e12 - (removed · 1e12) div
+    base``. ``attributed_share`` normalizes the POSITIVE removal
+    effects (a negative effect — removing the channel HELPS conversion,
+    e.g. an error state — earns zero credit but is reported).
+
+    Scale: the transition relation is states²-bounded; every round is
+    a join+agg over ≤ states² rows against the broadcast value vector;
+    (channels+1) × iters tiny rounds total. The one corpus-sized pass
+    is upstream in :func:`attribution_transitions`.
+
+    Output per channel: (channel, base_conv_units, removed_conv_units,
+    removal_effect_units — exact integers, VARCHAR-transported — plus
+    removal_effect and attributed_share doubles; NULL when the base
+    chain never converts within ``iters`` steps).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sentinels = {"START", "CONV", "NULL"}
+    bad = sentinels & set(channels)
+    if bad:
+        raise ValueError(f"channels collide with sentinel states: {sorted(bad)}")
+    if len(set(channels)) != len(channels):
+        raise ValueError("channels must be distinct")
+    dec = "decimal(38,0)"
+    t = transitions.select("src", "dst", "n").localCheckpoint(eager=True)
+    row_tot = (
+        t.groupBy("src")
+        .agg(F.sum("n").cast(dec).alias("_rt"))
+        .localCheckpoint(eager=True)
+    )
+    states = row_tot.select(F.col("src").alias("state")).localCheckpoint(
+        eager=True
+    )
+
+    def absorb(edges: DataFrame) -> DataFrame:
+        a = states.select("state", F.lit(0).cast("long").alias("au"))
+        for _ in range(iters):
+            prev = F.broadcast(
+                a.select(
+                    F.col("state").alias("dst"), F.col("au").alias("_adst")
+                )
+            )
+            val = (
+                F.when(F.col("dst") == "CONV", F.lit(UNITS).cast(dec))
+                .when(F.col("dst") == "NULL", F.lit(0).cast(dec))
+                .otherwise(F.coalesce(F.col("_adst"), F.lit(0)).cast(dec))
+            )
+            sums = (
+                edges.join(prev, "dst", "left")
+                .select("src", (F.col("n").cast(dec) * val).alias("_c"))
+                .groupBy("src")
+                .agg(F.sum("_c").cast(dec).alias("_s"))
+            )
+            a = (
+                states.join(
+                    sums.withColumnRenamed("src", "state"), "state", "left"
+                )
+                .join(
+                    F.broadcast(row_tot.withColumnRenamed("src", "state")),
+                    "state",
+                )
+                .select(
+                    "state",
+                    F.expr(
+                        f"CAST(coalesce(_s, CAST(0 AS {dec})) div _rt AS BIGINT)"
+                    ).alias("au"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return a
+
+    def start_value(a: DataFrame, name: str) -> DataFrame:
+        # aggregate form: exactly ONE row even when the journey log is
+        # empty (no START state) — max over zero rows coalesces to 0,
+        # no driver-side existence probe needed
+        return a.filter(F.col("state") == "START").agg(
+            F.coalesce(F.max("au"), F.lit(0)).cast("long").alias(name)
+        )
+
+    base = start_value(absorb(t), "_base")
+    removed_rows = None
+    for c in channels:
+        a_c = absorb(t.filter(F.col("dst") != c))
+        r = start_value(a_c, "_removed").select(
+            F.lit(c).alias("channel"), F.col("_removed")
+        )
+        removed_rows = r if removed_rows is None else removed_rows.unionByName(r)
+    joined = removed_rows.crossJoin(F.broadcast(base))
+    re_units = F.when(
+        F.col("_base") > 0,
+        (
+            F.lit(UNITS).cast(dec)
+            - F.expr(
+                f"(CAST(_removed AS {dec}) * CAST({UNITS} AS {dec})) div "
+                f"CAST(_base AS {dec})"
+            )
+        ).cast("long"),
+    )
+    scored = joined.select(
+        "channel",
+        F.col("_base").alias("_b"),
+        F.col("_removed").alias("_r"),
+        re_units.alias("_re"),
+    )
+    w_all = Window.partitionBy()
+    pos = F.greatest(F.col("_re"), F.lit(0))
+    tot_pos = F.sum(pos).over(w_all)
+    return scored.select(
+        "channel",
+        F.col("_b").cast("string").alias("base_conv_units"),
+        F.col("_r").cast("string").alias("removed_conv_units"),
+        F.col("_re").cast("string").alias("removal_effect_units"),
+        (F.col("_re").cast("double") / F.lit(float(UNITS))).alias(
+            "removal_effect"
+        ),
+        F.when(
+            tot_pos > 0, pos.cast("double") / tot_pos.cast("double")
+        ).alias("attributed_share"),
     )
