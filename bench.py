@@ -197,6 +197,7 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "perplexity_buckets_ccnet",
     "attribution_markov_removal",
+    "brier_decomposition_doclen",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -1495,6 +1495,114 @@ def classification_summary(
     )
 
 
+def brier_decomposition(
+    df: DataFrame,
+    p_num: Column,
+    p_den: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — the forecast-quality
+    triad behind every reliability diagram: ``BS = REL − RES + UNC``
+    (+ a within-bin residual when forecasts vary inside a bin), where
+    reliability is the calibration error (lower better), resolution is
+    how far bin outcome rates sit from the base rate (higher better),
+    and uncertainty ``ō(1−ō)`` is the data's intrinsic difficulty.
+    Completes the evaluation family: roc_auc ranks, calibration_curve
+    plots, this SCORES the probabilities themselves.
+
+    Exactness contract: the forecast enters as an exact RATIONAL —
+    integer numerator ``p_num`` over a constant integer denominator
+    ``p_den`` (e.g. rank_score's (rk−1)/(N−1)) — so the bin index is
+    pure integer arithmetic (``(n_bins·p_num) div p_den``, clamped),
+    the Brier sum-of-squared-errors is an exact DECIMAL(38,0) integer
+    ``Σ (p_num − p_den·y)²`` (VARCHAR-transported), and the per-bin
+    REL/RES terms are fixed sequences of correctly-rounded double ops
+    over pinned integer aggregates, quantized to 9dp decimals before
+    the ≤ n_bins-row sum (the chi-square order-independence rule).
+    ``label`` must be 0/1 non-null; ``0 <= p_num <= p_den`` with
+    ``p_den`` constant across rows and >= 1 — the caller's contract.
+
+    One (bin) hash aggregation over the corpus; everything after runs
+    on ≤ n_bins rows. Output (one row): n, base_rate, sse_units
+    (exact, VARCHAR), brier, reliability, resolution, uncertainty,
+    residual (= brier − reliability + resolution − uncertainty, the
+    within-bin variance the binned decomposition cannot see).
+    """
+    if n_bins < 1:
+        raise ValueError(f"brier_decomposition: n_bins must be >= 1 ({n_bins=})")
+    dec0 = "decimal(38,0)"
+    d9 = "decimal(38,9)"
+    y = label.cast("bigint")
+    base = df.select(
+        p_num.cast("bigint").alias("_pn"),
+        p_den.cast("bigint").alias("_pd"),
+        y.alias("_y"),
+    )
+    err = (F.col("_pn") - F.col("_pd") * F.col("_y")).cast(dec0)
+    per = base.select(
+        F.least(
+            F.expr(f"({n_bins} * _pn) div _pd"), F.lit(n_bins - 1)
+        ).alias("_b"),
+        "_pn",
+        "_pd",
+        "_y",
+        (err * err).alias("_e2"),
+    ).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").cast("long").alias("_yk"),
+        F.sum(F.col("_pn").cast(dec0)).cast(dec0).alias("_pk"),
+        F.sum("_e2").cast(dec0).alias("_sk"),
+        F.max("_pd").alias("_d"),
+    )
+    g = per.agg(
+        F.sum("_n").cast("long").alias("_nn"),
+        F.sum("_yk").cast("long").alias("_yy"),
+        F.sum("_sk").cast(dec0).alias("_sse"),
+        F.max("_d").alias("_dd"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    nf = F.col("_n").cast("double")
+    pbar = F.col("_pk").cast("double") / (nf * F.col("_dd").cast("double"))
+    obark = F.col("_yk").cast("double") / nf
+    obar = F.col("_yy").cast("double") / F.col("_nn").cast("double")
+    rel_t = nf * (pbar - obark) * (pbar - obark)
+    res_t = nf * (obark - obar) * (obark - obar)
+    terms = j.select(
+        "_nn",
+        "_yy",
+        "_sse",
+        "_dd",
+        F.round(rel_t, 9).cast(d9).alias("_rt"),
+        F.round(res_t, 9).cast(d9).alias("_st"),
+    )
+    out = terms.groupBy().agg(
+        F.max("_nn").alias("n"),
+        F.max("_yy").alias("_y_tot"),
+        F.max("_sse").alias("_sse1"),
+        F.max("_dd").alias("_d1"),
+        F.sum("_rt").cast(d9).alias("_rel"),
+        F.sum("_st").cast(d9).alias("_res"),
+    )
+    nn = F.col("n").cast("double")
+    dd = F.col("_d1").cast("double")
+    ob = F.col("_y_tot").cast("double") / nn
+    brier = F.col("_sse1").cast("double") / nn / dd / dd
+    rel = F.col("_rel").cast("double") / nn
+    res = F.col("_res").cast("double") / nn
+    unc = ob * (F.lit(1.0) - ob)
+    return out.select(
+        F.col("n"),
+        ob.alias("base_rate"),
+        F.col("_sse1").cast("string").alias("sse_units"),
+        brier.alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (brier - (rel - res + unc)).alias("residual"),
+    )
+
+
 def calibration_curve(
     df: DataFrame,
     score: Column,

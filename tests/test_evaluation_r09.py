@@ -114,6 +114,89 @@ def test_kendall_assume_unique_matches_collapse_on_unique_keys(spark):
     assert a == b
 
 
+def _py_brier(pairs, den, n_bins=10):
+    """(p_num, y) pairs -> Murphy decomposition, Python reference."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q9(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    n = len(pairs)
+    sse = sum((pn - den * y) ** 2 for pn, y in pairs)
+    ytot = sum(y for _, y in pairs)
+    bins = {}
+    for pn, y in pairs:
+        b = min((n_bins * pn) // den, n_bins - 1)
+        nk, yk, pk = bins.get(b, (0, 0, 0))
+        bins[b] = (nk + 1, yk + y, pk + pn)
+    obar = ytot / n
+    rel = res = Decimal(0)
+    for nk, yk, pk in bins.values():
+        pbar = pk / (nk * den)
+        obk = yk / nk
+        rel += q9(nk * (pbar - obk) * (pbar - obk))
+        res += q9(nk * (obk - obar) * (obk - obar))
+    brier = sse / n / den / den
+    return {
+        "n": n,
+        "base_rate": obar,
+        "sse_units": str(sse),
+        "brier": brier,
+        "reliability": float(rel) / n,
+        "resolution": float(res) / n,
+        "uncertainty": obar * (1.0 - obar),
+    }
+
+
+def test_brier_decomposition_matches_python_reference(spark):
+    # 40 forecasts over denominator 39 with a noisy monotone outcome
+    den = 39
+    pairs = [(i, 1 if (i * 7) % 40 < i else 0) for i in range(40)]
+    df = spark.createDataFrame(
+        [(pn, den, y) for pn, y in pairs], "pn bigint, pd bigint, y bigint"
+    )
+    out = evaluation.brier_decomposition(
+        df, F.col("pn"), F.col("pd"), F.col("y")
+    ).collect()[0]
+    ref = _py_brier(pairs, den)
+    assert out.n == ref["n"]
+    assert out.base_rate == ref["base_rate"]
+    assert out.sse_units == ref["sse_units"]
+    assert out.brier == ref["brier"]
+    assert abs(out.reliability - ref["reliability"]) < 1e-12
+    assert abs(out.resolution - ref["resolution"]) < 1e-12
+    assert out.uncertainty == ref["uncertainty"]
+    # decomposition identity up to the within-bin residual
+    assert abs(
+        out.brier - (out.reliability - out.resolution + out.uncertainty)
+        - out.residual
+    ) < 1e-15
+
+
+def test_brier_perfect_and_constant_forecasts(spark):
+    # perfect forecast: p = y exactly -> brier 0, reliability 0
+    den = 1
+    rows = [(0, den, 0)] * 5 + [(1, den, 1)] * 5
+    df = spark.createDataFrame(rows, "pn bigint, pd bigint, y bigint")
+    out = evaluation.brier_decomposition(
+        df, F.col("pn"), F.col("pd"), F.col("y")
+    ).collect()[0]
+    assert out.brier == 0.0 and out.reliability == 0.0
+    assert out.resolution == out.uncertainty  # perfect resolution
+    # constant forecast at the base rate: resolution 0
+    rows2 = [(1, 2, y) for y in (0, 1, 0, 1)]
+    out2 = evaluation.brier_decomposition(
+        spark.createDataFrame(rows2, "pn bigint, pd bigint, y bigint"),
+        F.col("pn"),
+        F.col("pd"),
+        F.col("y"),
+    ).collect()[0]
+    assert out2.resolution == 0.0
+    assert out2.brier == 0.25 and out2.uncertainty == 0.25
+
+
 def test_cut_spans_null_text_emits_empty_contract(spark):
     docs = spark.createDataFrame(
         [(1, None), (2, "keep these words")], "doc_id bigint, text string"
