@@ -659,6 +659,13 @@ def attribution_transitions(
     construction (the episode index counts STRICTLY-PRIOR conversions,
     so every event after a conversion starts a new episode).
 
+    Contract (LOUD): event-type values must not collide with the
+    START / CONV / NULL sentinel states — a literal 'CONV' touch type
+    would alias the absorbing state. :func:`markov_removal_attribution`
+    rejects sentinel-named channels; guaranteeing the event LOG is
+    sentinel-free is the caller's contract (an operational constant,
+    not worth a per-row scan here).
+
     Plan: ONE (user, episode) sort shared by the episode counter, the
     lag and the lead (same window spec — a single exchange), then a
     map-side-combined (src, dst) count. Output: (src, dst, n) with
