@@ -198,6 +198,7 @@ HEADLINE = [
     "perplexity_buckets_ccnet",
     "attribution_markov_removal",
     "brier_decomposition_doclen",
+    "source_gram_containment",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -1719,6 +1719,72 @@ def source_vocab_overlap(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def source_gram_containment(
+    docs: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Pairwise n-GRAM containment between sources — the gram-level
+    sequel to :func:`source_vocab_overlap`: two shards can share a
+    vocabulary yet no sentences (same domain) or share long runs of
+    actual text (mirror / re-export / benchmark leakage), and only a
+    gram-level measure separates the two. Containment is ASYMMETRIC —
+    ``|grams(A) ∩ grams(B)| / |grams(A)|`` — so a small source fully
+    swallowed by a big one scores 1.0 in the direction that matters
+    (the Bayardo containment convention, lifted to whole sources).
+
+    Engine shape: word n-grams reduce to DISTINCT (source, md5) digest
+    rows map-side (16-byte digests, never gram text — the
+    decontamination projection); pair counts come from one digest-keyed
+    self-join of that reduced table — work per digest is (sources
+    sharing it)², bounded by the SOURCE count squared, never by corpus
+    volume. Per-source gram counts broadcast onto the ordered-pair
+    table; containment is one float division of exact integers.
+
+    Output: (src_a, src_b, grams_a, grams_b, shared, containment) for
+    ordered pairs with ``shared >= min_shared``; both directions emit.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    st = _gram_digests(
+        docs.select(F.col(source_col).alias("_src"), F.col(text_col)),
+        n,
+        text_col,
+        "_src",
+    ).distinct()
+    a = st.select(F.col("_src").alias("src_a"), "gram_md5")
+    b = st.select(F.col("_src").alias("src_b"), "gram_md5")
+    shared = (
+        a.join(b, "gram_md5")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = st.groupBy("_src").agg(F.count(F.lit(1)).alias("_ng"))
+    ga = sizes.select(F.col("_src").alias("src_a"), F.col("_ng").alias("grams_a"))
+    gb = sizes.select(F.col("_src").alias("src_b"), F.col("_ng").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(ga), "src_a")
+        .join(F.broadcast(gb), "src_b")
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            "src_a",
+            "src_b",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.col("shared").cast("bigint").alias("shared"),
+            (
+                F.col("shared").cast("double")
+                / F.col("grams_a").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target: Column,

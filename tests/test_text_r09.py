@@ -148,6 +148,71 @@ def test_perplexity_buckets_excludes_unscoreable_docs(spark):
     assert ids == [1, 4]
 
 
+def test_source_gram_containment_asymmetry(spark):
+    # source B's text is a substring of source A's: every B trigram is
+    # an A trigram -> containment(B in A... i.e. src_a=B) = 1.0, while
+    # A is only partially contained in B
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "A"),
+        (2, "beta gamma delta", "B"),
+        (3, "totally different words here now", "C"),
+    ]
+    out = {
+        (r.src_a, r.src_b): r
+        for r in text.source_gram_containment(
+            _src_docs(spark, rows), n=3
+        ).collect()
+    }
+    # A has 4 trigrams, B has 1 ("beta gamma delta"), shared = 1
+    ba = out[("B", "A")]
+    assert (ba.grams_a, ba.grams_b, ba.shared) == (1, 4, 1)
+    assert ba.containment == 1.0
+    ab = out[("A", "B")]
+    assert (ab.grams_a, ab.shared) == (4, 1)
+    assert ab.containment == 0.25
+    # C shares nothing: no rows in either direction
+    assert not any("C" in k for k in out)
+
+
+def test_source_gram_containment_python_reference(spark):
+    import hashlib
+
+    rows = [
+        (i, f"w{i % 3} x{i % 2} common tail words {i}", f"s{i % 4}")
+        for i in range(12)
+    ]
+    out = {
+        (r.src_a, r.src_b): (r.grams_a, r.grams_b, r.shared, r.containment)
+        for r in text.source_gram_containment(
+            _src_docs(spark, rows), n=3
+        ).collect()
+    }
+    import re
+
+    grams = {}
+    for _, t, s in rows:
+        tk = [w for w in re.sub(r"\s+", " ", t.lower().strip()).split(" ") if w]
+        for i in range(len(tk) - 2):
+            g = " ".join(tk[i : i + 3])
+            grams.setdefault(s, set()).add(
+                hashlib.md5(g.encode()).hexdigest()
+            )
+    for a in grams:
+        for b in grams:
+            if a == b:
+                continue
+            sh = len(grams[a] & grams[b])
+            if sh >= 1:
+                assert out[(a, b)] == (
+                    len(grams[a]),
+                    len(grams[b]),
+                    sh,
+                    sh / len(grams[a]),
+                ), (a, b)
+            else:
+                assert (a, b) not in out
+
+
 def test_perplexity_buckets_head_is_lowest_nll(spark):
     rows = [(i, "c d " * 5 + f"rare{i} odd{i} " * (4 - i), "A") for i in range(3)]
     out = {r.doc_id: r for r in text.perplexity_buckets(_src_docs(spark, rows)).collect()}
