@@ -1132,6 +1132,7 @@ def isotonic_fit_bins(
     bin_col: Column,
     y_col: Column,
     group_cols: tuple[str, ...] = (),
+    decreasing: bool = False,
 ) -> DataFrame:
     """Isotonic (monotone non-decreasing) regression over binned data —
     pool-adjacent-violators calibration, the standard way to turn a
@@ -1139,12 +1140,18 @@ def isotonic_fit_bins(
     a parametric shape (Platt scaling's nonparametric rival). With
     ``group_cols`` it is the per-segment calibration DASHBOARD: one
     independent PAV fit per group from ONE scan (the psi_drift_by_*
-    monitoring shape).
+    monitoring shape). ``decreasing=True`` fits the ANTITONIC
+    (non-increasing) regression instead — the right shape when the
+    score is inversely related to the label (e.g. an error score vs a
+    pass label); same plan, min/max swapped per the dual
+    characterization below.
 
     PAV is textbook-sequential, but over BINS it has an exact parallel
     formulation — the max-min characterization of the isotonic fit:
     ``fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k)`` with
-    ``avg(j,k) = (S_k - S_{j-1}) / (N_k - N_{j-1})`` from prefix sums.
+    ``avg(j,k) = (S_k - S_{j-1}) / (N_k - N_{j-1})`` from prefix sums;
+    the antitonic dual is ``fit(i) = min_{j<=i} max_{k>=i} avg(j..k)``
+    (apply the max-min form to -y and negate: min/max swap).
     Engine plan: one corpus scan to the <= groups x B row (group, bin,
     n, s) table, per-group prefix sums, the per-group B² (j,k) pair
     grid, a per-(group, j) running min from the right, and a
@@ -1160,10 +1167,11 @@ def isotonic_fit_bins(
     attaining (j,k) is not). No transcendentals anywhere.
 
     Output per non-empty (group, bin): (*group_cols, bin, n, s,
-    mean_raw, fitted) — ``fitted`` non-decreasing in bin within each
-    group and matching pool-adjacent-violators exactly (the max-min
-    form is the PAV solution). A NULL group key is ONE regular group
-    (null-safe join keys, the window-partition convention).
+    mean_raw, fitted) — ``fitted`` non-decreasing (``decreasing=True``:
+    non-increasing) in bin within each group and matching
+    pool-adjacent-violators exactly (the max-min form is the PAV
+    solution). A NULL group key is ONE regular group (null-safe join
+    keys, the window-partition convention).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -1227,6 +1235,8 @@ def isotonic_fit_bins(
         ).alias("_avg"),
     )
     # m(j, i) = min over k >= i of avg(j, k): running min from the right
+    # (decreasing fit: the dual — running MAX from the right, then min)
+    inner, outer = (F.max, F.min) if decreasing else (F.min, F.max)
     w_right = (
         Window.partitionBy(*group_cols, "_j")
         .orderBy(F.col("_k").desc())
@@ -1236,9 +1246,9 @@ def isotonic_fit_bins(
         *group_cols,
         "_j",
         F.col("_k").alias("_i"),
-        F.min("_avg").over(w_right).alias("_m"),
+        inner("_avg").over(w_right).alias("_m"),
     )
-    fit = m.groupBy(*group_cols, "_i").agg(F.max("_m").alias("fitted"))
+    fit = m.groupBy(*group_cols, "_i").agg(outer("_m").alias("fitted"))
     fit2 = fit.select(
         *[F.col(g).alias(f"_fg_{g}") for g in group_cols], "_i", "fitted"
     )

@@ -846,3 +846,85 @@ def markov_removal_attribution(
             tot_pos > 0, pos.cast("double") / tot_pos.cast("double")
         ).alias("attributed_share"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, Phys. Rev. E 76:036106) over an undirected
+    edge list (``src``, ``dst``) where every node appears as a source
+    (the :func:`symmetric_edges` guarantee).
+
+    Each round every node adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the smallest label — the deterministic
+    synchronous variant. The classic algorithm runs to convergence with
+    random tie-breaks; like :func:`pagerank` this engine pins a FIXED
+    round count and a total tie order instead, so the whole computation
+    is a pure dataflow (round = join + count + argmax aggregate) that
+    an ANSI-SQL oracle can unroll round-for-round and the driver can
+    hash-pin bit-exact. Synchronous LPA can oscillate on bipartite
+    structures rather than converge — with a fixed round budget the
+    output is still a deterministic function of the graph, which is
+    what a curation pipeline needs from a partitioner.
+
+    Determinism: votes are exact integer counts; the argmax is
+    ``min(struct(-count, label))`` — struct ordering compares count
+    descending then label ascending, the same total order as the
+    oracle's ``row_number() OVER (ORDER BY c DESC, label)``. No floats
+    anywhere.
+
+    Scale posture: per round the edge table is scanned once and joined
+    to the (node, label) state — 2-string rows, broadcast-sized until
+    the node count outgrows executor memory (``broadcast_labels=False``
+    falls back to dst-partitioned shuffle joins). The vote count is a
+    map-side partial aggregate on (src, label); state is
+    localCheckpoint-pinned per round so lineage stays flat. Output adds
+    ``community_size`` via one window over the node-sized result —
+    partitioned by community, never single-partition.
+
+    Output: (node, community, community_size), one row per node.
+    """
+    maybe_bcast = F.broadcast if broadcast_labels else (lambda df: df)
+    if not broadcast_labels:
+        edges = edges.repartition("dst")
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                maybe_bcast(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("label").alias("_nl")
+                    )
+                ),
+                "dst",
+            )
+            .groupBy("src", "_nl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("_neg"), F.col("_nl").alias("_l")
+                    )
+                ).alias("_m")
+            )
+            .select(F.col("src").alias("node"), F.col("_m._l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    w_comm = Window.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(w_comm).cast("long").alias("community_size"),
+    )

@@ -13782,6 +13782,128 @@ def q_source_gram_containment(spark, sf_dir):
     return text.source_gram_containment(_t(spark, sf_dir, "documents"), n=3)
 
 
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled fixed-round synchronous label propagation as chained
+    CTEs over the shared co-occurrence pair CTE — the oracle runs the
+    IDENTICAL rounds the engine's dataflow loop runs (see
+    operators/graph.py label_propagation). Votes are exact integer
+    counts; the argmax tie order (count DESC, label ASC) is stated as a
+    row_number window here and as min(struct(-count, label)) engine-side
+    — the same total order, so every label matches by construction."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    c{k} AS (
+      SELECT e.src, r.label, COUNT(*) AS c
+      FROM e JOIN {prev} r ON e.dst = r.node
+      GROUP BY e.src, r.label
+    ), r{k} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""")
+        prev = f"r{k}"
+    return f"""
+    {_COOC_CTE}, e AS (
+      SELECT DISTINCT item AS src, neighbor AS dst FROM pairs
+        WHERE item != neighbor
+      UNION
+      SELECT DISTINCT neighbor AS src, item AS dst FROM pairs
+        WHERE item != neighbor
+    ), r0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM e
+    ),{",".join(steps)}
+    SELECT node, label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+    FROM {prev}
+    """
+
+
+@register(
+    "label_propagation_items",
+    _lpa_oracle(iters=4),
+    "Community detection over the symmetrized co-occurrence item graph "
+    "by synchronous label propagation (Raghavan et al. 2007) — which "
+    "items form a buying CLUSTER, the partition companion to "
+    "pagerank_cooccurrence's centrality ranking. Fixed 4 rounds + total "
+    "tie order (count DESC, label ASC) instead of the classic "
+    "run-to-convergence random tie-breaks: a pure dataflow (round = "
+    "broadcast join + map-side partial vote count + argmax aggregate, "
+    "state localCheckpoint-pinned) the oracle unrolls round-for-round; "
+    "all-integer votes, min(struct(-c, label)) == the oracle's "
+    "row_number order, bit-exact cross-engine",
+)
+def q_label_propagation(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    edges = graph.symmetric_edges(basket.basket_pairs(baskets))
+    return graph.label_propagation(edges, iters=4)
+
+
+@register(
+    "isotonic_decreasing_urgency",
+    """
+    WITH b AS (
+      SELECT LEAST(49, CAST(floor(o_totalprice / 10000.0) AS INT)) AS bin,
+             count(*) AS n,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS s
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT bin, n, s,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+      FROM b
+    ),
+    lo AS (SELECT bin AS j, cn - n AS nj, cs - s AS sj FROM p),
+    hi AS (SELECT bin AS k, cn AS nk, cs AS sk FROM p),
+    grid AS (
+      SELECT j, k,
+             CAST(sk - sj AS DOUBLE) / CAST(nk - nj AS DOUBLE) AS a
+      FROM lo JOIN hi ON j <= k
+    ),
+    m AS (
+      SELECT j, k AS i,
+             MAX(a) OVER (PARTITION BY j ORDER BY k DESC
+                          ROWS UNBOUNDED PRECEDING) AS mji
+      FROM grid
+    ),
+    f AS (SELECT i, MIN(mji) AS fitted FROM m GROUP BY i)
+    SELECT b.bin, CAST(b.n AS BIGINT) AS n, CAST(b.s AS BIGINT) AS s,
+           CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_raw,
+           f.fitted AS fitted
+    FROM b JOIN f ON b.bin = f.i
+    """,
+    "ANTITONIC (non-increasing) pool-adjacent-violators fit of "
+    "P(priority urgent-or-high) against order-value bins — the "
+    "decreasing dual of isotonic_calibration_doclen, for scores "
+    "inversely related to the label. Same exact parallel form with "
+    "min/max swapped: fit(i) = min_{j<=i} max_{k>=i} avg(j..k) over "
+    "prefix sums (apply the max-min form to -y and negate); one "
+    "corpus scan to the <= 50-row bin table, B^2 grid + two windows, "
+    "all bin-table-sized; integer counts, one IEEE division per "
+    "candidate average, engine-identical min/max. fitted is "
+    "non-increasing by construction",
+)
+def q_isotonic_decreasing(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return evaluation.isotonic_fit_bins(
+        o,
+        F.least(
+            F.lit(49), F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("int")
+        ),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+        decreasing=True,
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries

@@ -208,3 +208,49 @@ def test_cut_spans_null_text_emits_empty_contract(spark):
     assert out[1].text_clean == "" and out[1].n_tokens == 0
     assert out[1].n_tokens_removed == 0
     assert out[2].text_clean == "keep these words" and out[2].n_tokens == 3
+
+
+def test_isotonic_decreasing_matches_negated_increasing(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for b in range(15):
+        p = max(0.05, min(0.95, 0.9 - 0.06 * b + rng.uniform(-0.15, 0.15)))
+        for _ in range(rng.randint(4, 30)):
+            rows.append((b, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "b int, y int")
+    dec = {
+        r.bin: r
+        for r in evaluation.isotonic_fit_bins(
+            df, F.col("b"), F.col("y"), decreasing=True
+        ).collect()
+    }
+    # dual contract: decreasing fit on y == -(increasing fit on -y)
+    inc_neg = {
+        r.bin: r
+        for r in evaluation.isotonic_fit_bins(
+            df, F.col("b"), -F.col("y")
+        ).collect()
+    }
+    assert sorted(dec) == sorted(inc_neg)
+    for b in dec:
+        assert abs(dec[b].fitted + inc_neg[b].fitted) < 1e-12
+        assert dec[b].n == inc_neg[b].n
+    # non-increasing by construction
+    fitted = [dec[b].fitted for b in sorted(dec)]
+    assert all(a >= c - 1e-15 for a, c in zip(fitted, fitted[1:]))
+
+
+def test_isotonic_decreasing_already_antitone_is_identity(spark):
+    rows = [(b, y) for b in range(5) for y in ([1] * (5 - b) + [0] * b)]
+    df = spark.createDataFrame(rows, "b int, y int")
+    got = {
+        r.bin: r
+        for r in evaluation.isotonic_fit_bins(
+            df, F.col("b"), F.col("y"), decreasing=True
+        ).collect()
+    }
+    for b in range(5):
+        assert abs(got[b].fitted - (5 - b) / 5.0) < 1e-12
+        assert got[b].mean_raw == got[b].fitted
