@@ -2403,3 +2403,109 @@ def gopher_rules(
             "keep"
         ),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: Column | None = None,
+    budget_num: int = 9,
+    budget_den: int = 5,
+    epoch_cap: int = 2,
+) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023, ICLR — "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute a token budget across
+    sources as UNIFORMLY as possible subject to a per-source epoch cap
+    — small sources are consumed in full (up to ``epoch_cap`` epochs),
+    the rest split the remaining budget evenly. The principled
+    alternative to temperature sampling (see
+    relational.temperature_mix): no source is repeated more than
+    ``epoch_cap`` times, and no tuned exponent.
+
+    The sequential "repeatedly hand the smallest remaining source its
+    capacity" loop has a CLOSED FORM over sources sorted by capacity
+    ascending (capacity_s = n_tokens_s * epoch_cap): with prefix sums
+    ``cum_i`` and ``S`` sources, source ``i`` is capped iff
+    ``cap_i * (S - i + 1) <= B - cum_{i-1}`` — the condition is
+    monotone in ``i``, so the cap boundary is ``m = max`` such ``i``
+    and every uncapped source gets the waterline
+    ``L = (B - cum_m) div (S - m)``. The budget is a RATIONAL of the
+    corpus total (``B = total_tokens * budget_num div budget_den``) so
+    the operator is scale-free; every quantity is a bigint (floor
+    division only) and the two output doubles are single final
+    divisions — bit-exact cross-engine.
+
+    Plan: one map-side-combined per-source token aggregation (source-
+    cardinality rows), then windows and one global aggregate over that
+    TINY table (the isotonic bin-table precedent — never corpus-sized),
+    broadcast back. Output one row per source: (source, n_tokens,
+    capacity, is_capped, alloc_tokens, epochs, budget_share).
+    """
+    if budget_num < 0 or budget_den < 1:
+        raise ValueError("budget must be a non-negative rational")
+    if epoch_cap < 1:
+        raise ValueError(f"epoch_cap must be >= 1, got {epoch_cap}")
+    if tokens_col is None:
+        tokens_col = token_count(F.col("text"))
+    counts = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("long").alias("n_tokens")
+    )
+    caps = counts.select(
+        source_col,
+        "n_tokens",
+        (F.col("n_tokens") * epoch_cap).cast("long").alias("capacity"),
+    )
+    # source-cardinality table: a global-order window here is the
+    # isotonic bin-table precedent, never corpus-sized
+    w_ord = Window.orderBy("capacity", source_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    pos = caps.select(
+        source_col,
+        "n_tokens",
+        "capacity",
+        F.row_number().over(w_ord).alias("_i"),
+        F.sum("capacity").over(w_cum).alias("_cum"),
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.count(F.lit(1)).alias("_s"),
+    )
+    j = pos.crossJoin(F.broadcast(tot)).withColumn(
+        "_b", F.expr(f"_tot * {budget_num} DIV {budget_den}")
+    )
+    flagged = j.withColumn(
+        "_capped",
+        F.col("capacity") * (F.col("_s") - F.col("_i") + 1)
+        <= F.col("_b") - (F.col("_cum") - F.col("capacity")),
+    )
+    water = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_capped"), F.col("_i"))), F.lit(0)
+        ).alias("_m"),
+        F.coalesce(
+            F.max(F.when(F.col("_capped"), F.col("_cum"))),
+            F.lit(0).cast("long"),
+        ).alias("_cum_m"),
+    )
+    alloc = F.when(F.col("_i") <= F.col("_m"), F.col("capacity")).otherwise(
+        F.expr("(_b - _cum_m) DIV (_s - _m)")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(water))
+        .select(
+            source_col,
+            "n_tokens",
+            "capacity",
+            (F.col("_i") <= F.col("_m")).cast("long").alias("is_capped"),
+            alloc.cast("long").alias("alloc_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                alloc.cast("double") / F.col("n_tokens").cast("double"),
+            ).alias("epochs"),
+            F.when(
+                F.col("_b") > 0,
+                alloc.cast("double") / F.col("_b").cast("double"),
+            ).alias("budget_share"),
+        )
+    )

@@ -13904,6 +13904,75 @@ def q_isotonic_decreasing(spark, sf_dir):
     )
 
 
+@register(
+    "unimax_source_allocation",
+    """
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x != '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (SELECT source, SUM(nt) AS n_tokens FROM d GROUP BY source),
+    t AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS s FROM c),
+    p AS (
+      SELECT source, n_tokens, n_tokens * 2 AS capacity,
+             row_number() OVER (ORDER BY n_tokens * 2, source) AS i,
+             SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2, source
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ),
+    f AS (
+      SELECT p.*, t.s, (t.tot * 9) // 5 AS b,
+             CASE WHEN capacity * (t.s - i + 1)
+                       <= (t.tot * 9) // 5 - (cum - capacity)
+                  THEN 1 ELSE 0 END AS capped
+      FROM p CROSS JOIN t
+    ),
+    wtr AS (
+      SELECT COALESCE(MAX(CASE WHEN capped = 1 THEN i END), 0) AS m,
+             COALESCE(MAX(CASE WHEN capped = 1 THEN cum END), 0) AS cum_m
+      FROM f
+    ),
+    a AS (
+      SELECT f.*, wtr.m,
+             CASE WHEN f.i <= wtr.m THEN f.capacity
+                  ELSE (f.b - wtr.cum_m) // (f.s - wtr.m) END AS alloc
+      FROM f CROSS JOIN wtr
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(capacity AS BIGINT) AS capacity,
+           CAST(CASE WHEN i <= m THEN 1 ELSE 0 END AS BIGINT) AS is_capped,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS epochs,
+           CASE WHEN b > 0 THEN
+             CAST(alloc AS DOUBLE) / CAST(b AS DOUBLE) END AS budget_share
+    FROM a
+    """,
+    "UniMax token-budget allocation across sources (Chung et al. 2023 "
+    "ICLR): spend B = 1.8x corpus tokens as uniformly as possible with "
+    "a 2-epoch per-source cap — small sources consumed in full, the "
+    "rest split the remainder evenly; the principled alternative to "
+    "temperature sampling (no source over-repeated, no tuned "
+    "exponent). The sequential water-filling loop has a closed form "
+    "over capacity-sorted prefix sums (cap boundary m = max i with "
+    "cap_i*(S-i+1) <= B - cum_{i-1}, monotone in i; waterline "
+    "(B - cum_m) div (S - m)); budget a RATIONAL of total tokens so "
+    "the operator is scale-free. One map-side-combined per-source "
+    "aggregation, then windows over the SOURCE-cardinality table "
+    "(isotonic bin-table precedent); all-bigint floor division, the "
+    "two doubles single final divisions — bit-exact cross-engine",
+)
+def q_unimax_allocation(spark, sf_dir):
+    return text.unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        budget_num=9,
+        budget_den=5,
+        epoch_cap=2,
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
