@@ -2509,3 +2509,138 @@ def unimax_allocation(
             ).alias("budget_share"),
         )
     )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_k: int = 3,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — V(N) = k * N^beta over the
+    corpus token stream (Heaps 1978; natural text grows its vocabulary
+    as a power law with beta ~ 0.4-0.6; templated or looping text bends
+    the curve): the companion diagnostic to :func:`zipf_fit`'s
+    rank-frequency line, answering "is new data still bringing new
+    vocabulary" — the curation signal for corpus saturation.
+
+    The stream order is the repo's reproducible layout (md5(id) doc
+    order — the :func:`sequence_pack` convention — then within-doc
+    position); the growth curve is sampled at power-of-two checkpoints
+    ``2^k (k >= min_k, 2^k < N)`` plus ``N`` itself, and OLS of
+    ``ln V`` on ``ln N`` runs over those <= ~60 points with the zipf
+    6dp-decimal quantization (exact decimal sums, fixed final float
+    expressions).
+
+    Engine shape: ONE corpus-sized exchange (the
+    :func:`relational.global_prefix_sum` for doc offsets) plus the
+    map-side-combined per-type MIN of first position; each type then
+    maps to its ceiling checkpoint by INTEGER bit-length
+    (``length(bin(pos - 1))`` — no log2 transcendental decides a
+    bucket), and the curve is a <= 60 x 60 theta-join cumsum over the
+    bucket-count table. No single-partition corpus window anywhere.
+
+    Output: one row per checkpoint — (checkpoint, v_types, n_tokens,
+    n_types, beta, lnk, r2), fit columns constant across rows (NULL
+    for degenerate fits: < 2 checkpoints or zero variance).
+    """
+    if not 1 <= min_k <= 20:
+        raise ValueError(f"min_k must be in [1, 20], got {min_k}")
+    from .relational import global_prefix_sum
+
+    d = (
+        docs.select(
+            F.md5(F.col(id_col).cast("string")).alias("_k"),
+            tokens(F.col(text_col)).alias("_tk"),
+        )
+        .withColumn("n_tokens", F.size("_tk").cast("long"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    c = global_prefix_sum(d, "_k", "n_tokens", out_col="_cum")
+    tok = c.select(
+        (F.col("_cum") - F.col("n_tokens")).alias("_off"),
+        F.posexplode("_tk").alias("_p", "_t"),
+    ).select(
+        F.col("_t").alias("token"),
+        (F.col("_off") + F.col("_p") + 1).alias("_pos"),
+    )
+    first = tok.groupBy("token").agg(F.min("_pos").alias("_fp"))
+    # ceiling power-of-two bucket via integer bit length — p in
+    # (2^(k-1), 2^k] has length(bin(p-1)) == k; p <= 2^min_k clamps
+    bucket = F.when(
+        F.col("_fp") <= F.lit(1 << min_k), F.lit(min_k)
+    ).otherwise(F.length(F.bin(F.col("_fp") - 1)))
+    bc = first.groupBy(bucket.cast("int").alias("_kb")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    totals = c.agg(F.sum("n_tokens").cast("long").alias("_n")).crossJoin(
+        first.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    )
+    cps = totals.select(
+        "_n",
+        "_v",
+        F.explode(
+            F.expr(
+                f"filter(sequence({min_k}, 62),"
+                f" k -> shiftleft(CAST(1 AS BIGINT), k) < _n)"
+            )
+        ).alias("_kc"),
+    ).select(
+        "_n",
+        "_v",
+        "_kc",
+        F.expr("shiftleft(CAST(1 AS BIGINT), _kc)").alias("checkpoint"),
+    )
+    vt = (
+        cps.join(F.broadcast(bc), F.col("_kb") <= F.col("_kc"), "left")
+        .groupBy("_n", "_v", "checkpoint")
+        .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("v_types"))
+    )
+    curve = vt.unionByName(
+        totals.select(
+            "_n",
+            "_v",
+            F.col("_n").alias("checkpoint"),
+            F.col("_v").alias("v_types"),
+        )
+    )
+    d6, d12 = "decimal(18,6)", "decimal(38,12)"
+    pts = curve.select(
+        "_n",
+        "_v",
+        "checkpoint",
+        "v_types",
+        F.round(F.log(F.col("checkpoint").cast("double")), 6)
+        .cast(d6)
+        .alias("_x"),
+        F.round(F.log(F.col("v_types").cast("double")), 6)
+        .cast(d6)
+        .alias("_y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("_np"),
+        F.sum(F.col("_x").cast(d12)).cast(d12).alias("_sx"),
+        F.sum(F.col("_y").cast(d12)).cast(d12).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d12)).cast(d12).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d12)).cast(d12).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d12)).cast(d12).alias("_syy"),
+    )
+    npf = F.col("_np").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = npf * sxy - sx * sy
+    varx_n = npf * sxx - sx * sx
+    vary_n = npf * syy - sy * sy
+    ok = (F.col("_np") >= 2) & (varx_n > 0)
+    return pts.crossJoin(F.broadcast(s)).select(
+        "checkpoint",
+        "v_types",
+        F.col("_n").alias("n_tokens"),
+        F.col("_v").alias("n_types"),
+        F.when(ok, cov_n / varx_n).alias("beta"),
+        F.when(ok, (sy - (cov_n / varx_n) * sx) / npf).alias("lnk"),
+        F.when(ok & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)).alias(
+            "r2"
+        ),
+    )

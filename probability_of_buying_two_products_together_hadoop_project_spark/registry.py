@@ -13973,6 +13973,118 @@ def q_unimax_allocation(spark, sf_dir):
     )
 
 
+@register(
+    "heaps_law_vocab_growth",
+    """
+    WITH d AS (
+      SELECT md5(CAST(doc_id AS VARCHAR)) AS k,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x != '') AS tk
+      FROM documents
+    ),
+    dd AS (
+      SELECT k, tk, CAST(len(tk) AS BIGINT) AS nt FROM d WHERE len(tk) >= 1
+    ),
+    c AS (
+      SELECT k, tk, nt,
+             SUM(nt) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dd
+    ),
+    tokp AS (
+      SELECT tk[i] AS token, cum - nt + i AS pos
+      FROM c, UNNEST(range(1, len(tk) + 1)) AS t(i)
+    ),
+    fst AS (SELECT token, MIN(pos) AS fp FROM tokp GROUP BY token),
+    tot AS (SELECT SUM(nt) AS n FROM dd),
+    nty AS (SELECT COUNT(*) AS v FROM fst),
+    bc AS (
+      SELECT CASE WHEN fp <= 8 THEN 3
+                  ELSE length(bin(fp - 1)) END AS kb,
+             COUNT(*) AS cnt
+      FROM fst GROUP BY 1
+    ),
+    cps AS (
+      SELECT (CAST(1 AS BIGINT) << k) AS checkpoint, k
+      FROM range(3, 63) AS r(k), tot
+      WHERE (CAST(1 AS BIGINT) << k) < tot.n
+    ),
+    vt AS (
+      SELECT cps.checkpoint,
+             CAST(COALESCE(SUM(bc.cnt), 0) AS BIGINT) AS v_types
+      FROM cps LEFT JOIN bc ON bc.kb <= cps.k GROUP BY cps.checkpoint
+    ),
+    curve AS (
+      SELECT checkpoint, v_types FROM vt
+      UNION ALL
+      SELECT CAST(tot.n AS BIGINT), CAST(nty.v AS BIGINT) FROM tot, nty
+    ),
+    pts AS (
+      SELECT checkpoint, v_types,
+        CAST(round(ln(CAST(checkpoint AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        CAST(round(ln(CAST(v_types AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM curve
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             sum(CAST(x AS DECIMAL(38,12))) AS sx,
+             sum(CAST(y AS DECIMAL(38,12))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+      FROM pts
+    )
+    SELECT p.checkpoint, p.v_types,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(nty.v AS BIGINT) AS n_types,
+           CASE WHEN np >= 2 AND CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS beta,
+           CASE WHEN np >= 2 AND CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             (CAST(sy AS DOUBLE)
+                - ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+             / CAST(np AS DOUBLE)
+           END AS lnk,
+           CASE WHEN np >= 2
+                  AND CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                  AND CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+             (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r2
+    FROM pts p CROSS JOIN s CROSS JOIN tot CROSS JOIN nty
+    """,
+    "Heaps'-law vocabulary growth V(N) = k*N^beta over the corpus "
+    "token stream (md5(id) layout, the sequence_pack order) — the "
+    "corpus-saturation diagnostic pairing zipf_fit's rank-frequency "
+    "line: is new data still bringing new vocabulary? Growth sampled "
+    "at power-of-two checkpoints plus N; each type maps to its "
+    "ceiling checkpoint by INTEGER bit-length (length(bin(pos-1)) — "
+    "no transcendental decides a bucket), so the curve is a <= 60x60 "
+    "theta-join cumsum over bucket counts; OLS of ln V on ln N uses "
+    "the zipf 6dp-decimal exact-sum rule. One corpus-sized exchange "
+    "(the parallel prefix-sum for doc offsets) + the per-type MIN "
+    "(map-side combined); never a single-partition corpus window",
+)
+def q_heaps_law(spark, sf_dir):
+    return text.heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
