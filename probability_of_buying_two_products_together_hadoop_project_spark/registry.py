@@ -14085,6 +14085,125 @@ def q_heaps_law(spark, sf_dir):
     return text.heaps_law_fit(_t(spark, sf_dir, "documents"))
 
 
+_COHORT_A = "substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'"
+
+
+@register(
+    "ks_drift_user_cohort",
+    f"""
+    WITH dv AS (
+      SELECT event_type, value AS v,
+             SUM(CASE WHEN {_COHORT_A} THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN {_COHORT_A} THEN 0 ELSE 1 END) AS c2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, v,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc2,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1,
+             SUM(c2) OVER (PARTITION BY event_type) AS n2
+      FROM dv
+    ),
+    g AS (
+      SELECT event_type, v, n1, n2,
+             abs(CAST(cc1 AS DECIMAL(38,0)) * n2
+                 - CAST(cc2 AS DECIMAL(38,0)) * n1) AS gap
+      FROM c
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gap DESC, v ASC) AS rn
+      FROM g
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           v AS at_value,
+           CAST(gap AS VARCHAR) AS d_num,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(CAST(gap AS VARCHAR) AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS ks_d
+    FROM rk WHERE rn = 1
+    """,
+    "Kolmogorov-Smirnov drift between USER COHORTS at event "
+    "granularity — users split by md5(user_id) first hex digit (a "
+    "rerun-stable 50/50 A/B assignment, the repo's deterministic "
+    "sampling convention), one exact sup-gap test per event type from "
+    "ONE scan: the cohort-experiment shape of the grouped drift "
+    "dashboard (ks_drift_by_status is the time-split shape). Same "
+    "rational |c1*n2 - c2*n1| integer contract, max-gap aggregate "
+    "joined back, smallest-value tie-break",
+)
+def q_ks_user_cohort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return evaluation.ks_two_sample(
+        ev,
+        "value",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        group_cols=("event_type",),
+    )
+
+
+@register(
+    "w1_drift_user_cohort",
+    f"""
+    WITH dv AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+             SUM(CASE WHEN {_COHORT_A} THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN {_COHORT_A} THEN 0 ELSE 1 END) AS c2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, v, c1, c2,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cc2,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY v) AS pv,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1,
+             SUM(c2) OVER (PARTITION BY event_type) AS n2
+      FROM dv
+    ),
+    g AS (
+      SELECT event_type, c1, c2,
+             CASE WHEN pv IS NULL THEN CAST(0 AS HUGEINT)
+                  ELSE abs(CAST(cc1 - c1 AS HUGEINT) * n2
+                           - CAST(cc2 - c2 AS HUGEINT) * n1)
+                       * CAST(v - pv AS HUGEINT) END AS w
+      FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+           CAST(SUM(w) AS VARCHAR) AS w1_num,
+           CASE WHEN SUM(c1) > 0 AND SUM(c2) > 0 THEN
+             CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE)
+               / (CAST(SUM(c1) AS DOUBLE) * CAST(SUM(c2) AS DOUBLE)) END AS w1
+    FROM g GROUP BY 1
+    """,
+    "Wasserstein-1 drift between USER COHORTS at event granularity — "
+    "the magnitude-aware companion to ks_drift_user_cohort (same "
+    "md5(user_id) 50/50 assignment, per event type, integer grid "
+    "floor(value)): an A/B experiment whose metric shifts a little "
+    "EVERYWHERE shows up here even when the KS sup-gap stays small. "
+    "Same DECIMAL(38,0)/HUGEINT numerator + VARCHAR transport "
+    "contract, bucketed parallel prefix per group",
+)
+def q_w1_user_cohort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value")).cast("bigint").alias("vgrid"),
+        "user_id",
+    )
+    return evaluation.wasserstein_two_sample(
+        ev,
+        "vgrid",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        group_cols=("event_type",),
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
