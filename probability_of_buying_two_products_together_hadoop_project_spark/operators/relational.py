@@ -1472,3 +1472,48 @@ def join_size_report(
             ),
         )
     )
+
+
+def fd_profile(
+    df: DataFrame,
+    determinant_cols: tuple[str, ...],
+    dependent_col: str,
+) -> DataFrame:
+    """Approximate functional-dependency profile for X -> Y — the
+    data-quality primitive behind schema discovery and dedup key
+    selection: how close does ``determinant_cols -> dependent_col``
+    come to holding, measured by the g3 error (Kivinen & Mannila 1995:
+    the minimum FRACTION of rows to delete for the FD to hold exactly,
+    ``1 - Σ_x max_y count(x,y) / n``).
+
+    Plan: one map-side-combined count over (X, Y), one aggregate over
+    the pair table to per-X (total, best) via ``max(struct(count,
+    ...))``, one global reduce — shuffle bounded by DISTINCT (X, Y)
+    pairs, never raw rows twice. NULL determinant or dependent values
+    are regular values (groupBy semantics — a NULL Y that dominates a
+    key is that key's majority, the window-partition convention).
+    All-integer counts; g3_error is one final division.
+
+    Output (one row): (n_rows, n_determinants, n_clean_determinants,
+    n_violations, g3_error).
+    """
+    if not determinant_cols:
+        raise ValueError("fd_profile needs at least one determinant column")
+    pair_cnt = df.groupBy(*determinant_cols, dependent_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_x = pair_cnt.groupBy(*determinant_cols).agg(
+        F.sum("_c").alias("_nx"), F.max("_c").alias("_best")
+    )
+    return per_x.agg(
+        F.sum("_nx").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_determinants"),
+        F.sum((F.col("_nx") == F.col("_best")).cast("long"))
+        .cast("long")
+        .alias("n_clean_determinants"),
+        F.sum(F.col("_nx") - F.col("_best")).cast("long").alias("n_violations"),
+        (
+            F.sum(F.col("_nx") - F.col("_best")).cast("double")
+            / F.sum("_nx").cast("double")
+        ).alias("g3_error"),
+    )

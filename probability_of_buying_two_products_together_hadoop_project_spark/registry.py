@@ -14204,6 +14204,105 @@ def q_w1_user_cohort(spark, sf_dir):
     )
 
 
+@register(
+    "scan_edge_similarity_items",
+    f"""
+    {_COOC_CTE}, canon AS (
+      SELECT DISTINCT least(item, neighbor) AS lo,
+             greatest(item, neighbor) AS hi
+      FROM pairs WHERE item != neighbor
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM canon UNION ALL SELECT hi FROM canon
+      ) GROUP BY node
+    ),
+    e AS (
+      SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
+             CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
+             CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
+      FROM canon c JOIN deg dl ON c.lo = dl.node
+                   JOIN deg dh ON c.hi = dh.node
+    ),
+    wedge AS (
+      SELECT a.src, a.dst AS x, b.dst AS y
+      FROM e a JOIN e b ON a.src = b.src
+      WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)
+    ),
+    closed AS (
+      SELECT w.src, w.x, w.y FROM wedge w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.x AND e.dst = w.y)
+    ),
+    tri_edges AS (
+      SELECT least(src, x) AS lo, greatest(src, x) AS hi FROM closed
+      UNION ALL
+      SELECT least(src, y), greatest(src, y) FROM closed
+      UNION ALL
+      SELECT least(x, y), greatest(x, y) FROM closed
+    ),
+    sup AS (SELECT lo, hi, COUNT(*) AS s FROM tri_edges GROUP BY lo, hi)
+    SELECT c.lo AS item_a, c.hi AS item_b,
+           CAST(dl.deg AS BIGINT) AS deg_a, CAST(dh.deg AS BIGINT) AS deg_b,
+           CAST(COALESCE(sup.s, 0) + 2 AS BIGINT) AS common_closed,
+           CAST(COALESCE(sup.s, 0) + 2 AS DOUBLE)
+             / sqrt(CAST((dl.deg + 1) * (dh.deg + 1) AS DOUBLE)) AS sigma
+    FROM canon c
+    JOIN deg dl ON c.lo = dl.node
+    JOIN deg dh ON c.hi = dh.node
+    LEFT JOIN sup ON c.lo = sup.lo AND c.hi = sup.hi
+    """,
+    "SCAN structural similarity per co-occurrence edge (Xu et al. KDD "
+    "2007): closed-neighborhood overlap / sqrt(degree product) — the "
+    "embeddedness weight separating community-internal edges from "
+    "bridges, the precursor SCAN clusters on. Support = per-edge "
+    "triangle count from the SAME degree-oriented wedge scheme as "
+    "triangle_count_items (hubs generate no wedges, d^2 dies), each "
+    "triangle exploded onto its 3 canonical edges (constant factor on "
+    "the irreducible wedge cost). All-integer counts; sigma = one "
+    "exact product + one CORRECTLY-ROUNDED sqrt + one division "
+    "(the temperature_mix sqrt rule) — bit-exact cross-engine",
+)
+def q_scan_edge_similarity(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.scan_edge_similarity(basket.basket_pairs(baskets))
+
+
+@register(
+    "fd_profile_cust_priority",
+    """
+    WITH pc AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    px AS (
+      SELECT o_custkey, SUM(c) AS nx, MAX(c) AS best
+      FROM pc GROUP BY 1
+    )
+    SELECT CAST(SUM(nx) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_determinants,
+           CAST(SUM(CASE WHEN nx = best THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean_determinants,
+           CAST(SUM(nx - best) AS BIGINT) AS n_violations,
+           CAST(SUM(nx - best) AS DOUBLE) / CAST(SUM(nx) AS DOUBLE)
+             AS g3_error
+    FROM px
+    """,
+    "Approximate functional-dependency profile custkey -> "
+    "orderpriority: the g3 error (Kivinen & Mannila 1995 — minimum "
+    "row fraction to delete for the FD to hold), the data-quality "
+    "primitive behind schema discovery and dedup-key selection. One "
+    "map-side-combined (X, Y) count, one per-X (total, best) "
+    "aggregate, one global reduce — shuffle bounded by distinct "
+    "pairs; all-integer counts, one final division",
+)
+def q_fd_profile(spark, sf_dir):
+    return relational.fd_profile(
+        _t(spark, sf_dir, "orders"), ("o_custkey",), "o_orderpriority"
+    )
+
+
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
 # (observed rounds 1-2: registry positions 1-50 exactly). Emission order
 # is therefore a contract surface: the rotation tail below lists queries
