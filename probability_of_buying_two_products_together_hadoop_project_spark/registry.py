@@ -14571,6 +14571,42 @@ _ROTATION_TAIL = {
     # semantic_dedup_embeddings (r07 driver rows) as siblings plus its
     # own 3-pass local evidence until r10.
     "diverse_sample_embeddings": "r05-local",
+    # (r09 continuation) EIGHT further additions — label_propagation_items,
+    # isotonic_decreasing_urgency, unimax_source_allocation,
+    # heaps_law_vocab_growth, ks_drift_user_cohort, w1_drift_user_cohort,
+    # scan_edge_similarity_items, fd_profile_cust_priority — each took a
+    # window slot per the rotation rule (every one 3-SF local-oracle
+    # checked this round). Displacements, lowest-risk first:
+    # scalar_map_funcs and json_extract_events hold GREEN r03 driver rows
+    # (they were in the window only as stale-evidence refreshes, and the
+    # rule says never-driver-checked entries outrank refreshes), so they
+    # go back first:
+    "scalar_map_funcs": "r03",
+    "json_extract_events": "r03",
+    # collation_case_insensitive keeps the in-window scalar batteries
+    # (scalar_try/conditional/regexp — the same expression-battery law)
+    # as siblings plus its own 3-pass local evidence until r10.
+    "collation_case_insensitive": "r05-local",
+    # window_percentile_norm keeps window_rank_variants (r03) and
+    # window_range_frame_orders (r07) driver rows as window-family
+    # siblings plus its own 3-pass local evidence until r10.
+    "window_percentile_norm": "r05-local",
+    # audio_resample_decimate keeps audio_resample_fir /
+    # audio_resample_rational / audio_features_verified (r07 driver
+    # rows) as codec-family siblings plus 3-pass local evidence.
+    "audio_resample_decimate": "r05-local",
+    # schema_evolution_union keeps the source-reader driver rows
+    # (csv/json r04, orc/xml r08) as siblings plus 3-pass local
+    # evidence — its union-by-name law is the same reader surface.
+    "schema_evolution_union": "r05-local",
+    # nearest_centroid_confusion keeps embedding_centroids (in-window)
+    # and kmeans_embeddings (r07 driver row) as centroid-family
+    # siblings plus 3-pass local evidence.
+    "nearest_centroid_confusion": "r05-local",
+    # dataset_fingerprints keeps fingerprint_incremental_orders (r07)
+    # and doc_winnow_fingerprint_verified (r08) driver rows as
+    # fingerprint-family siblings plus 3-pass local evidence.
+    "dataset_fingerprints": "r05-local",
     # Never driver-checked; 3-SF local oracle evidence from the r05, r06
     # and r07 full-registry passes. 60 remain after the r09 promotion of
     # the first 15 — they fill the r10 window next.
