@@ -2644,3 +2644,135 @@ def heaps_law_fit(
             "r2"
         ),
     )
+
+
+def wordpiece_greedy_encode(
+    words: DataFrame,
+    vocab: DataFrame,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+    target_col: str = "target",
+    piece_col: str = "piece",
+    max_piece_len: int = 24,
+    max_word_len: int = 48,
+    unk_token: str = "[UNK]",
+) -> DataFrame:
+    """Greedy longest-match-first subword segmentation — the WordPiece
+    INFERENCE rule (Wu et al. 2016; the HuggingFace WordPiece tokenizer
+    contract): at each position take the longest vocabulary piece that
+    matches, a word with any unmatchable position (or longer than
+    ``max_word_len``) becomes ``unk_token`` whole. Against a
+    BPE-learned vocabulary this generally segments DIFFERENTLY than
+    replaying the merge table in learning order (:func:`bpe_encode_words`)
+    — the classic greedy-vs-merge-order distinction tokenizer papers
+    measure.
+
+    Dataflow: the loop state is one row per distinct word (vocabulary-
+    sized — the corpus never enters); each round explodes at most
+    ``max_piece_len`` candidate substrings per LIVE word, equi-joins
+    them against the broadcast piece vocabulary, and advances by the
+    longest hit (``max(len)`` aggregate — the match at a fixed
+    (word, pos, len) is unique, so no tie order is even needed). Every
+    round consumes >= 1 character, so ``min(max_word_len, longest
+    target)`` rounds suffice; the one driver-side action (that longest
+    length, one MAX) bounds the round count — the pagerank node-count
+    structure. State is localCheckpoint-pinned per round.
+
+    Cross-engine: pure substring equality on exact strings and integer
+    positions — no regex, no floats; the oracle is the identical greedy
+    recursion as a recursive CTE with a LATERAL longest-match probe.
+
+    Output: one row per word — (word, cnt, wp_seq, n_pieces, is_unk);
+    ``wp_seq`` space-joins the pieces, UNK words report ``n_pieces=1``.
+    """
+    if max_piece_len < 1 or max_word_len < 1:
+        raise ValueError("max_piece_len and max_word_len must be >= 1")
+    pieces = vocab.select(F.col(piece_col).alias("_sub")).distinct()
+    v = F.broadcast(pieces)
+    state = words.select(
+        F.col(word_col).alias("word"),
+        F.col(cnt_col).alias("cnt"),
+        F.col(target_col).alias("_tg"),
+        F.lit(0).cast("int").alias("_pos"),
+        F.lit("").alias("_seq"),
+        (F.length(F.col(target_col)) > max_word_len).alias("_unk"),
+    ).localCheckpoint(eager=True)
+    # one driver-side probe bounds the round count AND guards the
+    # candidate-length cap (a piece longer than max_piece_len would be
+    # silently unreachable — loud contract instead)
+    probe = (
+        state.agg(F.max(F.length("_tg")).alias("_a"))
+        .crossJoin(pieces.agg(F.max(F.length("_sub")).alias("_b")))
+        .collect()[0]
+    )
+    longest, piece_max = int(probe["_a"] or 0), int(probe["_b"] or 0)
+    if piece_max > max_piece_len:
+        raise ValueError(
+            f"vocab has a {piece_max}-char piece, beyond max_piece_len="
+            f"{max_piece_len} — raise the cap so greedy can reach it"
+        )
+    max_piece_len = max(1, min(max_piece_len, piece_max))
+    rounds = min(max_word_len, longest)
+    for _ in range(rounds):
+        live = F.col("_pos") < F.length("_tg")
+        cands = (
+            state.filter(~F.col("_unk") & live)
+            .select(
+                "word",
+                "_tg",
+                "_pos",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(
+                            F.lit(max_piece_len),
+                            F.length("_tg") - F.col("_pos"),
+                        ),
+                    )
+                ).alias("_l"),
+            )
+            .withColumn("_sub", F.expr("substring(_tg, _pos + 1, _l)"))
+        )
+        best = (
+            cands.join(v, "_sub")
+            .groupBy("word")
+            .agg(F.max("_l").alias("_bl"))
+        )
+        was_live = ~F.col("_unk") & live
+        hit = was_live & F.col("_bl").isNotNull()
+        miss = was_live & F.col("_bl").isNull()
+        piece = F.expr("substring(_tg, _pos + 1, _bl)")
+        state = (
+            state.join(best, "word", "left")
+            .select(
+                "word",
+                "cnt",
+                "_tg",
+                F.when(hit, F.col("_pos") + F.col("_bl"))
+                .otherwise(F.col("_pos"))
+                .cast("int")
+                .alias("_pos"),
+                F.when(
+                    hit,
+                    F.when(F.col("_seq") == "", piece).otherwise(
+                        F.concat(F.col("_seq"), F.lit(" "), piece)
+                    ),
+                )
+                .otherwise(F.col("_seq"))
+                .alias("_seq"),
+                (F.col("_unk") | miss).alias("_unk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.when(F.col("_unk"), F.lit(unk_token)).otherwise(F.col("_seq")).alias(
+            "wp_seq"
+        ),
+        F.when(F.col("_unk"), F.lit(1))
+        .otherwise(F.size(F.split("_seq", " ")))
+        .cast("long")
+        .alias("n_pieces"),
+        F.col("_unk").cast("long").alias("is_unk"),
+    )

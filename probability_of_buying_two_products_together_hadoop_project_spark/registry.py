@@ -6852,7 +6852,9 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
-def _bpe_oracle(n_merges: int, final_vocab: bool = False) -> str:
+def _bpe_oracle(
+    n_merges: int, final_vocab: bool = False, tail: str | None = None
+) -> str:
     """Unrolled BPE merge learning as chained MATERIALIZED CTEs — the
     oracle runs the IDENTICAL rounds the engine's dataflow loop runs
     (operators/text.py:_bpe_rounds): weighted adjacent-pair counts over
@@ -6885,7 +6887,10 @@ def _bpe_oracle(n_merges: int, final_vocab: bool = False) -> str:
       FROM {prev} s CROSS JOIN b{r} b
     )""")
         prev = f"s{r}"
-    if final_vocab:
+    kw = "WITH" if tail is None else "WITH RECURSIVE"
+    if tail is not None:
+        tail = tail.replace("{prev}", prev)
+    elif final_vocab:
         tail = f"""
     SELECT word, CAST(cnt AS BIGINT) AS cnt, seq,
            CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_symbols
@@ -6898,7 +6903,7 @@ def _bpe_oracle(n_merges: int, final_vocab: bool = False) -> str:
             for r in range(1, n_merges + 1)
         )
     return f"""
-    WITH w AS MATERIALIZED (
+    {kw} w AS MATERIALIZED (
       SELECT word, COUNT(*) AS cnt FROM (
         SELECT unnest(list_filter(string_split(
           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
@@ -14301,6 +14306,67 @@ def q_fd_profile(spark, sf_dir):
     return relational.fd_profile(
         _t(spark, sf_dir, "orders"), ("o_custkey",), "o_orderpriority"
     )
+
+
+_WORDPIECE_TAIL = """, vocab AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM {prev}
+    ), tgt AS MATERIALIZED (
+      SELECT word, cnt, word || '</w>' AS target FROM w
+    ), enc AS (
+      SELECT word, cnt, target, 0 AS pos, '' AS seq,
+             length(target) > 48 AS unk
+      FROM tgt
+      UNION ALL
+      SELECT e.word, e.cnt, e.target,
+             CASE WHEN m.piece IS NULL THEN length(e.target)
+                  ELSE e.pos + length(m.piece) END,
+             CASE WHEN m.piece IS NULL THEN e.seq
+                  WHEN e.seq = '' THEN m.piece
+                  ELSE e.seq || ' ' || m.piece END,
+             e.unk OR m.piece IS NULL
+      FROM enc e
+      LEFT JOIN LATERAL (
+        SELECT v.piece FROM vocab v
+        WHERE v.piece = substr(e.target, e.pos + 1, length(v.piece))
+        ORDER BY length(v.piece) DESC LIMIT 1
+      ) m ON TRUE
+      WHERE NOT e.unk AND e.pos < length(e.target)
+    )
+    SELECT word, CAST(cnt AS BIGINT) AS cnt,
+           CASE WHEN unk THEN '[UNK]' ELSE seq END AS wp_seq,
+           CAST(CASE WHEN unk THEN 1
+                ELSE len(string_split(seq, ' ')) END AS BIGINT) AS n_pieces,
+           CAST(CASE WHEN unk THEN 1 ELSE 0 END AS BIGINT) AS is_unk
+    FROM enc WHERE unk OR pos >= length(target)"""
+
+
+@register(
+    "wordpiece_encode_bpe_vocab",
+    _bpe_oracle(12, tail=_WORDPIECE_TAIL),
+    "Greedy longest-match-first segmentation (the WordPiece INFERENCE "
+    "rule, Wu et al. 2016 / the HuggingFace WordPiece contract) of "
+    "every corpus word against the 12-merge BPE-learned symbol "
+    "vocabulary — generally a DIFFERENT segmentation than replaying "
+    "the merge table in learning order (bpe_encode_vocab), the classic "
+    "greedy-vs-merge-order comparison tokenizer papers measure. Loop "
+    "state is one row per DISTINCT word (the corpus appears only in "
+    "the word count); each round explodes <= max-piece-length "
+    "candidate substrings per live word and equi-joins the broadcast "
+    "vocabulary (the (word,pos,len) match is UNIQUE — no tie order "
+    "needed); one driver-side probe bounds rounds and guards the "
+    "candidate cap. Oracle: the identical greedy recursion as a "
+    "recursive CTE with a LATERAL longest-match probe over the SAME "
+    "unrolled BPE vocabulary. Pure substring equality and integers — "
+    "no regex, no floats",
+)
+def q_wordpiece_encode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    _, seqs = text._bpe_rounds(docs, 12, "text")
+    vocab = seqs.select(F.explode(F.split("seq", " ")).alias("piece"))
+    words = seqs.select(
+        "word", "cnt", F.concat(F.col("word"), F.lit("</w>")).alias("target")
+    )
+    return text.wordpiece_greedy_encode(words, vocab)
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
