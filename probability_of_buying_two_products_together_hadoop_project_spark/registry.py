@@ -14673,6 +14673,12 @@ _ROTATION_TAIL = {
     # and doc_winnow_fingerprint_verified (r08) driver rows as
     # fingerprint-family siblings plus 3-pass local evidence.
     "dataset_fingerprints": "r05-local",
+    # wordpiece_encode_bpe_vocab (ninth r09-continuation addition) took
+    # a slot; countmin_word_freq keeps hll_sketch_partitioned_merge /
+    # agg_approx_count_distinct (r04) driver rows as sketch-family
+    # siblings and token_counts (r04) for the word-count leg, plus its
+    # own 3-pass local evidence until r10.
+    "countmin_word_freq": "r05-local",
     # Never driver-checked; 3-SF local oracle evidence from the r05, r06
     # and r07 full-registry passes. 60 remain after the r09 promotion of
     # the first 15 — they fill the r10 window next.
