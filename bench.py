@@ -199,6 +199,16 @@ HEADLINE = [
     "attribution_markov_removal",
     "brier_decomposition_doclen",
     "source_gram_containment",
+    # r09-continuation additions
+    "label_propagation_items",
+    "isotonic_decreasing_urgency",
+    "unimax_source_allocation",
+    "heaps_law_vocab_growth",
+    "ks_drift_user_cohort",
+    "w1_drift_user_cohort",
+    "scan_edge_similarity_items",
+    "fd_profile_cust_priority",
+    "wordpiece_encode_bpe_vocab",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -2448,9 +2448,13 @@ def unimax_allocation(
         raise ValueError(f"epoch_cap must be >= 1, got {epoch_cap}")
     if tokens_col is None:
         tokens_col = token_count(F.col("text"))
+    # pin the source-cardinality count table: the plan branches four
+    # ways (positions, totals, waterline, output) and would otherwise
+    # re-run the corpus scan per branch — at 100 TB the scan is the
+    # whole cost, so it must happen exactly once
     counts = df.groupBy(source_col).agg(
         F.sum(tokens_col).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=True)
     caps = counts.select(
         source_col,
         "n_tokens",
@@ -2564,7 +2568,17 @@ def heaps_law_fit(
         F.col("_t").alias("token"),
         (F.col("_off") + F.col("_p") + 1).alias("_pos"),
     )
-    first = tok.groupBy("token").agg(F.min("_pos").alias("_fp"))
+    # pin the vocab-sized first-occurrence table: three downstream
+    # branches (buckets, type count, curve) would each re-run the
+    # corpus explode otherwise; totals aggregate PRE-prefix-sum (d,
+    # not c) so the second corpus scan is a narrow count, not the
+    # windowed pipeline — two corpus passes total, everything after
+    # runs off pinned tiny tables
+    first = (
+        tok.groupBy("token")
+        .agg(F.min("_pos").alias("_fp"))
+        .localCheckpoint(eager=True)
+    )
     # ceiling power-of-two bucket via integer bit length — p in
     # (2^(k-1), 2^k] has length(bin(p-1)) == k; p <= 2^min_k clamps
     bucket = F.when(
@@ -2573,8 +2587,10 @@ def heaps_law_fit(
     bc = first.groupBy(bucket.cast("int").alias("_kb")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    totals = c.agg(F.sum("n_tokens").cast("long").alias("_n")).crossJoin(
-        first.agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    totals = (
+        d.agg(F.sum("n_tokens").cast("long").alias("_n"))
+        .crossJoin(first.agg(F.count(F.lit(1)).cast("long").alias("_v")))
+        .localCheckpoint(eager=True)  # 1 row; referenced by 2 branches
     )
     cps = totals.select(
         "_n",
@@ -2603,7 +2619,7 @@ def heaps_law_fit(
             F.col("_n").alias("checkpoint"),
             F.col("_v").alias("v_types"),
         )
-    )
+    ).localCheckpoint(eager=True)  # <= ~60 rows; OLS + output both read it
     d6, d12 = "decimal(18,6)", "decimal(38,12)"
     pts = curve.select(
         "_n",
