@@ -1956,3 +1956,98 @@ def kendall_tau_sampled(
         "ties_xy",
         tau.alias("tau_b"),
     )
+
+
+def cuped_adjusted_means(
+    df: DataFrame,
+    split_pred: Column,
+    cohort_col: Column,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    scale: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): per-user pre-period activity is the covariate, the
+    post-period metric is adjusted by ``y' = y - theta * (x - mean(x))``
+    with ``theta = cov(x, y) / var(x)`` fitted POOLED across cohorts —
+    the standard trick that removes the between-user variance a raw
+    mean comparison wastes power on. ``split_pred`` marks PRE-period
+    rows; users missing a period contribute 0 for it (documented
+    imputation — the zero-activity reading, not mean-imputation).
+    ``cohort_col`` must be an expression over the USER key only (the
+    assignment unit — it is evaluated after the per-user reduction,
+    where only ``user_col`` survives; a row-level cohort would not be
+    a valid randomization unit anyway).
+
+    Exactness (the agg_corr rule): per-user pre/post sums are exact
+    ``decimal(18, scale)``; the five pooled moments accumulate as exact
+    decimal(38,12) sums of (19,scale) x (19,scale) products; theta,
+    the cohort means, and the adjusted means are fixed double
+    expressions over those pinned sums — order-independent in any
+    engine. rho2 (the fraction of metric variance the covariate
+    explains = the variance reduction CUPED delivers) rides along.
+
+    Plan: one corpus scan to the per-user (x, y) table (map-side
+    combined), one pooled 1-row moment aggregate (broadcast back), one
+    per-cohort aggregate — nothing corpus-sized shuffles twice.
+
+    Output: one row per cohort — (cohort, n_users, mean_y, mean_y_adj,
+    theta, rho2); theta/rho2 constant across rows, NULL degenerate.
+    """
+    d = f"decimal(18,{scale})"
+    d19 = f"decimal(19,{scale})"
+    d38 = "decimal(38,12)"
+    vdec = F.col(value_col).cast(d)
+    zero = F.lit(0).cast(d)
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.coalesce(F.sum(F.when(split_pred, vdec)), zero)
+            .cast(d)
+            .alias("_x"),
+            F.coalesce(F.sum(F.when(~split_pred, vdec)), zero)
+            .cast(d)
+            .alias("_y"),
+        )
+        # cohort is a pure function of the group key, applied post-agg
+        .withColumn("_cohort", cohort_col)
+        .localCheckpoint(eager=True)  # three aggregates read it
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_x").cast(d38)).cast(d38).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).cast(d38).alias("_sy"),
+        F.sum((F.col("_x").cast(d19) * F.col("_y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("_sxy"),
+        F.sum((F.col("_x").cast(d19) * F.col("_x").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("_sxx"),
+        F.sum((F.col("_y").cast(d19) * F.col("_y").cast(d19)).cast(d38))
+        .cast(d38)
+        .alias("_syy"),
+    )
+    by_cohort = per_user.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("_x").cast(d38)).cast(d38).alias("_sxc"),
+        F.sum(F.col("_y").cast(d38)).cast(d38).alias("_syc"),
+    )
+    nf = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov_n = nf * sxy - sx * sy
+    varx_n = nf * sxx - sx * sx
+    vary_n = nf * syy - sy * sy
+    theta = F.when(varx_n > 0, cov_n / varx_n)
+    mean_y_c = F.col("_syc").cast("double") / F.col("n_users").cast("double")
+    mean_x_c = F.col("_sxc").cast("double") / F.col("n_users").cast("double")
+    return by_cohort.crossJoin(F.broadcast(pooled)).select(
+        F.col("_cohort").alias("cohort"),
+        "n_users",
+        mean_y_c.alias("mean_y"),
+        (mean_y_c - theta * (mean_x_c - sx / nf)).alias("mean_y_adj"),
+        theta.alias("theta"),
+        F.when((varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n))
+        .alias("rho2"),
+    )

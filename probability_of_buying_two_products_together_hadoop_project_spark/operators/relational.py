@@ -1517,3 +1517,59 @@ def fd_profile(
             / F.sum("_nx").cast("double")
         ).alias("g3_error"),
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998) — the sharding rule whose defining property is
+    MINIMAL MOVEMENT: adding a shard reassigns only the keys the new
+    shard now wins (~1/(n+1) of them), every other key stays put —
+    unlike modulo hashing, which reshuffles almost everything. The
+    right assignment for incrementally-maintained shard outputs
+    (the dedup-index / token-shard family).
+
+    Each key scores every shard with md5(salt|shard|key) and takes the
+    argmax (ties broken by smaller shard id; md5 makes the draw
+    rerun-stable and engine-portable — the repo's deterministic-
+    sampling convention). ``n_shards`` is a small constant, so the
+    score loop is ONE map-only expression per row — an aggregate over
+    a literal shard array, zero exchanges at any corpus size.
+
+    Output: input key column plus (shard, score_hex) — score_hex is
+    the winning 8-hex-digit score, kept so the minimal-movement
+    property is auditable (a key moves iff a NEW shard beats this
+    recorded score).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col).cast("string")
+
+    def score(i: int):
+        return F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.lit(str(i)), key)), 1, 8
+        )
+
+    # argmax by (score desc, shard asc): min over (~score, shard) structs
+    # would need a bitwise not on strings — instead max over
+    # (score, -shard) is wrong for ties, so compare explicitly via
+    # array_max over (score, neg_shard) ... simplest exact form:
+    # reduce over a literal array of (score, shard) structs.
+    pairs = F.array(
+        *[
+            F.struct(
+                score(i).alias("s"), F.lit(n_shards - 1 - i).alias("_negi")
+            )
+            for i in range(n_shards)
+        ]
+    )
+    best = F.array_max(pairs)
+    return df.select(
+        key_col,
+        (F.lit(n_shards - 1) - best["_negi"]).cast("int").alias("shard"),
+        best["s"].alias("score_hex"),
+    )
