@@ -14209,9 +14209,12 @@ def q_w1_user_cohort(spark, sf_dir):
     )
 
 
-@register(
-    "scan_edge_similarity_items",
-    f"""
+# Shared CTE chain for the SCAN family: canonical edges -> degree
+# orientation -> wedges -> per-edge triangle support -> the sigma table
+# (one row per canonical edge). MATERIALIZED on sim: the SCAN-cluster
+# oracle references it from five downstream CTEs (the k-core
+# exponential-inline lesson).
+_SCAN_SIM_CTES = f"""
     {_COOC_CTE}, canon AS (
       SELECT DISTINCT least(item, neighbor) AS lo,
              greatest(item, neighbor) AS hi
@@ -14245,16 +14248,24 @@ def q_w1_user_cohort(spark, sf_dir):
       UNION ALL
       SELECT least(x, y), greatest(x, y) FROM closed
     ),
-    sup AS (SELECT lo, hi, COUNT(*) AS s FROM tri_edges GROUP BY lo, hi)
-    SELECT c.lo AS item_a, c.hi AS item_b,
-           CAST(dl.deg AS BIGINT) AS deg_a, CAST(dh.deg AS BIGINT) AS deg_b,
-           CAST(COALESCE(sup.s, 0) + 2 AS BIGINT) AS common_closed,
-           CAST(COALESCE(sup.s, 0) + 2 AS DOUBLE)
-             / sqrt(CAST((dl.deg + 1) * (dh.deg + 1) AS DOUBLE)) AS sigma
-    FROM canon c
-    JOIN deg dl ON c.lo = dl.node
-    JOIN deg dh ON c.hi = dh.node
-    LEFT JOIN sup ON c.lo = sup.lo AND c.hi = sup.hi
+    sup AS (SELECT lo, hi, COUNT(*) AS s FROM tri_edges GROUP BY lo, hi),
+    sim AS MATERIALIZED (
+      SELECT c.lo AS item_a, c.hi AS item_b,
+             CAST(dl.deg AS BIGINT) AS deg_a, CAST(dh.deg AS BIGINT) AS deg_b,
+             CAST(COALESCE(sup.s, 0) + 2 AS BIGINT) AS common_closed,
+             CAST(COALESCE(sup.s, 0) + 2 AS DOUBLE)
+               / sqrt(CAST((dl.deg + 1) * (dh.deg + 1) AS DOUBLE)) AS sigma
+      FROM canon c
+      JOIN deg dl ON c.lo = dl.node
+      JOIN deg dh ON c.hi = dh.node
+      LEFT JOIN sup ON c.lo = sup.lo AND c.hi = sup.hi
+    )"""
+
+
+@register(
+    "scan_edge_similarity_items",
+    _SCAN_SIM_CTES + """
+    SELECT item_a, item_b, deg_a, deg_b, common_closed, sigma FROM sim
     """,
     "SCAN structural similarity per co-occurrence edge (Xu et al. KDD "
     "2007): closed-neighborhood overlap / sqrt(degree product) — the "
@@ -14475,6 +14486,101 @@ def q_cuped_cohort(spark, sf_dir):
             F.lit("A"),
         ).otherwise(F.lit("B")),
     )
+
+
+def _scan_cluster_oracle(rounds: int = 8, mu: int = 3) -> str:
+    """Unrolled SCAN clustering over the shared sigma CTE chain: the
+    exact P75-sigma threshold (picked order statistic, the
+    grouped_discrete_quantile rank rule), the mu-core rule, EXACTLY
+    ``rounds`` synchronous min-label rounds over core-core eps-edges
+    (chained MATERIALIZED CTEs — the pagerank/LPA unroll), then border
+    attach and hub/outlier classification."""
+    steps = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT ce.node, MIN(l.label) AS nm
+      FROM ce JOIN {prev} l ON ce.nbr = l.node GROUP BY ce.node
+    ), l{k} AS MATERIALIZED (
+      SELECT l.node, least(l.label, COALESCE(m.nm, l.label)) AS label
+      FROM {prev} l LEFT JOIN m{k} m ON l.node = m.node
+    )""")
+        prev = f"l{k}"
+    return (
+        _SCAN_SIM_CTES
+        + f""",
+    epsv AS (
+      SELECT sigma AS eps FROM (
+        SELECT sigma, row_number() OVER (ORDER BY sigma) AS rn,
+               COUNT(*) OVER () AS m
+        FROM sim
+      ) WHERE rn = (3 * m + 3) // 4
+    ),
+    bidir AS MATERIALIZED (
+      SELECT item_a AS node, item_b AS nbr, sigma FROM sim
+      UNION ALL
+      SELECT item_b AS node, item_a AS nbr, sigma FROM sim
+    ),
+    eeps AS MATERIALIZED (
+      SELECT node, nbr FROM bidir, epsv WHERE sigma >= eps
+    ),
+    cores AS MATERIALIZED (
+      SELECT node FROM eeps GROUP BY node HAVING COUNT(*) >= {mu}
+    ),
+    ce AS MATERIALIZED (
+      SELECT e.node, e.nbr FROM eeps e
+      JOIN cores c1 ON e.node = c1.node
+      JOIN cores c2 ON e.nbr = c2.node
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM cores),{",".join(steps)},
+    cc AS MATERIALIZED (SELECT node, label AS cluster_id FROM {prev}),
+    brd AS (
+      SELECT e.node, MIN(cc.cluster_id) AS cluster_id
+      FROM eeps e JOIN cc ON e.nbr = cc.node
+      WHERE e.node NOT IN (SELECT node FROM cores)
+      GROUP BY e.node
+    ),
+    rawc AS (
+      SELECT b.node, COUNT(DISTINCT cc.cluster_id) AS nc
+      FROM bidir b JOIN cc ON b.nbr = cc.node GROUP BY b.node
+    ),
+    an AS (SELECT DISTINCT node FROM bidir)
+    SELECT an.node,
+           COALESCE(cc.cluster_id, brd.cluster_id) AS cluster_id,
+           CASE WHEN cc.cluster_id IS NOT NULL THEN 'core'
+                WHEN brd.cluster_id IS NOT NULL THEN 'border'
+                WHEN COALESCE(rawc.nc, 0) >= 2 THEN 'hub'
+                ELSE 'outlier' END AS role
+    FROM an
+    LEFT JOIN cc ON an.node = cc.node
+    LEFT JOIN brd ON an.node = brd.node
+    LEFT JOIN rawc ON an.node = rawc.node
+    """
+    )
+
+
+@register(
+    "scan_clusters_items",
+    _scan_cluster_oracle(rounds=8, mu=3),
+    "Full SCAN structural clustering (Xu et al. KDD 2007) of the "
+    "co-occurrence graph: cores (>= 3 eps-similar neighbors, eps = the "
+    "EXACT P75 sigma order statistic — a fixed absolute threshold is "
+    "meaningless across densities, measured P75 moves 0.55 -> 0.14 "
+    "between SFs), core clusters by EXACTLY 8 synchronous min-label "
+    "rounds over core-core eps-edges (the fixed-round unroll rule — "
+    "run-to-convergence twin is dedup.near_dup_clusters), borders "
+    "join their minimum adjacent core cluster, remaining nodes split "
+    "hub (raw neighbors span >= 2 clusters) vs outlier. Sigma build "
+    "is the oriented-wedge cost; the eps pick is the bucketed "
+    "order-statistics backbone; each label round one join + min "
+    "aggregate, state localCheckpoint-pinned",
+)
+def q_scan_clusters(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.scan_clusters(basket.basket_pairs(baskets))
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
@@ -14797,6 +14903,12 @@ _ROTATION_TAIL = {
     # dp_noisy_counts_priority (r07 driver rows) and redact_pii_customers
     # (in-window) as privacy-family siblings plus 3-pass local evidence.
     "privacy_suppress_orders": "r05-local",
+    # scan_clusters_items (twelfth addition) took a slot;
+    # vocab_build_min5 keeps zipf_fit_words (in-window, whose driver row
+    # exercises build_vocab directly) and token_counts/corpus_bigrams
+    # (r03/r04 driver rows) as vocabulary-family siblings plus 3-pass
+    # local evidence until r10.
+    "vocab_build_min5": "r05-local",
     # Never driver-checked; 3-SF local oracle evidence from the r05, r06
     # and r07 full-registry passes. 60 remain after the r09 promotion of
     # the first 15 — they fill the r10 window next.
