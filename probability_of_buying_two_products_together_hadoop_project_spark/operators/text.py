@@ -2792,3 +2792,79 @@ def wordpiece_greedy_encode(
         .alias("n_pieces"),
         F.col("_unk").cast("long").alias("is_unk"),
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney 1995;
+    Chen & Goodman 1999's standard formulation) with the fixed discount
+    d = 3/4 — the LM-quality counterpart to :func:`bigram_lm_score`'s
+    add-one model: KN backs off to CONTINUATION counts (in how many
+    contexts does w appear), the correction that makes "Francisco"
+    rare outside "San Francisco" despite its high raw count.
+
+    With a RATIONAL discount every observed bigram's probability is ONE
+    exact integer ratio — no smoothing float, no quantization:
+
+        p_kn(w|v) = (c(vw) - 3/4)/c(v)
+                    + (3/4) * N1+(v.)/c(v) * N1+(.w)/N
+        num = 4*c(vw)*N - 3*N + 3*N1+(v.)*N1+(.w)
+        den = 4*c(v)*N                      (N = distinct bigram types)
+
+    both DECIMAL(38,0) integers; p_kn is one correctly-rounded double
+    division of their (VARCHAR-transported, the agg_corr rule) double
+    images — bit-exact cross-engine.
+
+    Plan: one corpus-sized bigram explode to the distinct-bigram count
+    table (map-side combined — everything downstream is vocabulary²-
+    bounded); context totals and continuation counts are two aggregates
+    OVER THAT TABLE; N broadcasts as a 1-row scalar.
+
+    Output: one row per observed bigram — (prev, cur, c_vw, c_v,
+    n1p_from, n1p_to, p_kn). Mass on unseen continuations is implicit:
+    sum of p_kn over observed w given v is < 1 by the backoff share.
+    """
+    tk = normalized_tokens(text_col)
+    bc = (
+        docs.select(tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(F.explode(ngram_array(F.col("_tk"), 2)).alias("_bg"))
+        .select(
+            F.split("_bg", " ")[0].alias("prev"),
+            F.split("_bg", " ")[1].alias("cur"),
+        )
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+        .localCheckpoint(eager=True)  # four aggregates read it
+    )
+    ctx = bc.groupBy("prev").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count(F.lit(1)).cast("long").alias("n1p_from"),
+    )
+    tow = bc.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("n1p_to"))
+    nall = bc.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    d38 = "decimal(38,0)"
+    num = (
+        F.lit(4).cast(d38) * F.col("c_vw").cast(d38) * F.col("_nn").cast(d38)
+        - F.lit(3).cast(d38) * F.col("_nn").cast(d38)
+        + F.lit(3).cast(d38)
+        * F.col("n1p_from").cast(d38)
+        * F.col("n1p_to").cast(d38)
+    )
+    den = F.lit(4).cast(d38) * F.col("c_v").cast(d38) * F.col("_nn").cast(d38)
+    return (
+        bc.join(ctx, "prev")
+        .join(tow, "cur")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "prev",
+            "cur",
+            F.col("c_vw").cast("long").alias("c_vw"),
+            "c_v",
+            "n1p_from",
+            "n1p_to",
+            (num.cast("double") / den.cast("double")).alias("p_kn"),
+        )
+    )
