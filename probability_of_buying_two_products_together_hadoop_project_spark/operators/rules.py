@@ -85,3 +85,97 @@ def fp_growth_rules(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(sets)
     return model.freqItemsets, model.associationRules
+
+
+def rule_interest_measures(
+    baskets: DataFrame, min_support_count: int = 2
+) -> DataFrame:
+    """The classic interest-measure battery for 1 -> 1 association
+    rules (Tan, Kumar & Srivastava, KDD 2002's survey set): beyond
+    support/confidence — lift (independence ratio), leverage (additive
+    independence gap), conviction (Brin et al. 1997's directed
+    implication strength; NULL for exact rules, whose conviction is
+    infinite), Jaccard (co-occurrence robustly normalized), and cosine
+    (the null-invariant middle ground). One row per DIRECTED rule
+    a -> b over pairs with ``pair_cnt >= min_support_count``.
+
+    Determinism: the four counts (n, c_a, c_b, c_ab) are exact longs;
+    every measure is a FIXED float expression over their exact double
+    images, stated identically in the oracle (products of exact doubles
+    and IEEE sqrt are correctly rounded — the temperature_mix rule), so
+    all values are bit-exact cross-engine.
+
+    Plan: the pair_support_confidence shape — per-basket array pair
+    explode, one groupBy (map-side combined), item counts and the
+    1-row basket total broadcast back; both rule directions come from
+    one canonical pair table (array explode, no second aggregation).
+    """
+    sets = basket_item_sets(baskets)
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("_n"))
+    item_cnt = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_ic"))
+    )
+    pairs_expr = F.expr(
+        """
+        flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, size(items)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    pair_cnt = (
+        sets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .filter(F.col("_pc") >= min_support_count)
+    )
+    directed = pair_cnt.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("antecedent"),
+                    F.col("b").alias("consequent"),
+                    F.col("_pc"),
+                ),
+                F.struct(
+                    F.col("b").alias("antecedent"),
+                    F.col("a").alias("consequent"),
+                    F.col("_pc"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.antecedent", "_r.consequent", "_r._pc")
+    ia = item_cnt.select(
+        F.col("item").alias("antecedent"), F.col("_ic").alias("_ca")
+    )
+    ib = item_cnt.select(
+        F.col("item").alias("consequent"), F.col("_ic").alias("_cb")
+    )
+    nf = F.col("_n").cast("double")
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    cab = F.col("_pc").cast("double")
+    conf = cab / ca
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ib), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("_pc").cast("long").alias("pair_cnt"),
+            F.col("_ca").cast("long").alias("antecedent_cnt"),
+            F.col("_cb").cast("long").alias("consequent_cnt"),
+            F.col("_n").cast("long").alias("n_baskets"),
+            (cab / nf).alias("support"),
+            conf.alias("confidence"),
+            ((cab * nf) / (ca * cb)).alias("lift"),
+            (cab / nf - (ca / nf) * (cb / nf)).alias("leverage"),
+            F.when(
+                F.col("_pc") != F.col("_ca"),
+                (F.lit(1.0) - cb / nf) / (F.lit(1.0) - conf),
+            ).alias("conviction"),
+            (cab / (ca + cb - cab)).alias("jaccard"),
+            (cab / F.sqrt(ca * cb)).alias("cosine"),
+        )
+    )
