@@ -209,6 +209,13 @@ HEADLINE = [
     "scan_edge_similarity_items",
     "fd_profile_cust_priority",
     "wordpiece_encode_bpe_vocab",
+    "rendezvous_shards_docs",
+    "cuped_cohort_events",
+    "scan_clusters_items",
+    "did_cohort_events",
+    "ppr_seeded_cooccurrence",
+    "kneser_ney_bigram_lm",
+    "rule_interest_measures",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —
