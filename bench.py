@@ -216,6 +216,7 @@ HEADLINE = [
     "ppr_seeded_cooccurrence",
     "kneser_ney_bigram_lm",
     "rule_interest_measures",
+    "negative_sampling_unigram",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -2868,3 +2868,51 @@ def kneser_ney_bigram(
             (num.cast("double") / den.cast("double")).alias("p_kn"),
         )
     )
+
+
+def negative_sampling_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al. 2013
+    §2.2): unigram counts raised to the 3/4 power, the flattening that
+    makes frequent words negative examples less often than their raw
+    share — the sampling table every SGNS-style trainer precomputes.
+
+    Exactness (the temperature_mix sqrt rule): ``n^(3/4) = sqrt(n) *
+    sqrt(sqrt(n))`` — two CORRECTLY-ROUNDED IEEE sqrts and one
+    correctly-rounded product, so the weight is a deterministic double
+    in any engine, with no pow/exp/ln transcendental; weights quantize
+    ONCE to 6dp decimals so the normalizing sum is exact and
+    order-independent.
+
+    Plan: one map-side-combined token count (the only corpus-sized
+    pass), one 1-row exact-decimal total broadcast back onto the
+    vocabulary-sized weight table.
+
+    Output: (token, n, weight, share) — share sums to 1 over the kept
+    vocabulary (up to one correctly-rounded division per row).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tk = normalized_tokens(text_col)
+    counts = (
+        docs.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    nf = F.col("n").cast("double")
+    w6 = F.round(F.sqrt(nf) * F.sqrt(F.sqrt(nf)), 6).cast("decimal(18,6)")
+    weights = counts.select("token", F.col("n").cast("long").alias("n"), w6.alias("_w"))
+    tot = weights.agg(F.sum("_w").cast("decimal(38,6)").alias("_tw"))
+    return weights.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        F.col("_w").cast("double").alias("weight"),
+        (
+            F.col("_w").cast("double")
+            / F.col("_tw").cast("string").cast("double")
+        ).alias("share"),
+    )

@@ -73,3 +73,17 @@ def test_kn_continuation_beats_raw_count(spark):
     # continuation count of y (4 contexts) far exceeds x's (1)
     assert rows[("a", "y")].n1p_to == 4
     assert rows[("q", "x")].n1p_to == 1
+
+
+def test_negative_sampling_three_quarter_power(spark):
+    import math
+
+    docs = [(1, "a a a a a a a a a a a a a a a a b"), (2, "b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.token: r for r in text.negative_sampling_table(df).collect()}
+    assert rows["a"].n == 16 and rows["b"].n == 2 and rows["c"].n == 1
+    # 16^(3/4) = 8 exactly; flattening: a has 16x c's count but only 8x weight
+    assert abs(rows["a"].weight - 8.0) < 1e-9
+    assert abs(rows["c"].weight - 1.0) < 1e-9
+    assert abs(rows["b"].weight - round(math.sqrt(2) * math.sqrt(math.sqrt(2)), 6)) < 1e-9
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-9
