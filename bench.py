@@ -217,6 +217,7 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "rule_interest_measures",
     "negative_sampling_unigram",
+    "shapley_attribution_events",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

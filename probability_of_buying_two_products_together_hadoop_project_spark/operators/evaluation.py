@@ -2051,3 +2051,127 @@ def cuped_adjusted_means(
         F.when((varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n))
         .alias("rho2"),
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    channels: tuple[str, ...],
+    conversion_value: str,
+    channel_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953, the
+    data-driven formulation of Zhao, Mahboobi & Moosavi 2018): each
+    channel's credit is the factorial-weighted average of its marginal
+    conversion-rate contribution over every channel SUBSET —
+    ``phi_i = sum_{S not containing i} |S|!(C-|S|-1)!/C! *
+    (v(S u i) - v(S))`` with ``v(S)`` the conversion rate of users
+    whose touched-channel set is EXACTLY S (unobserved subsets
+    contribute v = 0 — the standard data-driven convention, stated
+    loudly rather than imputed). The order-free counterpart to
+    graph.markov_removal_attribution's path model.
+
+    Exactness: the factorial weights are exact integer rationals
+    (denominator C!); each v is ONE correctly-rounded division of
+    exact counts; each Shapley term quantizes to a 6dp decimal before
+    the EXACT decimal sum (the zipf rule — a float sum over subset
+    terms would be order-dependent), so phi is bit-identical in any
+    engine. ``C`` must stay small (<= 8): the subset lattice is 2^C.
+
+    Plan: ONE corpus scan to the per-user (mask, converted) table
+    (map-side combined), then a <= 2^C-row mask aggregate; the subset
+    lattice, the v table, and the per-channel marginal pairs are all
+    <= 2^C-row broadcast-side constructs. Output: one row per channel
+    — (channel, phi, touched_users, touched_conversions).
+    """
+    import math
+
+    c = len(channels)
+    if not 1 <= c <= 8:
+        raise ValueError(f"need 1..8 channels, got {c}")
+    if conversion_value in channels:
+        raise ValueError("conversion_value must not be a channel")
+    spark = df.sparkSession
+    ch = F.col(channel_col)
+    mask_expr = sum(
+        (
+            F.max(F.when(ch == name, F.lit(1)).otherwise(F.lit(0))) * (1 << i)
+            for i, name in enumerate(channels)
+        ),
+        F.lit(0),
+    )
+    per_user = df.groupBy(user_col).agg(
+        mask_expr.cast("int").alias("_mask"),
+        F.max((ch == conversion_value).cast("int")).alias("_conv"),
+    )
+    by_mask = (
+        per_user.groupBy("_mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_conv").cast("long").alias("_c"),
+        )
+        .localCheckpoint(eager=True)  # <= 2^C rows; every stage reads it
+    )
+    lattice = spark.range(1 << c).select(F.col("id").cast("int").alias("_s"))
+    v = F.broadcast(
+        lattice.join(by_mask, F.col("_s") == F.col("_mask"), "left").select(
+            "_s",
+            F.coalesce(
+                F.col("_c").cast("double") / F.col("_n").cast("double"),
+                F.lit(0.0),
+            ).alias("_v"),
+        )
+    )
+    # factorial weights a(|S|) = |S|! (C-|S|-1)!, denominator C!
+    fact = [math.factorial(k) for k in range(c + 1)]
+    a_by_size = {k: fact[k] * fact[c - 1 - k] for k in range(c)}
+    a_expr = F.lit(None).cast("long")
+    for k, a in a_by_size.items():
+        a_expr = F.when(F.expr("bit_count(_s)") == k, F.lit(a)).otherwise(a_expr)
+    chan = spark.createDataFrame(
+        [(name, 1 << i) for i, name in enumerate(channels)],
+        "channel string, _bit int",
+    )
+    pairs = (
+        chan.crossJoin(lattice)
+        .filter(F.expr("(_s & _bit) = 0"))
+        .join(v, "_s")
+        .join(
+            v.select(
+                F.col("_s").alias("_su"), F.col("_v").alias("_vu")
+            ),
+            F.expr("_su = _s + _bit"),
+        )
+        .withColumn("_a", a_expr)
+    )
+    term6 = F.round(
+        F.col("_a").cast("double")
+        * (F.col("_vu") - F.col("_v"))
+        / F.lit(float(fact[c])),
+        6,
+    ).cast("decimal(18,6)")
+    phi = pairs.groupBy("channel").agg(
+        F.sum(term6).cast("decimal(38,6)").alias("_phi")
+    )
+    touched = (
+        chan.crossJoin(by_mask)
+        .filter(F.expr("(_mask & _bit) != 0"))
+        .groupBy("channel")
+        .agg(
+            F.sum("_n").cast("long").alias("touched_users"),
+            F.sum("_c").cast("long").alias("touched_conversions"),
+        )
+    )
+    return (
+        phi.join(touched, "channel", "left")
+        .select(
+            "channel",
+            F.col("_phi").cast("double").alias("phi"),
+            F.coalesce(F.col("touched_users"), F.lit(0).cast("long")).alias(
+                "touched_users"
+            ),
+            F.coalesce(
+                F.col("touched_conversions"), F.lit(0).cast("long")
+            ).alias("touched_conversions"),
+        )
+    )
