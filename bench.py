@@ -218,6 +218,7 @@ HEADLINE = [
     "rule_interest_measures",
     "negative_sampling_unigram",
     "shapley_attribution_events",
+    "qq_deciles_user_cohort",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

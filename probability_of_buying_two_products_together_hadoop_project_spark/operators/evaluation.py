@@ -2175,3 +2175,71 @@ def shapley_attribution(
             ).alias("touched_conversions"),
         )
     )
+
+
+def qq_quantile_table(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column,
+    q_den: int = 10,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Two-sample QQ table — the quantile-quantile comparison behind a
+    QQ plot: for each interior quantile ``q/q_den`` the EXACT picked
+    order statistic of both cohorts side by side, plus the gap. Where
+    KS reports the worst vertical ECDF gap and W1 the area, the QQ
+    table shows WHERE on the distribution the two samples diverge —
+    the diagnostic a drift dashboard links to.
+
+    Exactness: the grouped_discrete_quantile rule — per cohort the
+    element at 1-based rank ``ceil(q*n/q_den)`` of the sorted multiset
+    (integer ceiling ``(q*n + q_den - 1) div q_den``), a PICKED value
+    that exists in the data, never an interpolated float; identical in
+    any engine. NULL values are excluded (no position on the line, the
+    KS rule).
+
+    Plan: one (cohort, value) distinct-multiplicity aggregation, the
+    bucketed parallel prefix (relational.grouped_value_cum — never a
+    single-partition sort), then a <= (distinct values x q_den-1)
+    filter-and-min against the broadcast quantile list.
+
+    Output: one row per interior quantile — (q, rank_a, rank_b,
+    value_a, value_b, qq_gap = value_b - value_a).
+    """
+    from .relational import grouped_value_cum
+
+    if q_den < 2:
+        raise ValueError(f"q_den must be >= 2, got {q_den}")
+    spark = df.sparkSession
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.when(side_col, F.lit("a")).otherwise(F.lit("b")).alias("_side"),
+        F.col(value_col).alias("_v"),
+    )
+    cum = grouped_value_cum(d, ["_side"], "_v", bucket_expr=bucket_expr)
+    qs = F.broadcast(
+        spark.range(1, q_den).select(F.col("id").cast("long").alias("q"))
+    )
+    rank = F.expr(f"(q * n + {q_den} - 1) div {q_den}")
+    picked = (
+        cum.crossJoin(qs)
+        .filter(F.col("cc") >= rank)
+        .groupBy("_side", "q")
+        .agg(F.min("_v").alias("_qv"), F.min(rank).alias("_rank"))
+    )
+    return (
+        picked.groupBy("q")
+        .agg(
+            F.max(F.when(F.col("_side") == "a", F.col("_rank"))).alias("rank_a"),
+            F.max(F.when(F.col("_side") == "b", F.col("_rank"))).alias("rank_b"),
+            F.max(F.when(F.col("_side") == "a", F.col("_qv"))).alias("value_a"),
+            F.max(F.when(F.col("_side") == "b", F.col("_qv"))).alias("value_b"),
+        )
+        .select(
+            "q",
+            "rank_a",
+            "rank_b",
+            "value_a",
+            "value_b",
+            (F.col("value_b") - F.col("value_a")).alias("qq_gap"),
+        )
+    )

@@ -106,3 +106,39 @@ def test_shapley_rejects_bad_channels(spark):
         evaluation.shapley_attribution(df, (), "purchase")
     with pytest.raises(ValueError):
         evaluation.shapley_attribution(df, ("a", "purchase"), "purchase")
+
+
+def test_qq_table_matches_sorted_pick(spark):
+    from pyspark.sql import functions as F
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(True, round(rng.uniform(0, 100), 2)) for _ in range(137)]
+    rows += [(False, round(rng.uniform(10, 120), 2)) for _ in range(211)]
+    df = spark.createDataFrame(rows, "a boolean, v double")
+    got = {
+        r.q: r
+        for r in evaluation.qq_quantile_table(
+            df, "v", F.col("a"), q_den=10
+        ).collect()
+    }
+    va = sorted(v for a, v in rows if a)
+    vb = sorted(v for a, v in rows if not a)
+    for q in range(1, 10):
+        ra = (q * len(va) + 9) // 10
+        rb = (q * len(vb) + 9) // 10
+        assert got[q].rank_a == ra and got[q].rank_b == rb
+        assert got[q].value_a == va[ra - 1]
+        assert got[q].value_b == vb[rb - 1]
+        assert abs(got[q].qq_gap - (vb[rb - 1] - va[ra - 1])) < 1e-12
+
+
+def test_qq_table_identical_samples_zero_gap(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(s, float(v)) for v in range(1, 101) for s in (True, False)]
+    df = spark.createDataFrame(rows, "a boolean, v double")
+    got = evaluation.qq_quantile_table(df, "v", F.col("a"), q_den=4).collect()
+    assert len(got) == 3
+    assert all(r.qq_gap == 0.0 for r in got)
