@@ -69,3 +69,32 @@ def test_wordpiece_candidates_bounded_by_vocab_probe(spark):
     out = text.wordpiece_greedy_encode(wdf, vdf, max_piece_len=24)
     rows = {r.word: r for r in out.collect()}
     assert rows["abab"].wp_seq == "ab ab"
+
+
+def test_shapley_single_corpus_scan_and_broadcast(spark, sf_smoke):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import evaluation
+
+    ev = spark.read.parquet(os.path.join(sf_smoke, "events.parquet"))
+    df = evaluation.shapley_attribution(
+        ev, ("click", "error", "signup", "view"), "purchase"
+    )
+    plan = explain.formatted_plan(df)
+    # the per-user mask table is pinned: the corpus parquet appears once
+    assert plan.count("Scan parquet") <= 1
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qq_table_broadcasts_offsets_no_global_sort(spark, sf_smoke):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import evaluation
+
+    ev = spark.read.parquet(os.path.join(sf_smoke, "events.parquet"))
+    df = evaluation.qq_quantile_table(
+        ev,
+        "value",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+        bucket_expr=F.floor(F.col("_v") / F.lit(50.0)),
+    )
+    plan = explain.formatted_plan(df)
+    assert "BroadcastExchange" in plan  # prefix offsets + quantile list
+    assert "CartesianProduct" not in plan
