@@ -27,6 +27,8 @@ scale.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1694,22 +1696,55 @@ def calibration_curve(
 
 
 def rank_score(
-    df: DataFrame, value_col: str, tiebreak_col: str, out_col: str = "score"
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "score",
+    bucket_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Normalize any monotone signal into a [0, 1] score by global rank:
     score = (rank - 1) / (N - 1) with a deterministic (value, tiebreak)
-    total order (1 row -> score 0). The rank is the parallel-prefix-sum
-    shape at scale; here it rides row_number for the oracle's benefit.
+    total order (1 row -> score 0).
+
+    The rank is the bucketed parallel prefix-sum
+    (relational.global_prefix_sum over a running count of ones keyed by
+    the composite (value, tiebreak) struct) — never a bare
+    Window.orderBy row_number funneling the corpus through one task —
+    and N - 1 broadcasts as a 1-row cross join. ``bucket_fn`` maps the
+    VALUE column to its order-consistent prefix bucket; the default
+    ``floor(value/64)`` suits integer-ish signals (doc lengths, counts)
+    — pass one matched to the value range otherwise (a [0, 1] signal
+    would otherwise degrade to one bucket: still correct, not
+    parallel).
     """
-    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc())
-    n = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return df.withColumn("_r", F.row_number().over(w)).withColumn(
-        out_col,
-        F.when(F.count(F.lit(1)).over(n) == 1, F.lit(0.0)).otherwise(
-            (F.col("_r") - 1).cast("double")
-            / (F.count(F.lit(1)).over(n) - 1).cast("double")
+    from .relational import global_prefix_sum
+
+    b = (
+        bucket_fn(F.col(value_col))
+        if bucket_fn is not None
+        else F.floor(F.col(value_col).cast("double") / F.lit(64.0))
+    )
+    ranked = global_prefix_sum(
+        df.withColumn("_one", F.lit(1)).withColumn(
+            "_ok", F.struct(F.col(value_col), F.col(tiebreak_col))
         ),
-    ).drop("_r")
+        "_ok",
+        "_one",
+        out_col="_r",
+        bucket_expr=b,
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            out_col,
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.col("_r") - 1).cast("double")
+                / (F.col("_n") - 1).cast("double")
+            ),
+        )
+        .drop("_one", "_ok", "_r", "_n")
+    )
 
 
 def weight_ess(
@@ -2182,7 +2217,7 @@ def qq_quantile_table(
     value_col: str,
     side_col: Column,
     q_den: int = 10,
-    bucket_expr: Column | None = None,
+    bucket_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Two-sample QQ table — the quantile-quantile comparison behind a
     QQ plot: for each interior quantile ``q/q_den`` the EXACT picked
@@ -2203,6 +2238,11 @@ def qq_quantile_table(
     single-partition sort), then a <= (distinct values x q_den-1)
     filter-and-min against the broadcast quantile list.
 
+    ``bucket_fn``: optional ``Column -> Column`` mapping the VALUE
+    column to its order-consistent prefix bucket (e.g.
+    ``lambda v: F.floor(v / 50)``); it is applied to the internal
+    value alias here, so callers never touch private column names.
+
     Output: one row per interior quantile — (q, rank_a, rank_b,
     value_a, value_b, qq_gap = value_b - value_a).
     """
@@ -2215,7 +2255,12 @@ def qq_quantile_table(
         F.when(side_col, F.lit("a")).otherwise(F.lit("b")).alias("_side"),
         F.col(value_col).alias("_v"),
     )
-    cum = grouped_value_cum(d, ["_side"], "_v", bucket_expr=bucket_expr)
+    cum = grouped_value_cum(
+        d,
+        ["_side"],
+        "_v",
+        bucket_expr=bucket_fn(F.col("_v")) if bucket_fn is not None else None,
+    )
     qs = F.broadcast(
         spark.range(1, q_den).select(F.col("id").cast("long").alias("q"))
     )

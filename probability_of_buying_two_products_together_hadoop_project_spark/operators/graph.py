@@ -960,16 +960,23 @@ def scan_edge_similarity(
     edges appear with common_closed = 2.
     """
     a, b = F.col(a_col), F.col(b_col)
+    # canon feeds FOUR branches (deg, the oriented edge table, the final
+    # join spine twice) and deg feeds three — pin both so the
+    # pair-explode + distinct and the degree shuffle run once per call
+    # instead of once per branch (the LESSONS.md branch-recomputation
+    # rule, same pinning scan_clusters applies to sigma).
     canon = (
         pairs.filter(a != b)
         .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("lo").alias("node"))
         .unionAll(canon.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     d_lo = deg.select(F.col("node").alias("lo"), F.col("deg").alias("_dlo"))
     d_hi = deg.select(F.col("node").alias("hi"), F.col("deg").alias("_dhi"))
@@ -1044,6 +1051,7 @@ def scan_clusters(
     eps_rank_den: int = 4,
     mu: int = 3,
     label_rounds: int = 8,
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """Full SCAN structural clustering (Xu et al., KDD 2007) over pair
     evidence: cores / borders / hubs / outliers from the per-edge
@@ -1057,7 +1065,12 @@ def scan_clusters(
       a fixed absolute threshold is meaningless across graph densities,
       the measured P75 sigma moves 0.55 -> 0.14 from sf0.001 to
       sf0.01).
-    - A CORE has >= ``mu`` eps-similar neighbors. Core clusters are
+    - A CORE has >= ``mu`` eps-similar neighbors, where the count
+      EXCLUDES the node itself: Xu et al. state the rule over the
+      closed eps-neighborhood (|N_eps(v)| >= mu with v ∈ N_eps(v)), so
+      a mu calibrated from the SCAN paper is THIS mu plus one. The
+      exclusive convention is deliberate ("mu genuine neighbors") and
+      frozen — engine, oracle, and tests all use it. Core clusters are
       min-label propagation over core-core eps-edges for EXACTLY
       ``label_rounds`` synchronous rounds (the label_propagation /
       pagerank fixed-round rule: a pure dataflow the oracle unrolls
@@ -1068,6 +1081,12 @@ def scan_clusters(
       the minimum adjacent core cluster.
     - Remaining nodes: HUB if its raw neighbors include cores of >= 2
       distinct clusters, else OUTLIER (both unclustered).
+
+    ``sim`` (optional): a precomputed :func:`scan_edge_similarity`
+    relation over the SAME pair evidence, already pinned by the caller
+    — lets a pipeline that also reads the sigma table build it once
+    and share it (the registry's scan_* pair does exactly this); when
+    omitted, sigma is built here and localCheckpoint-pinned.
 
     Scale: sigma build is the oriented-wedge cost (see
     scan_edge_similarity); everything after runs on the edge table —
@@ -1081,7 +1100,10 @@ def scan_clusters(
 
     if mu < 1 or label_rounds < 1:
         raise ValueError("mu and label_rounds must be >= 1")
-    sim = scan_edge_similarity(pairs, a_col, b_col).localCheckpoint(eager=True)
+    if sim is None:
+        sim = scan_edge_similarity(pairs, a_col, b_col).localCheckpoint(
+            eager=True
+        )
     cum = grouped_value_cum(
         sim.select("sigma"),
         [],

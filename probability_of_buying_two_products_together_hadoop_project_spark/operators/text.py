@@ -1248,6 +1248,14 @@ def hybrid_rrf_topk(
     )
     tk = normalized_tokens(text_col)
     lowered = [t.lower() for t in terms]
+    # Top-pool BEFORE ranking: orderBy+limit compiles to a distributed
+    # TakeOrderedAndProject (per-partition heaps + one merge), so the
+    # row_number window below touches <= pool rows — never a bare
+    # Window.orderBy over every doc matching >= 1 term (for a common
+    # term that is a corpus-fraction single-partition sort; the r9
+    # VERDICT scale finding). Same total order, same top-pool set,
+    # identical ranks as ranking-then-filtering.
+    cov_order = (F.col("_cov").desc(), F.col("_dl").asc(), F.col(id_col))
     cov = (
         docs.select(F.col(id_col), tk.alias("_tk"))
         .select(
@@ -1260,18 +1268,15 @@ def hybrid_rrf_topk(
             .alias("_cov"),
         )
         .filter(F.col("_cov") >= 1)
+        .orderBy(*cov_order)
+        .limit(pool)
         .select(
             id_col,
             F.row_number()
-            .over(
-                Window.orderBy(
-                    F.col("_cov").desc(), F.col("_dl").asc(), F.col(id_col)
-                )
-            )
+            .over(Window.orderBy(*cov_order))
             .cast("long")
             .alias("rank_cov"),
         )
-        .filter(F.col("rank_cov") <= pool)
     )
     unit = 10**12
     contrib_a = F.when(

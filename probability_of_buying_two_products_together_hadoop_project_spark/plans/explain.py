@@ -35,6 +35,73 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+_BOUNDED_MARKERS = (
+    "Aggregate",  # HashAggregate/SortAggregate/ObjectHashAggregate reduce first
+    "LocalTableScan",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "ExistingRDD",  # localCheckpoint-pinned (bounded-by-contract) inputs
+    "ReusedExchange",
+)
+
+
+def unbounded_single_partition_exchanges(df: DataFrame) -> list[int]:
+    """Node ids of ``Exchange SinglePartition`` operators whose input
+    subtree shows NO boundedness marker — the scale-killer class (a bare
+    ``Window.orderBy`` / global sort funneling unreduced data through one
+    task). Bounded-by-construction single-partition hops are fine and
+    excluded: inputs that were already aggregated (an *Aggregate* below
+    the exchange, e.g. the <= n_buckets offsets table of the parallel
+    prefix-sum), limited (TakeOrderedAndProject / GlobalLimit), local, or
+    localCheckpoint-pinned small state (Scan ExistingRDD).
+
+    The check is a structural heuristic over the formatted plan tree —
+    use it as a regression tripwire (assert == []), not as proof of
+    scale-worthiness.
+    """
+    import re
+
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    # Details section: "(N) Operator" headers followed by attribute lines.
+    single_ids: set[int] = set()
+    cur_id: int | None = None
+    cur_is_exchange = False
+    for ln in lines:
+        m = re.match(r"^\((\d+)\) (.+?)(?: \[codegen.*)?$", ln)
+        if m:
+            cur_id = int(m.group(1))
+            cur_is_exchange = m.group(2).strip().startswith("Exchange")
+            continue
+        if cur_is_exchange and ln.startswith("Arguments:") and "SinglePartition" in ln:
+            single_ids.add(cur_id)
+    if not single_ids:
+        return []
+    # Tree section: indentation encodes structure; node name ends "(N)".
+    tree: list[tuple[int, int, str]] = []  # (depth, id, opname)
+    for ln in lines:
+        m = re.search(r"([*A-Za-z][^()]*)\((\d+)\)\s*$", ln)
+        if m and not ln.startswith("("):
+            name = m.group(1).strip().lstrip("* ").strip()
+            depth = m.start(1)
+            tree.append((depth, int(m.group(2)), name))
+    flagged: list[int] = []
+    for i, (depth, nid, _name) in enumerate(tree):
+        if nid not in single_ids:
+            continue
+        bounded = False
+        for d2, _nid2, name2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            if any(mk in name2 for mk in _BOUNDED_MARKERS):
+                bounded = True
+                break
+        if not bounded:
+            flagged.append(nid)
+    return flagged
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     plan = formatted_plan(df)
     return [

@@ -93,7 +93,7 @@ def test_qq_table_broadcasts_offsets_no_global_sort(spark, sf_smoke):
         ev,
         "value",
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
-        bucket_expr=F.floor(F.col("_v") / F.lit(50.0)),
+        bucket_fn=lambda v: F.floor(v / F.lit(50.0)),
     )
     plan = explain.formatted_plan(df)
     assert "BroadcastExchange" in plan  # prefix offsets + quantile list
