@@ -85,3 +85,37 @@ def test_rank_score_bounds_and_single_row(spark):
     assert got == {2: 0.0, 3: 0.5, 1: 1.0}
     single = spark.createDataFrame([(1, 5)], "id bigint, v int")
     assert evaluation.rank_score(single, "v", "id").collect()[0].score == 0.0
+
+
+def test_rank_score_custom_bucket_fn_and_ties(spark):
+    # custom bucket_fn must not change the ranking — only the prefix
+    # partitioning; duplicate values break ties on the tiebreak column
+    rows = [(i, (i * 7) % 13) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "id bigint, v int")
+    base = {r.id: r.score for r in evaluation.rank_score(df, "v", "id").collect()}
+    from pyspark.sql import functions as F
+
+    alt = {
+        r.id: r.score
+        for r in evaluation.rank_score(
+            df, "v", "id", bucket_fn=lambda v: F.floor(v / F.lit(3.0))
+        ).collect()
+    }
+    assert alt == base
+    want = {
+        id_: (rk) / (len(rows) - 1)
+        for rk, (id_, _v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert base == want
+
+
+def test_rank_score_plan_never_single_partition(spark):
+    from pyspark.sql import functions as F
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.plans import explain
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 17).alias("v")
+    )
+    out = evaluation.rank_score(df, "v", "id")
+    assert explain.unbounded_single_partition_exchanges(out) == []
