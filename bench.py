@@ -219,6 +219,9 @@ HEADLINE = [
     "negative_sampling_unigram",
     "shapley_attribution_events",
     "qq_deciles_user_cohort",
+    # r10 additions (both derived from the shared pinned SCAN sigma)
+    "clustering_coeff_items",
+    "graph_transitivity_items",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -1214,6 +1214,121 @@ def scan_clusters(
     )
 
 
+def local_clustering_coefficients(sim: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    DERIVED from a :func:`scan_edge_similarity` relation — no new graph
+    pass: each canonical edge already carries its triangle support
+    (``common_closed - 2``) and both endpoint degrees, and a triangle
+    {u, v, w} contributes support to exactly TWO edges incident to each
+    of its corners, so ``t(v) = (sum of support over v's incident
+    edges) / 2`` exactly (even by construction).
+
+    ``lcc(v) = 2 t(v) / (deg(v) (deg(v) - 1))`` — one correctly-rounded
+    IEEE division over exact integers (0.0 for deg < 2, the
+    degenerate-denominator convention), bit-identical cross-engine.
+
+    Scale: one explode (2 rows per edge) + one hash aggregate on node —
+    linear in edges, no new wedge work; feed it the pinned/shared sigma
+    relation (the registry's `_scan_sigma` cache) and the whole query
+    is an aggregate over already-materialized blocks.
+
+    Output: one row per node — (node, deg, triangles, lcc).
+    """
+    inc = sim.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("node"),
+                    F.col("deg_a").alias("deg"),
+                    (F.col("common_closed") - 2).alias("sup"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("node"),
+                    F.col("deg_b").alias("deg"),
+                    (F.col("common_closed") - 2).alias("sup"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.node", "_e.deg", "_e.sup")
+    per = inc.groupBy("node").agg(
+        F.max("deg").cast("long").alias("deg"),
+        F.expr("sum(sup) div 2").cast("long").alias("triangles"),
+    )
+    return per.select(
+        "node",
+        "deg",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            (2 * F.col("triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def graph_transitivity(sim: DataFrame) -> DataFrame:
+    """Global clustering coefficient (transitivity) from a
+    :func:`scan_edge_similarity` relation: ``3 x triangles / wedges``
+    with ``3T = sum(common_closed - 2)`` over canonical edges (each
+    triangle exploded onto its 3 edges by construction) and
+    ``wedges = sum_v deg(v) (deg(v) - 1) / 2`` over the per-node degree
+    table recovered from the edge endpoints. All-integer numerators and
+    denominators, one final correctly-rounded division (NULL if the
+    graph has no wedge).
+
+    One explode + two tiny aggregates over the (shared, pinned) sigma
+    relation — no wedge recomputation at any scale.
+
+    Output: one row — (n_nodes, n_edges, n_triangles, n_wedges,
+    transitivity).
+    """
+    deg = (
+        sim.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("node"),
+                        F.col("deg_a").alias("deg"),
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("node"),
+                        F.col("deg_b").alias("deg"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.deg")
+        .groupBy("node")
+        .agg(F.max("deg").alias("_d"))
+    )
+    node_side = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(_d * (_d - 1) div 2)").cast("long").alias("n_wedges"),
+    )
+    edge_side = sim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.expr("sum(common_closed - 2) div 3").cast("long").alias(
+            "n_triangles"
+        ),
+        F.sum(F.col("common_closed") - 2).cast("long").alias("_t3"),
+    )
+    return (
+        edge_side.crossJoin(F.broadcast(node_side))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.col("_t3").cast("double") / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: tuple[str, ...],

@@ -14649,6 +14649,82 @@ def q_scan_clusters(spark, sf_dir):
 
 
 @register(
+    "clustering_coeff_items",
+    _SCAN_SIM_CTES + """
+    , inc AS (
+      SELECT item_a AS node, deg_a AS deg, common_closed - 2 AS sup FROM sim
+      UNION ALL
+      SELECT item_b, deg_b, common_closed - 2 FROM sim
+    ),
+    per AS (
+      SELECT node, CAST(MAX(deg) AS BIGINT) AS deg,
+             CAST(SUM(sup) // 2 AS BIGINT) AS triangles
+      FROM inc GROUP BY node
+    )
+    SELECT node, deg, triangles,
+           CASE WHEN deg >= 2 THEN CAST(2 * triangles AS DOUBLE)
+                  / CAST(deg * (deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS lcc
+    FROM per
+    """,
+    "Per-node local clustering coefficient (Watts & Strogatz 1998) "
+    "DERIVED from the shared SCAN sigma relation — no new graph pass: "
+    "each canonical edge carries its triangle support and both endpoint "
+    "degrees, and a triangle contributes support to exactly TWO edges "
+    "at each corner, so t(v) = sum(incident support)/2 exactly (even "
+    "by construction). lcc = 2t/(d(d-1)) is one correctly-rounded "
+    "division over exact integers (0.0 below degree 2). One explode + "
+    "one node hash-agg over the pinned `_scan_sigma` blocks — linear "
+    "in edges, zero wedge recomputation at any scale",
+)
+def q_clustering_coeff(spark, sf_dir):
+    from .operators import graph
+
+    return graph.local_clustering_coefficients(_scan_sigma(spark, sf_dir))
+
+
+@register(
+    "graph_transitivity_items",
+    _SCAN_SIM_CTES + """
+    , nd AS (
+      SELECT node, MAX(deg) AS d FROM (
+        SELECT item_a AS node, deg_a AS deg FROM sim
+        UNION ALL SELECT item_b, deg_b FROM sim
+      ) GROUP BY node
+    ),
+    ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM nd
+    ),
+    es AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(common_closed - 2) // 3 AS BIGINT) AS n_triangles,
+             CAST(SUM(common_closed - 2) AS BIGINT) AS t3
+      FROM sim
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN CAST(t3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) END
+             AS transitivity
+    FROM es CROSS JOIN ns
+    """,
+    "Global clustering coefficient (transitivity = 3 x triangles / "
+    "wedges) from the SAME shared sigma relation: 3T = sum(support) "
+    "over canonical edges (each triangle exploded onto its 3 edges by "
+    "construction), wedges = sum_v d(d-1)/2 over endpoint-recovered "
+    "degrees. All-integer counts, one final division (NULL on a "
+    "wedge-free graph); the summary row a graph-health dashboard pins "
+    "next to triangle_count_items — and the cache means it costs two "
+    "aggregates, not a wedge join",
+)
+def q_graph_transitivity(spark, sf_dir):
+    from .operators import graph
+
+    return graph.graph_transitivity(_scan_sigma(spark, sf_dir))
+
+
+@register(
     "did_cohort_events",
     """
     WITH g AS (
@@ -15299,6 +15375,17 @@ _ROTATION_TAIL = {
     # sibling bpe_learn_merges exercises the same BPE merge table and
     # its own 3-SF local oracle evidence stands.
     "bpe_encode_vocab": "r05-local",
+    # The two r10 additions (clustering_coeff_items /
+    # graph_transitivity_items — exact derivations over the shared
+    # pinned sigma) take window slots per the rotation rule, displacing
+    # the two lowest-risk promoted members: triangle_count_sampled
+    # (sibling triangle_count_items holds an r09 driver hash-match on
+    # the identical oriented-wedge machinery) and audio_resample_decimate
+    # (siblings audio_resample_fir / audio_resample_rational hold r07
+    # driver rows on the same polyphase resample core); both keep their
+    # 3-SF local oracle evidence.
+    "triangle_count_sampled": "r05-local",
+    "audio_resample_decimate": "r05-local",
     # (r09) The 20 members displaced during r08 — the scalar batteries,
     # recursive CTE, boilerplate screen, split/mix, zorder, redact,
     # privacy-suppress, dataset fingerprints, audio decimate,

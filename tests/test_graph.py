@@ -501,3 +501,48 @@ def test_markov_broadcast_and_generic_paths_agree(spark):
         for r in graph.markov_stationary(df, broadcast_state=False).collect()
     }
     assert bc == gen
+
+
+def test_local_clustering_coefficients_known_graph(spark):
+    # triangle a-b-c plus pendant d-a: t(a)=t(b)=t(c)=1, t(d)=0;
+    # lcc(a)=2/(3*2)=1/3, lcc(b)=lcc(c)=1, lcc(d)=0 (deg<2 convention)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "item string, neighbor string",
+    )
+    sim = graph.scan_edge_similarity(pairs)
+    got = {
+        r.node: (r.deg, r.triangles, r.lcc)
+        for r in graph.local_clustering_coefficients(sim).collect()
+    }
+    assert got == {
+        "a": (3, 1, 1.0 / 3.0),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
+
+
+def test_graph_transitivity_known_graph(spark):
+    # same fixture: wedges = 3 + 1 + 1 + 0 = 5, triangles = 1 -> 3/5
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "item string, neighbor string",
+    )
+    sim = graph.scan_edge_similarity(pairs)
+    row = graph.graph_transitivity(sim).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        4, 4, 1, 5,
+    )
+    assert row.transitivity == 3.0 / 5.0
+
+
+def test_graph_transitivity_wedge_free_graph(spark):
+    # a single disjoint edge has no wedge: transitivity must be NULL
+    pairs = spark.createDataFrame(
+        [("x", "y")], "item string, neighbor string"
+    )
+    sim = graph.scan_edge_similarity(pairs)
+    row = graph.graph_transitivity(sim).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges) == (2, 1, 0)
+    assert row.transitivity is None
