@@ -99,3 +99,39 @@ def test_near_dup_evidence_cache_shared(spark, sf_smoke):
     registry.REGISTRY["golden_record_docs"].fn(spark, sf_smoke)
     registry.REGISTRY["dedup_cluster_canonical"].fn(spark, sf_smoke)
     assert len(registry._NEAR_DUP_CACHE) == 2
+
+
+def _rowset(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_near_dup_cache_equals_uncached(spark, sf_smoke):
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+    fresh = dedup.jaccard_pairs(
+        docs, block_col="source", shingle_n=1, threshold=0.3
+    )
+    cached = registry._near_dup_evidence(spark, sf_smoke, "pairs")
+    assert _rowset(cached) == _rowset(fresh)
+    fresh_cl = dedup.near_dup_clusters(docs.select("doc_id"), fresh)
+    cached_cl = registry._near_dup_evidence(spark, sf_smoke, "clusters")
+    assert _rowset(cached_cl) == _rowset(fresh_cl)
+
+
+def test_scan_sigma_cache_equals_uncached(spark, sf_smoke):
+    import os
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        basket,
+        graph,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_smoke, "lineitem.parquet"))
+    baskets = basket.baskets_from_lineitem(li)
+    fresh = graph.scan_edge_similarity(basket.basket_pairs(baskets))
+    cached = registry._scan_sigma(spark, sf_smoke)
+    assert _rowset(cached) == _rowset(fresh)
