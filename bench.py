@@ -219,9 +219,10 @@ HEADLINE = [
     "negative_sampling_unigram",
     "shapley_attribution_events",
     "qq_deciles_user_cohort",
-    # r10 additions (both derived from the shared pinned SCAN sigma)
+    # r10 additions (the first two derived from the shared pinned SCAN sigma)
     "clustering_coeff_items",
     "graph_transitivity_items",
+    "truss_peel_items",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

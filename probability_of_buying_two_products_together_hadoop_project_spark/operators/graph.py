@@ -971,6 +971,33 @@ def scan_edge_similarity(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    annotated = _edge_support(canon)
+    common = (F.col("sup") + 2).cast("long")
+    return annotated.select(
+        F.col("lo").alias("item_a"),
+        F.col("hi").alias("item_b"),
+        F.col("_dlo").cast("long").alias("deg_a"),
+        F.col("_dhi").cast("long").alias("deg_b"),
+        common.alias("common_closed"),
+        (
+            common.cast("double")
+            / F.sqrt(
+                ((F.col("_dlo") + 1) * (F.col("_dhi") + 1)).cast("double")
+            )
+        ).alias("sigma"),
+    )
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Per-edge triangle support via the degree-oriented wedge scheme
+    (shared by :func:`scan_edge_similarity` and :func:`truss_peel`):
+    ``canon`` must be the DISTINCT canonical edge table (lo < hi),
+    already pinned by the caller. Returns one row per canonical edge —
+    (lo, hi, _dlo, _dhi, sup) with sup = exact triangle count (0 for
+    support-free edges). The degree table is pinned here (three
+    branches read it); the wedge cost is the triangle_stats shape
+    (hubs generate no wedges, the d^2 blow-up dies).
+    """
     deg = (
         canon.select(F.col("lo").alias("node"))
         .unionAll(canon.select(F.col("hi").alias("node")))
@@ -1022,23 +1049,16 @@ def scan_edge_similarity(
         .groupBy("lo", "hi")
         .agg(F.count(F.lit(1)).alias("_sup"))
     )
-    common = (F.coalesce(F.col("_sup"), F.lit(0)) + 2).cast("long")
     return (
         canon.join(d_lo, "lo")
         .join(d_hi, "hi")
         .join(support, ["lo", "hi"], "left")
         .select(
-            F.col("lo").alias("item_a"),
-            F.col("hi").alias("item_b"),
-            F.col("_dlo").cast("long").alias("deg_a"),
-            F.col("_dhi").cast("long").alias("deg_b"),
-            common.alias("common_closed"),
-            (
-                common.cast("double")
-                / F.sqrt(
-                    ((F.col("_dlo") + 1) * (F.col("_dhi") + 1)).cast("double")
-                )
-            ).alias("sigma"),
+            "lo",
+            "hi",
+            "_dlo",
+            "_dhi",
+            F.coalesce(F.col("_sup"), F.lit(0)).cast("long").alias("sup"),
         )
     )
 
@@ -1212,6 +1232,96 @@ def scan_clusters(
             .alias("role"),
         )
     )
+
+
+def truss_peel(
+    pairs: DataFrame,
+    rounds: int = 3,
+    t_rank_num: int = 3,
+    t_rank_den: int = 4,
+    a_col: str = "item",
+    b_col: str = "neighbor",
+) -> DataFrame:
+    """Fixed-round truss peeling (k-truss, Cohen 2008) with a
+    DATA-ADAPTIVE support threshold: repeatedly drop every edge whose
+    triangle support (recomputed on the surviving subgraph each round)
+    falls below ``t``, where ``t`` is the EXACT
+    ``t_rank_num/t_rank_den`` order statistic of the INITIAL support
+    distribution — the SCAN eps precedent (scan_clusters): an absolute
+    k is meaningless across graph densities (measured median support
+    moves 42 -> 10 from sf0.001 to sf0.01 as the co-occurrence graph
+    sparsifies), so the threshold is picked from the data once and
+    FROZEN across rounds. ``t = support-P75`` with the defaults; the
+    classical k-truss is this with a constant ``t = k - 2``.
+
+    Fixed iteration count, not run-to-convergence (the PageRank design
+    rule): a bounded unrolled dataflow stays pure ANSI SQL, the oracle
+    replays identical rounds, and every count hash-pins. Converged
+    rounds show dropped = 0.
+
+    Dataflow per round: one degree-oriented wedge support computation
+    on the CURRENT (monotonically shrinking) edge set — the
+    triangle_stats cost shape, localCheckpoint-pinned per round — then
+    a broadcast-threshold filter. The first round dominates; a P75 cut
+    removes ~75% of edges before round 2. The threshold pick is the
+    bucketed order-statistics backbone (grouped_value_cum +
+    grouped_discrete_quantile), never a single-partition sort.
+
+    Output: one row per round — (round, n_edges_before, n_survivors,
+    support_threshold).
+    """
+    from .relational import grouped_discrete_quantile, grouped_value_cum
+
+    if not (1 <= rounds <= 8):
+        raise ValueError(f"rounds must be in [1, 8], got {rounds}")
+    if not (1 <= t_rank_num < t_rank_den):
+        raise ValueError(
+            f"need 1 <= t_rank_num < t_rank_den, got {t_rank_num}/{t_rank_den}"
+        )
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
+        eager=True
+    )
+    cum = grouped_value_cum(
+        sup.select("sup"), [], "sup", bucket_expr=F.col("sup")
+    )
+    t_df = F.broadcast(
+        grouped_discrete_quantile(
+            cum, [], "sup", t_rank_num, t_rank_den, out_col="_t"
+        )
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        if r > 1:
+            sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
+                eager=True
+            )
+        surv = (
+            sup.crossJoin(t_df)
+            .filter(F.col("sup") >= F.col("_t"))
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+        row = (
+            sup.agg(F.count(F.lit(1)).alias("n_edges_before"))
+            .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
+            .crossJoin(t_df)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("n_edges_before").cast("long"),
+                F.col("n_survivors").cast("long"),
+                F.col("_t").cast("long").alias("support_threshold"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+        edges = surv
+    return out
 
 
 def local_clustering_coefficients(sim: DataFrame) -> DataFrame:

@@ -14648,6 +14648,95 @@ def q_scan_clusters(spark, sf_dir):
     )
 
 
+def _truss_oracle(rounds: int = 3, num: int = 3, den: int = 4) -> str:
+    """Unrolled fixed-round truss peel: per round, the full degree-
+    oriented wedge support chain over the surviving edge CTE (the
+    _SCAN_SIM_CTES support machinery, suffixed per round, MATERIALIZED
+    — the kcore exponential-inline lesson), with the FROZEN initial-
+    support order-statistic threshold (the SCAN eps pick rule)."""
+    parts = []
+    selects = []
+    prev = "te0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    td{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev})
+      GROUP BY node
+    ), to{r} AS MATERIALIZED (
+      SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS src,
+             CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS dst,
+             CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS ddeg
+      FROM {prev} c JOIN td{r} dl ON c.lo = dl.node
+                    JOIN td{r} dh ON c.hi = dh.node
+    ), tw{r} AS (
+      SELECT a.src, a.dst AS x, b.dst AS y
+      FROM to{r} a JOIN to{r} b ON a.src = b.src
+      WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)
+    ), tc{r} AS MATERIALIZED (
+      SELECT w.src, w.x, w.y FROM tw{r} w
+      WHERE EXISTS (SELECT 1 FROM to{r} e WHERE e.src = w.x AND e.dst = w.y)
+    ), tt{r} AS (
+      SELECT least(src, x) AS lo, greatest(src, x) AS hi FROM tc{r}
+      UNION ALL SELECT least(src, y), greatest(src, y) FROM tc{r}
+      UNION ALL SELECT least(x, y), greatest(x, y) FROM tc{r}
+    ), ts{r} AS MATERIALIZED (
+      SELECT lo, hi, COUNT(*) AS s FROM tt{r} GROUP BY lo, hi
+    ), tp{r} AS MATERIALIZED (
+      SELECT c.lo, c.hi, COALESCE(s.s, 0) AS sup
+      FROM {prev} c LEFT JOIN ts{r} s ON c.lo = s.lo AND c.hi = s.hi
+    ){", ttv AS MATERIALIZED (" + f'''
+      SELECT sup AS t FROM (
+        SELECT sup, row_number() OVER (ORDER BY sup, lo, hi) AS rn,
+               COUNT(*) OVER () AS m
+        FROM tp1
+      ) WHERE rn = ({num} * m + {den - 1}) // {den}
+    )''' if r == 1 else ""}, te{r} AS MATERIALIZED (
+      SELECT lo, hi FROM tp{r}, ttv WHERE sup >= t
+    )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" CAST((SELECT COUNT(*) FROM tp{r}) AS BIGINT) AS n_edges_before,"
+            f" CAST((SELECT COUNT(*) FROM te{r}) AS BIGINT) AS n_survivors,"
+            f" CAST((SELECT t FROM ttv) AS BIGINT) AS support_threshold"
+        )
+        prev = f"te{r}"
+    return (
+        _COOC_CTE
+        + """, te0 AS MATERIALIZED (
+      SELECT DISTINCT least(item, neighbor) AS lo,
+             greatest(item, neighbor) AS hi
+      FROM pairs WHERE item != neighbor
+    ),"""
+        + ",".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "truss_peel_items",
+    _truss_oracle(rounds=3, num=3, den=4),
+    "Fixed-round truss peeling (k-truss, Cohen 2008) of the "
+    "co-occurrence graph with the DATA-ADAPTIVE threshold rule: drop "
+    "every edge whose triangle support on the surviving subgraph falls "
+    "below the EXACT P75 of the initial support distribution (the SCAN "
+    "eps precedent — an absolute k is meaningless across densities; "
+    "measured median support moves 42 -> 10 between sf0.001 and "
+    "sf0.01), threshold FROZEN across exactly 3 rounds (the fixed-"
+    "round unroll rule; converged rounds show dropped=0). Per round "
+    "one oriented-wedge support recomputation on the shrinking edge "
+    "set + a broadcast-threshold filter; the P75 cut removes ~75% of "
+    "edges before round 2, so round 1 dominates. All-integer counts; "
+    "the threshold pick is the bucketed order-statistics backbone",
+)
+def q_truss_peel(spark, sf_dir):
+    from .operators import graph
+
+    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return graph.truss_peel(basket.basket_pairs(baskets), rounds=3)
+
+
 @register(
     "clustering_coeff_items",
     _SCAN_SIM_CTES + """
@@ -15386,6 +15475,11 @@ _ROTATION_TAIL = {
     # 3-SF local oracle evidence.
     "triangle_count_sampled": "r05-local",
     "audio_resample_decimate": "r05-local",
+    # truss_peel_items (third r10 addition) took a window slot,
+    # displacing diverse_sample_embeddings: the embedding family holds
+    # fresh r09 driver hash-matches (embedding_centroids, both PCA
+    # queries) and its own 3-SF local oracle evidence stands.
+    "diverse_sample_embeddings": "r05-local",
     # (r09) The 20 members displaced during r08 — the scalar batteries,
     # recursive CTE, boilerplate screen, split/mix, zorder, redact,
     # privacy-suppress, dataset fingerprints, audio decimate,

@@ -546,3 +546,52 @@ def test_graph_transitivity_wedge_free_graph(spark):
     row = graph.graph_transitivity(sim).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_wedges) == (2, 1, 0)
     assert row.transitivity is None
+
+
+def test_truss_peel_known_graph(spark):
+    # K4 on {a,b,c,d} (every edge support 2) plus pendant-triangle edge
+    # set {d-e, e-f, d-f} (support 1 each) and a bridge f-g (support 0).
+    # Initial supports sorted: [0,1,1,1,2,2,2,2,2,2] (10 edges);
+    # P75 rank = ceil(30/4) = 8 -> t = 2. Round 1 keeps exactly the K4
+    # (the d-e/e-f/d-f triangle and the bridge die); K4 supports stay 2
+    # on the induced subgraph, so rounds 2-3 are no-ops.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f"), ("f", "g"),
+    ]
+    pairs = spark.createDataFrame(edges, "item string, neighbor string")
+    rows = {r.round: r for r in graph.truss_peel(pairs, rounds=3).collect()}
+    assert rows[1].support_threshold == 2
+    assert (rows[1].n_edges_before, rows[1].n_survivors) == (10, 6)
+    assert (rows[2].n_edges_before, rows[2].n_survivors) == (6, 6)
+    assert (rows[3].n_edges_before, rows[3].n_survivors) == (6, 6)
+
+
+def test_truss_peel_cascade(spark):
+    # Two triangles sharing edge b-c, plus a third triangle hanging off
+    # d via d-e/e-f/d-f: with a manually dense graph the peel CASCADES —
+    # removing low-support edges lowers surviving supports next round.
+    # Use rank 1/2 (median) to exercise a non-default threshold.
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("d", "f"),
+    ]
+    pairs = spark.createDataFrame(edges, "item string, neighbor string")
+    out = {r.round: r for r in graph.truss_peel(
+        pairs, rounds=2, t_rank_num=1, t_rank_den=2
+    ).collect()}
+    # supports: ab1 ac1 bc2 bd1 cd1 de1 ef1 df1 -> sorted [1]*7+[2];
+    # median rank ceil(8/2)=4 -> t=1: every edge in >=1 triangle stays
+    assert out[1].support_threshold == 1
+    assert (out[1].n_edges_before, out[1].n_survivors) == (8, 8)
+    assert (out[2].n_edges_before, out[2].n_survivors) == (8, 8)
+
+
+def test_truss_peel_validation(spark):
+    pairs = spark.createDataFrame([("a", "b")], "item string, neighbor string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.truss_peel(pairs, rounds=0)
+    with pytest.raises(ValueError):
+        graph.truss_peel(pairs, t_rank_num=4, t_rank_den=4)
