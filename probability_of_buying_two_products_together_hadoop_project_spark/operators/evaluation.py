@@ -571,15 +571,20 @@ def mutual_information(
     )
     wx = Window.partitionBy("_x")
     wy = Window.partitionBy("_y")
-    wall = Window.partitionBy()
+    # grand total via agg + broadcast join-back, NOT an unpartitioned
+    # window: the cell table is bounded by |X|·|Y| but that bound is
+    # data-cardinality-dependent (groupBy over high-NDV columns), so a
+    # Window.partitionBy() here would be the one single-partition sort
+    # whose input can grow with the data — the 1-row broadcast is the
+    # same value with no such exchange
+    tot = cells.agg(F.sum("_c").alias("_n"))
     base = cells.select(
         "_x",
         "_y",
         "_c",
         F.sum("_c").over(wx).alias("_cx"),
         F.sum("_c").over(wy).alias("_cy"),
-        F.sum("_c").over(wall).alias("_n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     ln_ratio = F.log(
         (F.col("_c").cast("double") * F.col("_n").cast("double"))
         / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
@@ -593,11 +598,16 @@ def mutual_information(
 
     def marginal_entropy(key: str) -> DataFrame:
         m = cells.groupBy(key).agg(F.sum("_c").alias("_cm"))
-        tot = F.sum("_cm").over(Window.partitionBy())
+        mt = m.agg(F.sum("_cm").alias("_tm"))
         term = F.col("_cm").cast(d6) * F.round(
-            -F.log(F.col("_cm").cast("double") / tot.cast("double")), 6
+            -F.log(F.col("_cm").cast("double") / F.col("_tm").cast("double")),
+            6,
         ).cast(d6)
-        return m.select(term.alias("_t")).agg(F.sum("_t").alias(f"_h{key}"))
+        return (
+            m.crossJoin(F.broadcast(mt))
+            .select(term.alias("_t"))
+            .agg(F.sum("_t").alias(f"_h{key}"))
+        )
 
     hx = marginal_entropy("_x")
     hy = marginal_entropy("_y")

@@ -426,6 +426,14 @@ def global_prefix_sum(
     fixed-length prefix of the key itself) and ``order_col`` must be
     unique (a total order; otherwise the running sum at ties is
     engine-dependent). ``out_col`` is the INCLUSIVE running sum.
+
+    NULL buckets are first-class: Spark's default ascending sort puts
+    NULL first both in the window order and in the offsets window, and
+    the offsets join-back is null-safe — so rows whose bucket evaluates
+    to NULL (e.g. a NULL ``order_col`` under the default prefix bucket)
+    form the FIRST bucket instead of being silently dropped by a plain
+    equi-join. This matches NULL-first ordering of ``order_col`` itself,
+    keeping the order-consistency contract for NULL keys.
     """
     b = (
         bucket_expr
@@ -440,10 +448,14 @@ def global_prefix_sum(
     offsets = totals.select(
         "_psb", F.coalesce(F.sum("_pst").over(woff), F.lit(0)).alias("_psoff")
     )
+    offsets = offsets.withColumnRenamed("_psb", "_psb_off")
     return (
-        local.join(F.broadcast(offsets), "_psb")
+        local.join(
+            F.broadcast(offsets),
+            F.col("_psb").eqNullSafe(F.col("_psb_off")),
+        )
         .withColumn(out_col, (F.col("_pslocal") + F.col("_psoff")).cast("long"))
-        .drop("_psb", "_pslocal", "_psoff")
+        .drop("_psb", "_psb_off", "_pslocal", "_psoff")
     )
 
 

@@ -87,6 +87,30 @@ def test_rank_score_bounds_and_single_row(spark):
     assert evaluation.rank_score(single, "v", "id").collect()[0].score == 0.0
 
 
+def test_rank_score_null_value_rows_are_ranked(spark):
+    # regression: a NULL value (NULL bucket under the default
+    # floor(value/64)) used to vanish through global_prefix_sum's plain
+    # equi-join on the bucket while N-1 still counted it — scores came
+    # back {0.5, 1.0} for (5, NULL, 9). NULL buckets must join
+    # null-safely and rank FIRST (Spark's nulls-first sort order).
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9)], "id bigint, v int"
+    )
+    got = {r.id: r.score for r in evaluation.rank_score(df, "v", "id").collect()}
+    assert got == {2: 0.0, 1: 0.5, 3: 1.0}
+
+
+def test_global_prefix_sum_null_bucket_kept(spark):
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(None, 1), ("aa", 2), ("zz", 4)], "k string, n int"
+    )
+    rows = relational.global_prefix_sum(df, "k", "n", out_col="cum").collect()
+    got = {r.k: r.cum for r in rows}
+    assert got == {None: 1, "aa": 3, "zz": 7}
+
+
 def test_rank_score_custom_bucket_fn_and_ties(spark):
     # custom bucket_fn must not change the ranking — only the prefix
     # partitioning; duplicate values break ties on the tiebreak column
