@@ -15751,13 +15751,80 @@ _ROTATION_TAIL = {
     "rule_interest_measures": "r09",
     "negative_sampling_unigram": "r09",
     "shapley_attribution_events": "r09",
+    # Driver hash-match rows r10 (CORRECTNESS_r10.json, 50/50 green);
+    # rotated to the tail so the 45 never-sampled queries fill the head.
+    "collation_case_insensitive": "r10",
+    "mix_sources_weighted": "r10",
+    "curate_corpus_deduped": "r10",
+    "dedup_incremental_batch": "r10",
+    "ngram_jaccard_pairs": "r10",
+    "dedup_clusters": "r10",
+    "decontaminate_bloom": "r10",
+    "recursive_cte_doc_ancestry": "r10",
+    "vocab_build_min5": "r10",
+    "train_val_test_split": "r10",
+    "rollup_hour_day_compose": "r10",
+    "boilerplate_gram_screen": "r10",
+    "value_histogram_events": "r10",
+    "anomaly_zscore_events": "r10",
+    "window_percentile_norm": "r10",
+    "nearest_centroid_confusion": "r10",
+    "split_leakage_near_dup": "r10",
+    "funnel_view_click_purchase": "r10",
+    "countmin_word_freq": "r10",
+    "schema_evolution_union": "r10",
+    "chunk_documents_200": "r10",
+    "hybrid_rrf_search": "r10",
+    "dedup_cluster_canonical": "r10",
+    "source_kl_divergence": "r10",
+    "window_distinct_running_events": "r10",
+    "window_running_median_orders": "r10",
+    "kcore_peel_items": "r10",
+    "inverted_index_terms": "r10",
+    "embedding_quantize_int8": "r10",
+    "winsorize_values_events": "r10",
+    "stratified_split_by_source": "r10",
+    "pit_join_purchase_state": "r10",
+    "dq_suite_orders": "r10",
+    "event_paths_top3grams": "r10",
+    "dau_wau_events": "r10",
+    "nb_lang_confusion": "r10",
+    "snapshot_diff_orders": "r10",
+    "bpe_learn_merges": "r10",
+    "join_bloom_prefiltered_revenue": "r10",
+    "golden_record_docs": "r10",
+    "privacy_suppress_orders": "r10",
+    "dataset_fingerprints": "r10",
+    "calibration_curve_doclen": "r10",
+    "brier_decomposition_doclen": "r10",
+    "scan_edge_similarity_items": "r10",
+    "scan_clusters_items": "r10",
+    "truss_peel_items": "r10",
+    "clustering_coeff_items": "r10",
+    "graph_transitivity_items": "r10",
+    "qq_deciles_user_cohort": "r10",
 }
 
 
 def _ordered() -> dict[str, Query]:
-    head = [n for n in REGISTRY if n not in _ROTATION_TAIL]
-    tail = [n for n in _ROTATION_TAIL if n in REGISTRY]
-    return {n: REGISTRY[n] for n in (*head, *tail)}
+    """Registry order exposed to the driver. Priority classes:
+
+    1. queries never hash-verified by a driver round (``-local``
+       markers in ``_ROTATION_TAIL``, or absent from it) — these fill
+       the front so a head-biased correctness sample covers the
+       verification debt first;
+    2. queries whose last driver row is oldest (r03 before r10).
+    """
+
+    def rank(n: str) -> tuple[int, str]:
+        mark = _ROTATION_TAIL.get(n)
+        if mark is None or mark.endswith("-local"):
+            return (0, "")
+        return (1, mark)
+
+    names = sorted(REGISTRY, key=lambda n: (rank(n), 0))
+    # sorted() is stable: within a class, REGISTRY insertion order holds
+    return {n: REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
