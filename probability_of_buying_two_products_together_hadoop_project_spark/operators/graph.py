@@ -931,8 +931,11 @@ def label_propagation(
 
 
 def scan_edge_similarity(
-    pairs: DataFrame, a_col: str = "item", b_col: str = "neighbor"
-) -> DataFrame:
+    pairs: DataFrame,
+    a_col: str = "item",
+    b_col: str = "neighbor",
+    return_triangles: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """SCAN structural similarity per edge (Xu, Yuruk, Feng & Schweiger,
     KDD 2007): for every undirected edge (u, v),
     ``sigma = |Gamma(u) ∩ Gamma(v)| / sqrt(|Gamma(u)| * |Gamma(v)|)``
@@ -957,7 +960,13 @@ def scan_edge_similarity(
 
     Output: one row per canonical edge (item_a < item_b) —
     (item_a, item_b, deg_a, deg_b, common_closed, sigma); support-free
-    edges appear with common_closed = 2.
+    edges appear with common_closed = 2. ``return_triangles=True``
+    additionally returns the PINNED closed-triangle list (the wedge
+    join's intermediate, :func:`edge_triangles`) as a second relation —
+    callers that also need edge-subset supports (truss rounds >= 2)
+    reuse it instead of re-running the wedge join; sigma itself is
+    bit-identical either way (its support aggregate runs over the same
+    triangle rows).
     """
     a, b = F.col(a_col), F.col(b_col)
     # canon feeds FOUR branches (deg, the oriented edge table, the final
@@ -971,9 +980,12 @@ def scan_edge_similarity(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    annotated = _edge_support(canon)
+    tri = None
+    if return_triangles:
+        tri = edge_triangles(canon).localCheckpoint(eager=True)
+    annotated = _edge_support(canon, tri=tri)
     common = (F.col("sup") + 2).cast("long")
-    return annotated.select(
+    sim = annotated.select(
         F.col("lo").alias("item_a"),
         F.col("hi").alias("item_b"),
         F.col("_dlo").cast("long").alias("deg_a"),
@@ -986,19 +998,21 @@ def scan_edge_similarity(
             )
         ).alias("sigma"),
     )
+    return (sim, tri) if return_triangles else sim
 
 
-def _edge_support(canon: DataFrame) -> DataFrame:
-    """Per-edge triangle support via the degree-oriented wedge scheme
-    (shared by :func:`scan_edge_similarity` and :func:`truss_peel`):
+def edge_triangles(canon: DataFrame, _deg: DataFrame | None = None) -> DataFrame:
+    """Closed-wedge triangle LIST via the degree-oriented wedge scheme:
     ``canon`` must be the DISTINCT canonical edge table (lo < hi),
-    already pinned by the caller. Returns one row per canonical edge —
-    (lo, hi, _dlo, _dhi, sup) with sup = exact triangle count (0 for
-    support-free edges). The degree table is pinned here (three
-    branches read it); the wedge cost is the triangle_stats shape
-    (hubs generate no wedges, the d^2 blow-up dies).
+    already pinned by the caller. One row per triangle, carrying its
+    THREE canonical edges — (lo1, hi1, lo2, hi2, lo3, hi3) — so
+    downstream consumers (truss rounds >= 2) can re-derive per-edge
+    support on any edge SUBSET with three semi-joins instead of a
+    fresh wedge join. Same wedge cost as the count-only path (the
+    list is the intermediate the count aggregates away). ``_deg`` lets
+    :func:`_edge_support` share its pinned degree table.
     """
-    deg = (
+    deg = _deg if _deg is not None else (
         canon.select(F.col("lo").alias("node"))
         .unionAll(canon.select(F.col("hi").alias("node")))
         .groupBy("node")
@@ -1030,25 +1044,59 @@ def _edge_support(canon: DataFrame) -> DataFrame:
         ["x", "y"],
         "left_semi",
     )
+    return closed.select(
+        F.least("src", "x").alias("lo1"),
+        F.greatest("src", "x").alias("hi1"),
+        F.least("src", "y").alias("lo2"),
+        F.greatest("src", "y").alias("hi2"),
+        F.least("x", "y").alias("lo3"),
+        F.greatest("x", "y").alias("hi3"),
+    )
+
+
+def _triangle_edge_counts(tri: DataFrame) -> DataFrame:
+    """(lo, hi, _sup) per canonical edge from a triangle list — each
+    triangle exploded onto its 3 edges, then one hash aggregate."""
     tri_edge = F.explode(
         F.array(
-            F.struct(
-                F.least("src", "x").alias("lo"), F.greatest("src", "x").alias("hi")
-            ),
-            F.struct(
-                F.least("src", "y").alias("lo"), F.greatest("src", "y").alias("hi")
-            ),
-            F.struct(
-                F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
-            ),
+            F.struct(F.col("lo1").alias("lo"), F.col("hi1").alias("hi")),
+            F.struct(F.col("lo2").alias("lo"), F.col("hi2").alias("hi")),
+            F.struct(F.col("lo3").alias("lo"), F.col("hi3").alias("hi")),
         )
     )
-    support = (
-        closed.select(tri_edge.alias("_e"))
+    return (
+        tri.select(tri_edge.alias("_e"))
         .select("_e.lo", "_e.hi")
         .groupBy("lo", "hi")
         .agg(F.count(F.lit(1)).alias("_sup"))
     )
+
+
+def _edge_support(canon: DataFrame, tri: DataFrame | None = None) -> DataFrame:
+    """Per-edge triangle support via the degree-oriented wedge scheme
+    (shared by :func:`scan_edge_similarity` and :func:`truss_peel`):
+    ``canon`` must be the DISTINCT canonical edge table (lo < hi),
+    already pinned by the caller. Returns one row per canonical edge —
+    (lo, hi, _dlo, _dhi, sup) with sup = exact triangle count (0 for
+    support-free edges). ``tri``, when given, is the already-computed
+    triangle list for EXACTLY this edge set (:func:`edge_triangles`) —
+    the wedge join is skipped and support is one explode + aggregate
+    over it. The degree table is pinned here (the wedge path reads it
+    from three branches); the wedge cost is the triangle_stats shape
+    (hubs generate no wedges, the d^2 blow-up dies).
+    """
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .unionAll(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    if tri is None:
+        tri = edge_triangles(canon, _deg=deg)
+    d_lo = deg.select(F.col("node").alias("lo"), F.col("deg").alias("_dlo"))
+    d_hi = deg.select(F.col("node").alias("hi"), F.col("deg").alias("_dhi"))
+    support = _triangle_edge_counts(tri)
     return (
         canon.join(d_lo, "lo")
         .join(d_hi, "hi")
@@ -1241,6 +1289,8 @@ def truss_peel(
     t_rank_den: int = 4,
     a_col: str = "item",
     b_col: str = "neighbor",
+    sup0: DataFrame | None = None,
+    tri0: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round truss peeling (k-truss, Cohen 2008) with a
     DATA-ADAPTIVE support threshold: repeatedly drop every edge whose
@@ -1267,6 +1317,24 @@ def truss_peel(
     bucketed order-statistics backbone (grouped_value_cum +
     grouped_discrete_quantile), never a single-partition sort.
 
+    ``sup0``, when given, is the round-1 support relation
+    (lo, hi, sup) ALREADY computed for the same canonical edge set —
+    e.g. ``scan_edge_similarity``'s output with
+    ``sup = common_closed - 2`` — letting a caller that has the shared
+    pinned sigma relation (the registry's `_scan_sigma` cache) skip the
+    dominant round-1 wedge join entirely; ``pairs`` is then ignored.
+    ``tri0`` (requires ``sup0``) is the matching closed-triangle list
+    (:func:`edge_triangles` /
+    ``scan_edge_similarity(return_triangles=True)``): with it, rounds
+    >= 2 skip the wedge join TOO — a subgraph's triangles are exactly
+    the original triangles whose three edges all survive, so each round
+    is three semi-joins against the (monotonically shrinking) survivor
+    set plus one explode + aggregate. Without ``tri0``, rounds >= 2
+    recompute the wedge join on the surviving (~25% post-P75) edges.
+    Output is hash-identical along every path: round-1 support on the
+    same edges IS the sigma support, and filtered-triangle counts equal
+    recomputed subgraph counts by definition.
+
     Output: one row per round — (round, n_edges_before, n_survivors,
     support_threshold).
     """
@@ -1278,16 +1346,23 @@ def truss_peel(
         raise ValueError(
             f"need 1 <= t_rank_num < t_rank_den, got {t_rank_num}/{t_rank_den}"
         )
-    a, b = F.col(a_col), F.col(b_col)
-    edges = (
-        pairs.filter(a != b)
-        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
-        eager=True
-    )
+    if tri0 is not None and sup0 is None:
+        raise ValueError("tri0 requires sup0 (same precomputed edge set)")
+    if sup0 is not None:
+        sup = sup0.select(
+            "lo", "hi", F.col("sup").cast("long").alias("sup")
+        ).localCheckpoint(eager=True)
+    else:
+        a, b = F.col(a_col), F.col(b_col)
+        edges = (
+            pairs.filter(a != b)
+            .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
+            eager=True
+        )
     cum = grouped_value_cum(
         sup.select("sup"), [], "sup", bucket_expr=F.col("sup")
     )
@@ -1296,9 +1371,35 @@ def truss_peel(
             cum, [], "sup", t_rank_num, t_rank_den, out_col="_t"
         )
     )
+    tri = tri0
     out = None
     for r in range(1, rounds + 1):
-        if r > 1:
+        if r > 1 and tri is not None:
+            # subgraph triangles = original triangles whose 3 edges all
+            # survive: three semi-joins against the shrinking survivor
+            # set, then one explode + hash aggregate — no wedge join
+            for i in (1, 2, 3):
+                tri = tri.join(
+                    edges.select(
+                        F.col("lo").alias(f"lo{i}"), F.col("hi").alias(f"hi{i}")
+                    ),
+                    [f"lo{i}", f"hi{i}"],
+                    "left_semi",
+                )
+            tri = tri.localCheckpoint(eager=True)
+            counts = _triangle_edge_counts(tri)
+            sup = (
+                edges.join(counts, ["lo", "hi"], "left")
+                .select(
+                    "lo",
+                    "hi",
+                    F.coalesce(F.col("_sup"), F.lit(0))
+                    .cast("long")
+                    .alias("sup"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        elif r > 1:
             sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
                 eager=True
             )

@@ -2726,8 +2726,19 @@ def q_winnow_verified(spark, sf_dir):
 _NEAR_DUP_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _evict_stale(cache: dict, app: str) -> None:
+    """Drop shared-evidence cache entries whose applicationId no longer
+    matches the live SparkContext: a stopped context's localCheckpoint
+    blocks are gone, so a stale entry would raise on first use — and
+    keeping it pins dead references for the process lifetime (ADVICE
+    r10). Keyed eviction keeps the caches O(live-app entries)."""
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+
+
 def _near_dup_evidence(spark: SparkSession, sf_dir: str, what: str) -> DataFrame:
     app = spark.sparkContext.applicationId
+    _evict_stale(_NEAR_DUP_CACHE, app)
     key = (app, sf_dir, what)
     df = _NEAR_DUP_CACHE.get(key)
     if df is None:
@@ -14311,21 +14322,30 @@ _SCAN_SIM_CTES = f"""
 # so a restarted context never serves a dead checkpoint. Results are
 # hash-identical to the unshared form: the cache stores the same pinned
 # relation scan_clusters would pin internally.
-_SCAN_SIGMA_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SCAN_SIGMA_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _scan_sigma_tri(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    from .operators import graph
+
+    app = spark.sparkContext.applicationId
+    _evict_stale(_SCAN_SIGMA_CACHE, app)
+    key = (app, sf_dir)
+    pair = _SCAN_SIGMA_CACHE.get(key)
+    if pair is None:
+        baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+        sig, tri = graph.scan_edge_similarity(
+            basket.basket_pairs(baskets), return_triangles=True
+        )
+        pair = (sig.localCheckpoint(eager=True), tri)
+        _SCAN_SIGMA_CACHE[key] = pair
+    return pair
 
 
 def _scan_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import graph
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    sig = _SCAN_SIGMA_CACHE.get(key)
-    if sig is None:
-        baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-        sig = graph.scan_edge_similarity(
-            basket.basket_pairs(baskets)
-        ).localCheckpoint(eager=True)
-        _SCAN_SIGMA_CACHE[key] = sig
-    return sig
+    return _scan_sigma_tri(spark, sf_dir)[0]
 
 
 @register(
@@ -14733,8 +14753,21 @@ def _truss_oracle(rounds: int = 3, num: int = 3, den: int = 4) -> str:
 def q_truss_peel(spark, sf_dir):
     from .operators import graph
 
+    # round-1 support = the shared pinned sigma relation's
+    # common_closed - 2 on the SAME canonical edge set, and rounds 2-3
+    # filter the shared pinned triangle LIST (three semi-joins) instead
+    # of re-running the wedge join — r10 bench was 27.2 s with all
+    # three rounds recomputing wedges from scratch
+    sig, tri = _scan_sigma_tri(spark, sf_dir)
+    sup0 = sig.select(
+        F.col("item_a").alias("lo"),
+        F.col("item_b").alias("hi"),
+        (F.col("common_closed") - 2).cast("long").alias("sup"),
+    )
     baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    return graph.truss_peel(basket.basket_pairs(baskets), rounds=3)
+    return graph.truss_peel(
+        basket.basket_pairs(baskets), rounds=3, sup0=sup0, tri0=tri
+    )
 
 
 @register(

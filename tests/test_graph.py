@@ -587,6 +587,37 @@ def test_truss_peel_cascade(spark):
     assert (out[2].n_edges_before, out[2].n_survivors) == (8, 8)
 
 
+def test_truss_peel_sup0_path_equals_recompute(spark):
+    # the registry feeds truss_peel the shared sigma relation's
+    # support as sup0 — the fast path must be row-identical to the
+    # self-computed round-1 support
+    rows = [("u", str(i % 23), str((i * 7) % 23)) for i in range(300)]
+    pairs = spark.createDataFrame(rows, "c string, item string, neighbor string")
+    base = graph.truss_peel(pairs, rounds=3).collect()
+    sig = graph.scan_edge_similarity(pairs)
+    sup0 = sig.select(
+        F.col("item_a").alias("lo"),
+        F.col("item_b").alias("hi"),
+        (F.col("common_closed") - 2).cast("long").alias("sup"),
+    )
+    fast = graph.truss_peel(pairs, rounds=3, sup0=sup0).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, base))
+    # tri0 path: rounds >= 2 filter the pinned triangle list instead of
+    # re-running the wedge join — must also be row-identical
+    sig2, tri = graph.scan_edge_similarity(pairs, return_triangles=True)
+    sup0b = sig2.select(
+        F.col("item_a").alias("lo"),
+        F.col("item_b").alias("hi"),
+        (F.col("common_closed") - 2).cast("long").alias("sup"),
+    )
+    fastest = graph.truss_peel(pairs, rounds=3, sup0=sup0b, tri0=tri).collect()
+    assert sorted(map(tuple, fastest)) == sorted(map(tuple, base))
+    import pytest
+
+    with pytest.raises(ValueError):
+        graph.truss_peel(pairs, rounds=3, tri0=tri)
+
+
 def test_truss_peel_validation(spark):
     pairs = spark.createDataFrame([("a", "b")], "item string, neighbor string")
     import pytest
