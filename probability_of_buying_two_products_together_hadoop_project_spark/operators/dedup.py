@@ -683,6 +683,45 @@ def minhash_near_dup_verified(
     )
 
 
+def minhash_candidates_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (no Jaccard verify) over the
+    ORACLE-REPLICABLE md5 hash family — the banding stage of
+    :func:`minhash_near_dup_verified` exposed on its own, at the wider
+    32-hash / 8-band (4 rows per band) operating point: candidates are
+    exactly "pairs sharing >= 1 of ``bands`` band keys", which a DuckDB
+    twin states quadratically over regenerated signatures. Emits
+    (doc_a, doc_b) with doc_a < doc_b. The xxhash64 banding
+    (:func:`minhash_near_dup_candidates`) stays the fast path — same
+    blocking semantics, engine-native hashes.
+    """
+    _, bandk = _md5_shingles_and_bands(
+        docs, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    buckets = (
+        bandk.groupBy("band", "bk")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expand = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    return (
+        buckets.select(F.explode(pair_expand).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def near_dup_clusters_star(
     ids: DataFrame,
     pairs: DataFrame,

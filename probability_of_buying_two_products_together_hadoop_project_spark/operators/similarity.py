@@ -406,15 +406,27 @@ def srp_lsh_topk(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lcg_planes: bool = False,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP signature -> band buckets -> exact
-    cosine re-rank within candidate buckets only."""
+    cosine re-rank within candidate buckets only. ``lcg_planes=True``
+    swaps the xxhash64 plane family for the oracle-replicable LCG one
+    (:func:`srp_signature_lcg`) so an ANSI-SQL twin can regenerate
+    signatures, buckets, candidates, and ranks; ``round_digits``
+    controls the cosine rounding the rank order is taken over (4 for
+    the cross-engine-pinned variant, matching the brute-force oracle)."""
     bands = num_planes // band_bits
     mask = (1 << band_bits) - 1
+    plane_sig = (
+        srp_signature_lcg(vec_col, num_planes)
+        if lcg_planes
+        else srp_signature(vec_col, num_planes)
+    )
     sig = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        srp_signature(vec_col, num_planes).alias("sig"),
+        plane_sig.alias("sig"),
     )
     # band indices are compile-time constants -> plain Python loop
     banded = sig.select(
@@ -455,7 +467,7 @@ def srp_lsh_topk(
     sims = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

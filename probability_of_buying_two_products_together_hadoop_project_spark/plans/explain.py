@@ -56,9 +56,25 @@ def unbounded_single_partition_exchanges(df: DataFrame) -> list[int]:
     prefix-sum), limited (TakeOrderedAndProject / GlobalLimit), local, or
     localCheckpoint-pinned small state (Scan ExistingRDD).
 
+    Boundedness is judged RECURSIVELY over the exchange's input tree,
+    not by scanning the whole subtree for any marker (ADVICE r10 — a
+    marker in just one branch of a join silenced the tripwire): a node
+    is bounded iff it IS a boundedness marker (aggregate / limit /
+    local / pinned-checkpoint scan / broadcast build side), or it is a
+    join/union/generate whose children are ALL bounded (bounded x
+    bounded stays bounded; one unbounded branch poisons the node), or
+    it is a single-child operator over a bounded child. A raw parquet
+    scan or Range leaf is unbounded.
+
     The check is a structural heuristic over the formatted plan tree —
     use it as a regression tripwire (assert == []), not as proof of
-    scale-worthiness.
+    scale-worthiness. Known residual blind spot, by design: an
+    *Aggregate* directly below the exchange bounds the input only down
+    to its GROUP-KEY cardinality — a groupBy over a corpus-sized key
+    still funnels that many rows through one task; the marker accepts
+    it because every legitimate single-partition hop in this repo sits
+    above an aggregation whose key set is structurally small (buckets,
+    digits, rounds), and that contract is reviewed per query, not here.
     """
     import re
 
@@ -86,18 +102,39 @@ def unbounded_single_partition_exchanges(df: DataFrame) -> list[int]:
             name = m.group(1).strip().lstrip("* ").strip()
             depth = m.start(1)
             tree.append((depth, int(m.group(2)), name))
+    def children(i: int) -> list[int]:
+        """Direct children of tree[i]: the minimum-depth nodes of its
+        subtree (pre-order with indentation-encoded nesting)."""
+        d = tree[i][0]
+        sub = []
+        for j in range(i + 1, len(tree)):
+            if tree[j][0] <= d:
+                break
+            sub.append(j)
+        if not sub:
+            return []
+        dmin = min(tree[j][0] for j in sub)
+        return [j for j in sub if tree[j][0] == dmin]
+
+    def bounded(i: int) -> bool:
+        name = tree[i][2]
+        if "BroadcastExchange" in name:
+            return True  # planner-vetted small build side
+        if any(mk in name for mk in _BOUNDED_MARKERS):
+            return True
+        kids = children(i)
+        if not kids:
+            return False  # raw leaf (Scan parquet, Range): data-sized
+        # joins/unions/generates and single-child ops alike: bounded
+        # iff EVERY input is bounded — one unbounded branch poisons it
+        return all(bounded(j) for j in kids)
+
     flagged: list[int] = []
-    for i, (depth, nid, _name) in enumerate(tree):
+    for i, (_depth, nid, _name) in enumerate(tree):
         if nid not in single_ids:
             continue
-        bounded = False
-        for d2, _nid2, name2 in tree[i + 1 :]:
-            if d2 <= depth:
-                break
-            if any(mk in name2 for mk in _BOUNDED_MARKERS):
-                bounded = True
-                break
-        if not bounded:
+        kids = children(i)
+        if not (kids and all(bounded(j) for j in kids)):
             flagged.append(nid)
     return flagged
 
