@@ -2148,6 +2148,95 @@ def q_events_view_purchase_outer(spark, sf_dir):
 
 
 @register(
+    "streaming_tumbling_complete_events",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000
+             AS bucket_us,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "REAL Structured Streaming execution, not a batch stand-in: "
+    "readStream file source over the events table, watermarked 1-hour "
+    "tumbling aggregate, trigger(availableNow) drained into a memory "
+    "sink in COMPLETE mode — the oracle states Spark's stream/batch "
+    "parity guarantee (complete mode must equal the batch aggregate "
+    "exactly, exact-decimal value sums). The memory sink only ever "
+    "holds window aggregates; at scale the identical query writes to a "
+    "real sink with availableNow as the incremental-backfill trigger",
+)
+def q_streaming_tumbling_complete(spark, sf_dir):
+    from .streaming import streams
+
+    ev = streams.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+    out = streams.drain_available_now(agg, "complete")
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("bucket_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "streaming_session_append_watermark",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    ), sw AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS session_start_us,
+             epoch_us(max(ts)) + 1800000000 AS session_end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT session_start_us, session_end_us, user_id, n_events
+    FROM sw
+    WHERE session_end_us <
+          (SELECT max(epoch_us(ts)) FROM events) - 7200000000
+    """,
+    "REAL Structured Streaming WATERMARK EMISSION semantics, stated in "
+    "SQL: 30-minute session windows over the streamed events table in "
+    "APPEND mode with a 2-hour watermark, drained with availableNow — "
+    "append emits exactly the sessions whose end (last event + gap) "
+    "falls strictly before the final watermark (max event time - 2h); "
+    "open or near-tail sessions are withheld as in-flight state. The "
+    "oracle computes the same gap sessions batch-side and applies the "
+    "emission predicate — a wrong watermark/eviction implementation "
+    "changes the emitted SET and fails the driver hash",
+)
+def q_streaming_session_append(spark, sf_dir):
+    from .streaming import streams
+
+    ev = streams.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sess = streams.session_counts(ev, gap="30 minutes", watermark="2 hours")
+    out = streams.drain_available_now(sess, "append")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "user_id",
+        "n_events",
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,

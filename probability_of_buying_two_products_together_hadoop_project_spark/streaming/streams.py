@@ -30,6 +30,12 @@ def read_events_stream(
     r = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # the file stream source requires a DIRECTORY basePath; a single
+        # parquet file (the testdata layout) streams via its parent dir
+        # plus a glob filter pinned to that one file
+        r = r.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     return r.format("parquet").load(path)
 
 
@@ -484,6 +490,36 @@ def dedup_index_sink(
         .option("checkpointLocation", survivors_path + "._checkpoint")
         .start()
     )
+
+
+_MEM_SEQ = iter(range(1, 1 << 30))
+
+
+def drain_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (``availableNow`` — process
+    everything currently in the source, honoring watermark semantics
+    batch-by-batch, then stop) into a uniquely-named memory sink and
+    return the result as a batch DataFrame.
+
+    This is the registry's bridge from the driver's batch contract to
+    REAL Structured Streaming execution: the returned relation is what
+    the streaming query actually emitted (complete mode: full state;
+    append mode: only watermark-closed windows), so an oracle can state
+    streaming emission semantics — not just the transformation — in SQL.
+    The memory sink holds AGGREGATED rows only (windows/sessions), never
+    corpus-sized data; at scale the same query writes to a real sink and
+    availableNow becomes the standard incremental-backfill trigger.
+    """
+    name = f"_graft_stream_{next(_MEM_SEQ)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:

@@ -1030,3 +1030,34 @@ def test_streaming_theilsen_equals_batch_trend(spark, tmp_path):
     )
     assert got == want and got[0][1] > 0  # pairs exist; trend positive
     assert got[0][2] > 0
+
+
+def test_registry_streaming_queries_real_emission(spark, sf_smoke):
+    """The two r11 registry streaming entries run REAL streaming
+    (availableNow into a memory sink): complete mode equals the batch
+    aggregate; append mode emits exactly the watermark-closed sessions
+    (end < max ts - 2h) and withholds the tail."""
+    import datetime
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    tum = qs["streaming_tumbling_complete_events"](spark, sf_smoke)
+    batch_n = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert tum.count() == batch_n
+
+    sess = qs["streaming_session_append_watermark"](spark, sf_smoke)
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    allsess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    mx = ev.agg(F.max("ts")).first()[0]
+    wm = mx - datetime.timedelta(hours=2)
+    closed = allsess.filter(F.col("w.end") < F.lit(wm))
+    assert sess.count() == closed.count()
+    assert sess.count() < allsess.count()  # the open tail is withheld
