@@ -223,6 +223,9 @@ HEADLINE = [
     "clustering_coeff_items",
     "graph_transitivity_items",
     "truss_peel_items",
+    # r11 additions: real Structured Streaming emission queries
+    "streaming_tumbling_complete_events",
+    "streaming_session_append_watermark",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

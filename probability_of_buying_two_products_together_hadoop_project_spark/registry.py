@@ -1172,6 +1172,57 @@ _MH_JACCARD = (
 )
 
 
+def _uh_oracle_cte(num_hashes: int, bands: int) -> str:
+    """Tokenize -> 3-gram -> universal-hash signature -> band CTE prefix
+    of the FAST oracle-replicable MinHash family (md5 once per shingle,
+    then exact-int64 ``(a_i * (h % P) + b_i) % P`` seed mins over the
+    Mersenne prime P = 2^31 - 1; band key = md5 of ':'-joined mins) —
+    mirrors dedup._universal_shingles_and_bands verbatim."""
+    from .operators.dedup import _UH_P, _uh_consts
+
+    rows = num_hashes // bands
+    sigs = ",\n           ".join(
+        "list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))".format(
+            a=_uh_consts(i)[0], b=_uh_consts(i)[1], p=_UH_P
+        )
+        for i in range(num_hashes)
+    )
+    band_keys = ",\n           ".join(
+        f"md5('{b}' || ':' || "
+        + " || ':' || ".join(f"s[{b * rows + r + 1}]::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS grams
+      FROM tk WHERE len(tk) >= 3
+    ), hv AS (
+      SELECT doc_id, grams,
+             list_transform(grams,
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % {_UH_P}) AS hs
+      FROM g
+    ), sig AS (
+      SELECT doc_id, grams,
+           [{sigs}] AS s
+      FROM hv
+    ), bke AS (
+      SELECT doc_id, unnest([{band_keys}]) AS bk
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bke a JOIN bke b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )"""
+
+
 def _mh_oracle_cte(num_hashes: int, bands: int) -> str:
     """Shared tokenize -> 3-gram -> signature -> band CTE prefix of the
     md5-family MinHash oracles."""
@@ -2996,24 +3047,28 @@ def q_dedup_clusters(spark, sf_dir):
 
 @register(
     "jaccard_prefiltered",
-    _mh_oracle_cte(32, 16) + f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {_MH_JACCARD} AS jaccard
-    FROM band a JOIN band b ON a.doc_id < b.doc_id
-     AND ({_mh_oracle_parts(32, 16)[2]})
-    WHERE {_MH_JACCARD} >= 0.5
+    _uh_oracle_cte(32, 16) + """
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(x.grams, y.grams)) * 1.0
+                 / len(list_distinct(x.grams || y.grams)), 4) AS jaccard
+    FROM cand c JOIN g x ON x.doc_id = c.doc_a
+                JOIN g y ON y.doc_id = c.doc_b
+    WHERE round(len(list_intersect(x.grams, y.grams)) * 1.0
+                / len(list_distinct(x.grams || y.grams)), 4) >= 0.5
     """,
     "Exact Jaccard over MinHash-band candidates (no block column needed; "
     "linear candidate generation, exact verification). 3-gram shingles: "
     "unigram token sets are degenerate on templated text (everything "
-    "matches everything). r11: md5 hash family at the 32-hash/16-band "
-    "(2 rows per band) high-recall operating point, so the DuckDB twin "
-    "regenerates signatures, band keys, candidates, and verdicts — the "
-    "xxhash64 prefilter (dedup.jaccard_pairs_prefiltered) stays the "
-    "engine-native fast path, exercised in tests/test_dedup.py",
+    "matches everything). r11: oracle-replicable UNIVERSAL-HASH family "
+    "at the 32-hash/16-band (2 rows per band) high-recall point — one "
+    "md5 per distinct shingle, then exact-int64 (a*h+b) mod (2^31-1) "
+    "seed mins the DuckDB twin regenerates verbatim (the md5-per-seed "
+    "family measured 5x slower at 32 hashes); the xxhash64 prefilter "
+    "(dedup.jaccard_pairs_prefiltered) stays the engine-native path, "
+    "exercised in tests/test_dedup.py",
 )
 def q_jaccard_prefiltered(spark, sf_dir):
-    return dedup.minhash_near_dup_verified(
+    return dedup.jaccard_prefiltered_verified(
         _t(spark, sf_dir, "documents"),
         shingle_n=3,
         num_hashes=32,
@@ -3024,18 +3079,17 @@ def q_jaccard_prefiltered(spark, sf_dir):
 
 @register(
     "minhash_near_dup",
-    _mh_oracle_cte(32, 8) + f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b ON a.doc_id < b.doc_id
-     AND ({_mh_oracle_parts(32, 8)[2]})
+    _uh_oracle_cte(32, 8) + """
+    SELECT doc_a, doc_b FROM cand
     """,
     "MinHash-LSH near-duplicate candidate pairs (banded signature "
-    "join, no verify stage — the raw recall surface). r11: md5 hash "
-    "family at 32 hashes / 8 bands (4 rows per band — a sharper "
-    "S-curve than the 16/8 verified sibling), so the DuckDB twin "
-    "states the same 'shares >= 1 band key' semantic quadratically "
-    "and the driver hash pins the banding itself; the xxhash64 "
-    "banding (dedup.minhash_near_dup_candidates) stays the fast path",
+    "join, no verify stage — the raw recall surface). r11: "
+    "oracle-replicable UNIVERSAL-HASH family at 32 hashes / 8 bands "
+    "(4 rows per band — a sharper S-curve than the 16/8 verified "
+    "sibling): one md5 per distinct shingle, exact-int64 seed mins "
+    "the DuckDB twin states quadratically, so the driver hash pins "
+    "the banding itself; the xxhash64 banding "
+    "(dedup.minhash_near_dup_candidates) stays the fast path",
 )
 def q_minhash_near_dup(spark, sf_dir):
     return dedup.minhash_candidates_verified(
