@@ -1479,6 +1479,64 @@ def local_clustering_coefficients(sim: DataFrame) -> DataFrame:
     )
 
 
+def triangle_stats_from_similarity(sim: DataFrame) -> DataFrame:
+    """:func:`triangle_stats`' exact output derived from a
+    :func:`scan_edge_similarity` relation — zero wedge recomputation:
+    every canonical edge already carries its triangle support
+    (``common_closed - 2``, each triangle exploded onto its 3 edges by
+    construction, so ``sum(support) = 3T`` exactly) and both endpoint
+    degrees (recovered per node with a max — they repeat per incident
+    edge). Same columns, same integer values, same one
+    correctly-rounded transitivity division as the self-contained
+    operator; feed it the registry's pinned shared sigma and the whole
+    query is two tiny aggregates over already-materialized blocks.
+
+    Output: one row — (n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity), bit-identical to ``triangle_stats(pairs)`` on the
+    same graph.
+    """
+    deg = (
+        sim.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("node"),
+                        F.col("deg_a").alias("deg"),
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("node"),
+                        F.col("deg_b").alias("deg"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.deg")
+        .groupBy("node")
+        .agg(F.max("deg").alias("_d"))
+    )
+    nn_w = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(_d * (_d - 1)) div 2")).cast("long").alias("n_wedges"),
+    )
+    em = sim.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.expr("sum(common_closed - 2) div 3").cast("long").alias("n_triangles"),
+    )
+    return nn_w.crossJoin(em).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        )
+        .alias("transitivity"),
+    )
+
+
 def graph_transitivity(sim: DataFrame) -> DataFrame:
     """Global clustering coefficient (transitivity) from a
     :func:`scan_edge_similarity` relation: ``3 x triangles / wedges``

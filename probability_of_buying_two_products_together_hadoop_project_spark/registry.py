@@ -6109,12 +6109,13 @@ def q_chunk_documents(spark, sf_dir):
 def q_triangle_count(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    # feed the aggregated pair counts, not raw pair occurrences: the
-    # map-side-combined groupBy is the cheapest distinct-directed-pair
-    # relation, so triangle_stats' canonical dedup shuffles edges, not
-    # occurrences (measured 105 MB -> ~30 MB shuffle write at sf0.1)
-    return graph.triangle_stats(basket.cooccurrence_pairs(baskets))
+    # r11: derived from the shared pinned sigma relation — sum(support)
+    # IS 3T and the endpoint degrees recover the wedge count, so the
+    # 10-16 s per-suite wedge recomputation collapses to two aggregates
+    # over already-materialized blocks (bit-identical output; the
+    # self-contained triangle_stats pipeline stays exercised by
+    # triangle_count_sampled and the known-graph unit tests)
+    return graph.triangle_stats_from_similarity(_scan_sigma(spark, sf_dir))
 
 
 @register(

@@ -618,6 +618,24 @@ def test_truss_peel_sup0_path_equals_recompute(spark):
         graph.truss_peel(pairs, rounds=3, tri0=tri)
 
 
+def test_triangle_stats_from_similarity_matches_self_contained(spark):
+    # the registry derives triangle_count_items from the shared sigma;
+    # the derived form must be row-identical to the wedge pipeline
+    rows = [
+        ("u", str(a), str(b))
+        for a in range(9)
+        for b in range(9)
+        if a != b and (a + b) % 3 != 0
+    ]
+    pairs = spark.createDataFrame(rows, "c string, item string, neighbor string")
+    base = graph.triangle_stats(pairs).collect()
+    derived = graph.triangle_stats_from_similarity(
+        graph.scan_edge_similarity(pairs)
+    ).collect()
+    assert [tuple(r) for r in derived] == [tuple(r) for r in base]
+    assert derived[0]["n_triangles"] > 0
+
+
 def test_truss_peel_validation(spark):
     pairs = spark.createDataFrame([("a", "b")], "item string, neighbor string")
     import pytest
