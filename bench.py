@@ -13,7 +13,18 @@ core — small enough for the driver's tail capture to parse whole):
 
 Each query is forced with a cheap ``count()``-style action
 (``df.write.format("noop")``) so we measure full plan execution without
-driver-side collect overhead dominating. Usage:
+driver-side collect overhead dominating.
+
+Shared-evidence methodology (r10 ADVICE): queries that read a
+per-(SparkContext, sf_dir) pinned cache (the SCAN sigma + triangle
+list, the blocked-Jaccard near-dup evidence) have the build absorbed
+by their per-query UNTIMED warmup run — every timed figure is the
+query's own marginal work, the per-query cost a pipeline pays after
+the first consumer. The COLD build costs are measured separately and
+recorded in SCALING.md decade rows (scan_edge_similarity_items /
+ngram_jaccard_pairs).
+
+Usage:
 
     python bench.py [--only name ...] [--repeat 1]
 """
@@ -223,9 +234,11 @@ HEADLINE = [
     "clustering_coeff_items",
     "graph_transitivity_items",
     "truss_peel_items",
-    # r11 additions: real Structured Streaming emission queries
+    # r11 additions: real Structured Streaming emission queries + the
+    # re-implemented (universal-hash / md5-family) near-dup entries
     "streaming_tumbling_complete_events",
     "streaming_session_append_watermark",
+    "simhash_near_dup",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -15819,7 +15819,7 @@ _ROTATION_TAIL = {
     "kmeans_embeddings": "r07",
     "markov_stationary_events": "r07",
     "hits_customer_part": "r07",
-    "mutual_info_type_hour": "r07",
+    "mutual_info_type_hour": "r11-local",
     "welch_ttest_urgent": "r07",
     "dp_noisy_counts_priority": "r07",
     "hashing_trick_features": "r07",
@@ -16097,7 +16097,7 @@ _ROTATION_TAIL = {
     "redact_pii_customers": "r09",
     "sequence_pack_512": "r09",
     "embedding_centroids": "r09",
-    "triangle_count_items": "r09",
+    "triangle_count_items": "r11-local",
     "benford_screen_totalprice": "r09",
     "ks_drift_totalprice": "r09",
     "pca_two_components_embeddings": "r09",
@@ -16152,7 +16152,7 @@ _ROTATION_TAIL = {
     "boilerplate_gram_screen": "r10",
     "value_histogram_events": "r10",
     "anomaly_zscore_events": "r10",
-    "window_percentile_norm": "r10",
+    "window_percentile_norm": "r11-local",
     "nearest_centroid_confusion": "r10",
     "split_leakage_near_dup": "r10",
     "funnel_view_click_purchase": "r10",
@@ -16180,11 +16180,11 @@ _ROTATION_TAIL = {
     "golden_record_docs": "r10",
     "privacy_suppress_orders": "r10",
     "dataset_fingerprints": "r10",
-    "calibration_curve_doclen": "r10",
-    "brier_decomposition_doclen": "r10",
+    "calibration_curve_doclen": "r11-local",
+    "brier_decomposition_doclen": "r11-local",
     "scan_edge_similarity_items": "r10",
     "scan_clusters_items": "r10",
-    "truss_peel_items": "r10",
+    "truss_peel_items": "r11-local",
     "clustering_coeff_items": "r10",
     "graph_transitivity_items": "r10",
     "qq_deciles_user_cohort": "r10",
