@@ -239,6 +239,7 @@ HEADLINE = [
     "streaming_tumbling_complete_events",
     "streaming_session_append_watermark",
     "simhash_near_dup",
+    "approx_percentile_gk_bounds",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -1961,6 +1961,83 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "approx_percentile_gk_bounds",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS rf, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT rf AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN rk >= (1 * n + 1) // 2 THEN v END) AS exact_p50,
+           MIN(CASE WHEN rk >= (9 * n + 9) // 10 THEN v END) AS exact_p90,
+           TRUE AS p50_within_2pct_rank,
+           TRUE AS p90_within_2pct_rank
+    FROM r GROUP BY rf
+    """,
+    "MERGEABLE approximate quantiles (Spark's Greenwald-Khanna "
+    "percentile_approx, accuracy=100 => 1% rank error) with the rank "
+    "bound carried IN the row hash — the quantile analog of the HLL "
+    "property-bound pattern: each group outputs the exact discrete "
+    "p50/p90 (integer-ceiling-rank picks via the order-statistics "
+    "backbone, engine-identical) plus booleans asserting the GK "
+    "estimate lands between the exact q±2% rank picks (a 2x margin "
+    "over the sketch's guarantee); the oracle states the booleans as "
+    "TRUE literals, so estimator drift fails the driver hash. The "
+    "exact picks shuffle distinct-value counts (never a per-group "
+    "sort funnel); the sketch side is one map-side-mergeable agg — "
+    "the pair a 100 TB pipeline stores per shard and folds at read",
+)
+def q_approx_percentile_bounds(spark, sf_dir):
+    from .operators.relational import (
+        grouped_discrete_quantile,
+        grouped_value_cum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # the cum table feeds SIX quantile picks — pin it (Catalyst dedupes
+    # no common subplans; without this the corpus aggregates six times)
+    cum = grouped_value_cum(li, ["l_returnflag"], "l_extendedprice").localCheckpoint(
+        eager=True
+    )
+
+    def pick(num: int, den: int, name: str) -> DataFrame:
+        return grouped_discrete_quantile(
+            cum, ["l_returnflag"], "l_extendedprice", num, den, out_col=name
+        )
+
+    bounds = (
+        pick(12, 25, "_p50_lo")  # q = 0.48
+        .join(pick(1, 2, "exact_p50"), "l_returnflag")
+        .join(pick(13, 25, "_p50_hi"), "l_returnflag")  # q = 0.52
+        .join(pick(22, 25, "_p90_lo"), "l_returnflag")  # q = 0.88
+        .join(pick(9, 10, "exact_p90"), "l_returnflag")
+        .join(pick(23, 25, "_p90_hi"), "l_returnflag")  # q = 0.92
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 100).alias("_a90"),
+    )
+    return ap.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p90",
+        (
+            (F.col("_a50") >= F.col("_p50_lo"))
+            & (F.col("_a50") <= F.col("_p50_hi"))
+        ).alias("p50_within_2pct_rank"),
+        (
+            (F.col("_a90") >= F.col("_p90_lo"))
+            & (F.col("_a90") <= F.col("_p90_hi"))
+        ).alias("p90_within_2pct_rank"),
+    )
+
+
+@register(
     "scalar_array_funcs",
     """
     WITH t AS (
