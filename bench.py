@@ -240,6 +240,7 @@ HEADLINE = [
     "streaming_session_append_watermark",
     "simhash_near_dup",
     "approx_percentile_gk_bounds",
+    "streaming_dedup_within_watermark",
 ]
 
 # The recorded-baseline comparison set (BASELINE.md "12-query core") —

@@ -2365,6 +2365,31 @@ def q_streaming_session_append(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "REAL streaming deduplication: dropDuplicatesWithinWatermark over "
+    "the streamed events table (2-hour state horizon), availableNow "
+    "into an append memory sink, projected to the dedup key — the "
+    "emitted key set must equal the batch DISTINCT exactly while the "
+    "state store holds one entry per in-horizon key (sized by arrival "
+    "rate x watermark, never corpus size). Keys only, by design: "
+    "which duplicate's payload survives is an arrival-order artifact "
+    "no cross-engine contract should pin",
+)
+def q_streaming_dedup(spark, sf_dir):
+    from .streaming import streams
+
+    ev = streams.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = streams.drain_available_now(
+        streams.dedup_stream(ev, key_cols=("user_id", "event_type")),
+        "append",
+    )
+    return out.select("user_id", "event_type")
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,
