@@ -552,3 +552,43 @@ def test_minhash_incremental_equals_full_rerun(spark):
     assert inc == touching
     assert len(inc) >= 3  # 1-3 dup pair plus cross pairs to 0/10
     assert any(a % 5 == 0 or b % 5 == 0 for a, b, _ in inc)  # cross pairs exist
+
+
+def test_simhash_md5_signatures_match_template_form(spark):
+    """r11: the md5-family signature moved from the interpreted HOF
+    balance/pack templates to explode + 64 conditional-sum aggregates;
+    values must be bit-identical, including the empty-token (sh=0) and
+    NULL-text (sh=NULL) contracts."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here"),
+            (4, "   "),
+            (5, None),
+            (6, "one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["sh"] for r in dedup.simhash_signatures_md5(docs).collect()}
+    hashes = F.expr(
+        "transform(filter(split(regexp_replace(lower(trim(text)),"
+        " '\\\\s+', ' '), ' '), x -> x != ''),"
+        " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+    want = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", hashes.alias("hs"))
+        .select(
+            "doc_id",
+            F.expr(dedup._SIMHASH_BALANCE_EXPR.format(hs="hs")).alias("bal"),
+        )
+        .select(
+            "doc_id", F.expr(dedup._SIMHASH_PACK_EXPR.format(bal="bal")).alias("sh")
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[4] == 0 and got[5] is None and got[1] != got[3]
