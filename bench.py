@@ -35,6 +35,8 @@ import argparse
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 import urllib.request
@@ -389,6 +391,44 @@ def main() -> None:
             spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
 
     total = round(sum(timings.values()), 3)
+
+    # Host-factor normalization (BASELINE.md method; mirrors
+    # tools/bench_diff.py): walls are host-confounded (same code
+    # measured 0.85x-1.15x of baseline within an hour in r11), so
+    # compute the median wall ratio vs the last COMMITTED BENCH.json
+    # over shuffle-byte-stable queries — their plans provably did not
+    # move, so the ratio is pure hardware — and report a normalized
+    # total next to the raw one. Round-over-round comparisons read the
+    # normalized figure; per-query regressions still gate on shuffle
+    # bytes via bench_diff.
+    host_factor = None
+    host_pool_n = 0
+    try:
+        prev = json.loads(
+            subprocess.run(
+                ["git", "show", "HEAD:BENCH.json"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+        )
+        bq, bs2 = prev.get("queries") or {}, prev.get("shuffle_bytes") or {}
+        common = [q for q in bq if q in timings]
+        stable = [
+            q
+            for q in common
+            if q in bs2
+            and q in shuffle
+            and bs2[q].get("write_bytes") == shuffle[q]["write_bytes"]
+        ]
+        pool = stable if len(stable) >= 5 else common
+        ratios = [timings[q] / bq[q] for q in pool if bq[q] > 0]
+        if ratios:
+            host_factor = round(statistics.median(ratios), 4)
+            host_pool_n = len(pool)
+    except Exception as e:  # noqa: BLE001  (no git / first run / parse)
+        print(f"# host-factor baseline unavailable: {e}", file=sys.stderr)
+
     detail = {
         "metric": "total_wall_sec",
         "value": total,
@@ -396,6 +436,11 @@ def main() -> None:
         "queries": timings,
         "shuffle_bytes": shuffle,
         "sf": sf,
+        "host_factor": host_factor,
+        "host_factor_pool_n": host_pool_n,
+        "normalized_total_sec": (
+            round(total / host_factor, 3) if host_factor else None
+        ),
     }
     # full detail (all queries + shuffle volume) to disk; stdout gets ONE
     # compact line the driver's 2 KB tail capture can always parse.
@@ -425,6 +470,10 @@ def main() -> None:
         "core_total_sec": round(sum(core.values()), 3),
         "n_queries": len(timings),
         "sf": sf,
+        "host_factor": host_factor,
+        "normalized_total_sec": (
+            round(total / host_factor, 3) if host_factor else None
+        ),
     }, separators=(",", ":")))
     spark.stop()
 

@@ -561,12 +561,16 @@ def _md5_shingles_and_bands(
     shingle_n: int,
     num_hashes: int,
     bands: int,
+    pin_g: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The oracle-replicable md5 MinHash front half, shared by the batch
     and incremental variants: returns (g, bandk) where g = (_id, _g
     distinct-shingle array) and bandk = (_id, band, bk) exploded band
     keys. Lexicographic min over md5 hex is a valid min-hash (hex is
-    order-isomorphic to the 128-bit integer)."""
+    order-isomorphic to the 128-bit integer). ``pin_g=True``
+    localCheckpoints g before the signature derivation so callers that
+    fan it into the band path and both verify join sides don't execute
+    the tokenize + shingle subtree three times."""
     rows = num_hashes // bands
     if rows * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
@@ -585,6 +589,8 @@ def _md5_shingles_and_bands(
     # hoist the distinct-shingle array: it is referenced num_hashes times
     # below and once by the verify join-back (HOF-lambda hoisting rule)
     g = tk.select("_id", F.array_distinct(grams).alias("_g"))
+    if pin_g:
+        g = g.localCheckpoint(eager=True)
     # the per-seed hasher MUST be a one-parameter lambda: a second
     # parameter (even a defaulted `i=i` closure trick) makes PySpark
     # treat it as transform's (element, index) form, silently binding
@@ -645,7 +651,7 @@ def minhash_near_dup_verified(
     Emits (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounding.
     """
     g, bandk = _md5_shingles_and_bands(
-        docs, text_col, id_col, shingle_n, num_hashes, bands
+        docs, text_col, id_col, shingle_n, num_hashes, bands, pin_g=True
     )
     buckets = (
         bandk
@@ -703,6 +709,7 @@ def _universal_shingles_and_bands(
     shingle_n: int,
     num_hashes: int,
     bands: int,
+    pin_g: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The FAST oracle-replicable MinHash front half: each distinct
     shingle is md5-hashed ONCE into a 60-bit int (15 hex chars), and
@@ -715,6 +722,13 @@ def _universal_shingles_and_bands(
     (g, bandk) like :func:`_md5_shingles_and_bands`: g = (_id, _g
     distinct-shingle strings) for the exact-Jaccard verify, bandk =
     (_id, band, bk) with bk = md5 of the ':'-joined per-band mins.
+
+    ``pin_g=True`` localCheckpoints the shingle relation before the
+    signature derivation: a caller fanning g into the band path AND
+    both verify join sides would otherwise execute the tokenize +
+    md5-per-shingle subtree three times (Catalyst dedupes no common
+    subplans). Leave False when only bandk is consumed — pinning would
+    materialize doc-sized shingle arrays for nothing.
     """
     rows = num_hashes // bands
     if rows * bands != num_hashes:
@@ -732,6 +746,8 @@ def _universal_shingles_and_bands(
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     g = tk.select("_id", F.array_distinct(grams).alias("_g"))
+    if pin_g:
+        g = g.localCheckpoint(eager=True)
     # explode + codegen min-aggs, NOT nested array lambdas (the
     # minhash_signatures lesson: the HOF form ran ~30x slower outside
     # whole-stage codegen); one md5 per shingle instance, H cheap
@@ -844,7 +860,7 @@ def jaccard_prefiltered_verified(
     with doc_a < doc_b, 4-dp rounding.
     """
     g, bandk = _universal_shingles_and_bands(
-        docs, text_col, id_col, shingle_n, num_hashes, bands
+        docs, text_col, id_col, shingle_n, num_hashes, bands, pin_g=True
     )
     cand = _band_candidate_pairs(bandk)
     ga = g.select(F.col("_id").alias("a"), F.col("_g").alias("ga"))
@@ -1033,21 +1049,60 @@ def jaccard_pairs_prefiltered(
     )
 
 
+def _simhash_signatures_exploded(
+    docs: DataFrame, text_col: str, id_col: str, hash_sql: str
+) -> DataFrame:
+    """Shared SimHash balance/pack over an arbitrary per-token hash
+    expression (``hash_sql`` over the exploded token column ``_t``):
+    explode + 64 conditional-sum aggregates — the codegen path (the
+    minhash_signatures lesson: the interpreted HOF aggregate/zip_with
+    template measured ~4x slower), with the empty-token (sh = 0) and
+    NULL-text (sh = NULL) contracts of the original template form
+    preserved via a join-back. Map-side partial aggregation shrinks the
+    shuffle to 64 longs per document."""
+    base = docs.select(
+        F.col(id_col), F.expr(_norm_tokens_sql(text_col)).alias("_tk")
+    )
+    ex = (
+        base.filter(F.size("_tk") >= 1)
+        .select(id_col, F.explode("_tk").alias("_t"))
+        .select(id_col, F.expr(hash_sql).alias("_h"))
+    )
+    aggs = [
+        F.sum(
+            F.expr(f"IF((_h & shiftleft(cast(1 as bigint), {i})) != 0, 1, -1)")
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    bal = ex.groupBy(id_col).agg(*aggs)
+    pack = F.expr(
+        " + ".join(
+            f"IF(_b{i} > 0, shiftleft(cast(1 as bigint), {i}),"
+            " cast(0 as bigint))"
+            for i in range(64)
+        )
+    )
+    return base.join(bal, id_col, "left").select(
+        id_col,
+        F.when(F.size("_tk") >= 1, pack)
+        .when(F.size("_tk") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("sh"),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, sh: bigint) — 64-bit SimHash of each document's token multiset.
 
     For each bit position, sum +1/-1 over token xxhash64s and take the
-    sign. Entirely JVM-side array expressions (no UDF), one pass over the
-    token hashes.
+    sign. Entirely JVM-side (no UDF): since r12 this runs on the shared
+    explode + conditional-sum aggregate path (bit-identical to the HOF
+    template form, test-pinned) — the fast execution family the
+    md5-verified twin cross-checks.
     """
-    hashes = F.expr(f"transform({_norm_tokens_sql(text_col)}, t -> xxhash64(t))")
-    return (
-        docs.select(F.col(id_col), hashes.alias("hs"))
-        .select(id_col, F.expr(_SIMHASH_BALANCE_EXPR.format(hs="hs")).alias("bal"))
-        .select(id_col, F.expr(_SIMHASH_PACK_EXPR.format(bal="bal")).alias("sh"))
-    )
+    return _simhash_signatures_exploded(docs, text_col, id_col, "xxhash64(_t)")
 
 
 def simhash_candidates_from_signatures(
@@ -1180,39 +1235,11 @@ def simhash_signatures_md5(
     original template form preserved via a join-back — values
     bit-identical, test-pinned against the template.
     """
-    base = docs.select(
-        F.col(id_col), F.expr(_norm_tokens_sql(text_col)).alias("_tk")
-    )
-    ex = (
-        base.filter(F.size("_tk") >= 1)
-        .select(id_col, F.explode("_tk").alias("_t"))
-        .select(
-            id_col,
-            F.expr(
-                "cast(conv(substring(md5(_t), 1, 15), 16, 10) as bigint)"
-            ).alias("_h"),
-        )
-    )
-    aggs = [
-        F.sum(
-            F.expr(f"IF((_h & shiftleft(cast(1 as bigint), {i})) != 0, 1, -1)")
-        ).alias(f"_b{i}")
-        for i in range(64)
-    ]
-    bal = ex.groupBy(id_col).agg(*aggs)
-    pack = F.expr(
-        " + ".join(
-            f"IF(_b{i} > 0, shiftleft(cast(1 as bigint), {i}),"
-            " cast(0 as bigint))"
-            for i in range(64)
-        )
-    )
-    return base.join(bal, id_col, "left").select(
+    return _simhash_signatures_exploded(
+        docs,
+        text_col,
         id_col,
-        F.when(F.size("_tk") >= 1, pack)
-        .when(F.size("_tk") == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.lit(None).cast("bigint"))
-        .alias("sh"),
+        "cast(conv(substring(md5(_t), 1, 15), 16, 10) as bigint)",
     )
 
 
@@ -1233,6 +1260,99 @@ def simhash_near_dup_verified(
     return simhash_candidates_from_signatures(
         simhash_signatures_md5(docs, text_col), max_hamming, n_chunks
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def simhash_fast_recall_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """The FAST xxhash64 SimHash family run end-to-end, reported as a
+    property-bound single row (the GK-percentile pattern): the emitted
+    pair set depends on the engine-native hash family no ANSI-SQL twin
+    can regenerate, so instead of pair rows this carries (a) exact
+    SQL-checkable counts and (b) TRUE-literal invariants of the fast
+    pipeline IN the row hash:
+
+    - ``n_docs`` / ``n_exact_dup_groups`` / ``n_exact_dup_pairs``:
+      non-NULL-text documents and their byte-identical (normalized)
+      duplicate groups/pairs — the oracle recomputes these from
+      ``md5(normalized text)`` equality.
+    - ``exact_dups_all_found``: EVERY exact-duplicate pair appears in
+      the fast pipeline's output with hamming 0. Identical normalized
+      text gives identical tokens, hence identical signatures, and the
+      pigeonhole blocking is lossless at hamming 0 — so a hash-family
+      regression, a blocking bug, or a dropped-chunk mistake flips
+      this to false and fails the driver hash.
+    - ``pairs_within_bound`` / ``pairs_ordered``: every emitted pair
+      respects ``hamming <= max_hamming`` and ``doc_a < doc_b``.
+
+    The md5-family twins (``simhash_near_dup_verified``) keep the
+    pair-level cross-engine pinning; this query exists so the headline
+    SimHash wall is the production xxhash64 cost (~5x cheaper than the
+    md5-string family at sf0.1), not the oracle-replication cost.
+    """
+    pairs = simhash_candidates_from_signatures(
+        simhash_signatures(docs, text_col), max_hamming, n_chunks
+    ).localCheckpoint(eager=True)
+    h = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", content_hash(F.col(text_col)).alias("h")
+    )
+    groups = (
+        h.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    pair_expand = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+        """
+    )
+    exact_pairs = groups.select(F.explode(pair_expand).alias("p")).select(
+        "p.a", "p.b"
+    )
+    found0 = pairs.filter(F.col("hamming") == 0).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    missed = exact_pairs.join(found0, ["a", "b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("exact_dups_all_found")
+    )
+    gstats = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_groups"),
+        F.coalesce(
+            F.sum(F.expr("size(ids) * (size(ids) - 1) div 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_exact_dup_pairs"),
+    )
+    pstats = pairs.agg(
+        (F.coalesce(F.max("hamming"), F.lit(0)) <= max_hamming).alias(
+            "pairs_within_bound"
+        ),
+        (
+            F.coalesce(
+                F.sum(F.expr("IF(doc_a < doc_b, 0, 1)")), F.lit(0)
+            )
+            == 0
+        ).alias("pairs_ordered"),
+    )
+    nd = h.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        nd.crossJoin(gstats)
+        .crossJoin(missed)
+        .crossJoin(pstats)
+        .select(
+            "n_docs",
+            "n_exact_dup_groups",
+            "n_exact_dup_pairs",
+            "exact_dups_all_found",
+            "pairs_within_bound",
+            "pairs_ordered",
+        )
+    )
 
 
 def incremental_dedup(
@@ -1427,28 +1547,60 @@ def containment_pairs(
       corpus: 1.1M candidates, 14 s vs 17.6 s row-verify).
     """
     assert abs(t_num / t_den - threshold) < 1e-9, "threshold must equal t_num/t_den"
-    grams = gram_rows(docs, block_col, text_col, shingle_n)
+    # Pin the gram relation: it fans into FOUR consumers (document
+    # frequencies, probe side, index side, exact verify) and Catalyst
+    # dedupes no common subplans, so the posexplode + lead-window +
+    # distinct subtree would execute once per consumer (measured ~12 s
+    # -> ~5 s at sf0.1 for the unigram corpus). One execution, three
+    # reuses — the shared-sigma precedent applied operator-locally.
+    grams = gram_rows(docs, block_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     df_counts = grams.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc_id").orderBy("_df", "g")
     ceil_t_sz = F.expr(f"CAST(({t_num} * sz + {t_den - 1}) DIV {t_den} AS INT)")
-    probes = (
+    # rank EVERY gram in one global total order (df asc, gram) so both
+    # join sides carry their position; probes are the rank-prefix,
+    # and the index side keeps its rank for the positional filter.
+    ranked = (
         grams.join(df_counts, ["blk", "g"])
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("sz") - ceil_t_sz + 1)
-        .select("blk", "g", F.col("doc_id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
+        .localCheckpoint(eager=True)
     )
+    probes = ranked.filter(F.col("_rk") <= F.col("sz") - ceil_t_sz + 1).select(
+        "blk",
+        "g",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("_rk").alias("_rk_a"),
+    )
+    # PPJoin-style positional filter (Xiao et al. WWW'08, adapted to
+    # containment): for a true pair, its FIRST shared gram in the
+    # global order has all >= ceil(t|a|) shared grams at ranks >= rk_a
+    # in a and >= rk_b in b, so ceil(t|a|) <= min(|a|-rk_a, |b|-rk_b)+1
+    # holds on that row — filtering co-gram rows on the bound can never
+    # drop a qualifying pair, but prunes the candidate fan-out BEFORE
+    # the pair-distinct shuffle (sf0.1 unigram corpus: 8.7M -> fewer
+    # pre-distinct rows for the same 1.11M candidates).
     cand = (
         probes.join(
-            grams.select(
-                "blk", "g", F.col("doc_id").alias("doc_id_b"), F.col("sz").alias("sz_b")
+            ranked.select(
+                "blk",
+                "g",
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("_rk").alias("_rk_b"),
             ),
             ["blk", "g"],
         )
         .filter(
             (F.col("doc_id_a") != F.col("doc_id_b"))
             & (
-                F.col("sz_b")
-                >= F.expr(f"CAST(({t_num} * sz_a + {t_den - 1}) DIV {t_den} AS INT)")
+                F.expr(f"CAST(({t_num} * sz_a + {t_den - 1}) DIV {t_den} AS INT)")
+                <= F.least(
+                    F.col("sz_a") - F.col("_rk_a"), F.col("sz_b") - F.col("_rk_b")
+                )
+                + F.lit(1)
             )
         )
         .select("doc_id_a", "sz_a", "doc_id_b")
@@ -1508,12 +1660,20 @@ def gram_rows(
     """Distinct word n-grams as ROWS ``(doc_id, blk, g, sz)`` with the
     per-doc distinct gram count attached — the inverted-index feed.
 
-    Built codegen-native: tokens posexplode to (pos, word) rows and
-    n-grams assemble from ``lead()`` windows over the doc's position
-    order, so no higher-order-function lambda ever runs (Spark
-    evaluates HOF transforms on the interpreted path — measured ~21 us
-    per shingle, which dominates any downstream join at corpus scale).
-    The doc-keyed lead windows and the distinct/count reuse one
+    Unigrams (n = 1) are built MAP-ONLY: ``array_distinct`` over the
+    token array, ``sz`` from ``size()``, then one explode — zero
+    shuffles. The previous rows-first form (posexplode → row-level
+    ``distinct()`` → doc-keyed count window) spent TWO shuffles
+    computing what the array form gets per-row; at sf0.1 that was
+    ~4.3 s of the unigram containment wall vs ~0.7 s for this path
+    (array_distinct/array_remove are codegen expressions, not the
+    interpreted per-element HOF lambdas the shingle lesson bans).
+
+    n >= 2 still assembles grams from posexplode + ``lead()`` windows
+    (codegen) rather than a higher-order-function transform — Spark
+    evaluates HOF transforms on the interpreted path, measured ~21 us
+    per shingle, which dominates any downstream join at corpus scale.
+    There the doc-keyed lead windows and the distinct/count reuse one
     doc_id partitioning.
     """
     toked = docs.select(
@@ -1521,31 +1681,36 @@ def gram_rows(
         F.col(block_col).alias("blk"),
         tokens(normalize_text(F.col(text_col))).alias("_tk"),
     )
+    if n == 1:
+        return toked.select(
+            "doc_id",
+            "blk",
+            F.array_distinct(F.array_remove("_tk", "")).alias("_g"),
+        ).select(
+            "doc_id",
+            "blk",
+            F.explode("_g").alias("g"),
+            F.size("_g").cast("int").alias("sz"),
+        )
     tok_pos = toked.select(
         "doc_id", "blk", F.posexplode("_tk").alias("pos", "w")
     ).filter(F.col("w") != "")
-    if n == 1:
-        g = F.col("w")
-        rows = tok_pos.select("doc_id", "blk", g.alias("g"))
-    else:
-        wdoc = Window.partitionBy("doc_id").orderBy("pos")
-        parts = [F.col("w")] + [
-            F.lead("w", i).over(wdoc) for i in range(1, n)
-        ]
-        # gram AND tail guard must come from the SAME projection: a
-        # filter between them would make the select re-run the lead
-        # windows over the filtered rows, truncating each doc's last
-        # grams (concat_ws silently skips the re-nulled leads)
-        rows = (
-            tok_pos.select(
-                "doc_id",
-                "blk",
-                F.concat_ws(" ", *parts).alias("g"),
-                parts[-1].alias("_last"),
-            )
-            .filter(F.col("_last").isNotNull())
-            .select("doc_id", "blk", "g")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wdoc) for i in range(1, n)]
+    # gram AND tail guard must come from the SAME projection: a
+    # filter between them would make the select re-run the lead
+    # windows over the filtered rows, truncating each doc's last
+    # grams (concat_ws silently skips the re-nulled leads)
+    rows = (
+        tok_pos.select(
+            "doc_id",
+            "blk",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("_last"),
         )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "blk", "g")
+    )
     distinct = rows.distinct()
     wsz = Window.partitionBy("doc_id")
     return distinct.withColumn(

@@ -1516,11 +1516,17 @@ def triangle_stats_from_similarity(sim: DataFrame) -> DataFrame:
     )
     nn_w = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("(_d * (_d - 1)) div 2")).cast("long").alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.expr("(_d * (_d - 1)) div 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wedges"),
     )
     em = sim.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.expr("sum(common_closed - 2) div 3").cast("long").alias("n_triangles"),
+        F.coalesce(F.expr("sum(common_closed - 2) div 3"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
     )
     return nn_w.crossJoin(em).select(
         "n_nodes",

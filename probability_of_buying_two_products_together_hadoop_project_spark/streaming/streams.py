@@ -495,7 +495,9 @@ def dedup_index_sink(
 _MEM_SEQ = iter(range(1, 1 << 30))
 
 
-def drain_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_available_now(
+    stream_df: DataFrame, output_mode: str, expect_single_batch: bool = False
+) -> DataFrame:
     """Run a streaming DataFrame to completion (``availableNow`` — process
     everything currently in the source, honoring watermark semantics
     batch-by-batch, then stop) into a uniquely-named memory sink and
@@ -509,6 +511,14 @@ def drain_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     The memory sink holds AGGREGATED rows only (windows/sessions), never
     corpus-sized data; at scale the same query writes to a real sink and
     availableNow becomes the standard incremental-backfill trigger.
+
+    ``expect_single_batch=True`` asserts the drain consumed all input in
+    ONE data micro-batch (no mid-run watermark advance). Oracles that
+    pin batch semantics exactly — e.g. streaming dedup whose horizon
+    would let a key re-emit if the watermark advanced between batches —
+    pass this so a future source layout change (multi-file arrival,
+    maxFilesPerTrigger) fails loudly here instead of as a driver hash
+    mismatch.
     """
     name = f"_graft_stream_{next(_MEM_SEQ)}"
     q = (
@@ -519,7 +529,26 @@ def drain_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    if expect_single_batch:
+        data_batches = sum(
+            1 for p in q.recentProgress if (p.get("numInputRows") or 0) > 0
+        )
+        if data_batches > 1:
+            raise AssertionError(
+                f"drain consumed input across {data_batches} micro-batches; "
+                "the caller's oracle pins single-batch (no mid-run watermark "
+                "advance) semantics"
+            )
+    spark = stream_df.sparkSession
+    # Pin the (aggregate-sized) emission OUTSIDE the memory sink, then
+    # release the temp view and the finished query handle — a long-lived
+    # session (bench --repeat, full pytest runs) would otherwise
+    # accumulate one table + one StreamingQuery object per drain for the
+    # process lifetime.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    q.stop()
+    return out
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
