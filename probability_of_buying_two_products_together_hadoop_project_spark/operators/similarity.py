@@ -1394,12 +1394,72 @@ def cluster_topics(
     )
 
 
+def pca_corpus_scatter(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    unit: int = 10**6,
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE corpus-sized pass both PCA operators start from:
+    ``(scatter, mu)`` where scatter = the d×d centered integer scatter
+    matrix (rows (i, j, _s DECIMAL(38,0))) and mu = per-position
+    truncated means with counts (rows (i, _mu, _n)).
+
+    Split out so a pipeline running BOTH :func:`pca_top_component` and
+    :func:`pca_components` on the same corpus (the registry's PCA pair)
+    builds the n·d² deviation-product pass once and shares the pinned
+    d²-row result — the `_scan_sigma` sharing precedent. The relation
+    is a deterministic function of (corpus, unit), so injection is
+    result-invisible. scatter is localCheckpoint-pinned (it feeds every
+    power-method round); everything downstream of it is d²/d-sized.
+    """
+    dec = "decimal(38,0)"
+    comp = (
+        embeddings.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("i", "_v"),
+        )
+        .select(
+            "_vid",
+            "i",
+            F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
+            .cast("long")
+            .alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = comp.groupBy("i").agg(
+        F.expr("sum(_q) div count(1)").cast("long").alias("_mu"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dev = (
+        comp.join(F.broadcast(mu), "i")
+        .select("_vid", "i", (F.col("_q") - F.col("_mu")).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    scatter = (
+        dev.join(
+            dev.withColumnRenamed("i", "j").withColumnRenamed("_d", "_e"),
+            "_vid",
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("_d").cast(dec) * F.col("_e").cast(dec))
+            .cast(dec)
+            .alias("_s")
+        )
+        .localCheckpoint(eager=True)
+    )
+    return scatter, mu
+
+
 def pca_top_component(
     embeddings: DataFrame,
     iters: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     unit: int = 10**6,
+    scatter_mu: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top principal component of the embedding corpus by the power
     method — the first step of PCA whitening / dimensionality triage
@@ -1434,39 +1494,8 @@ def pca_top_component(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     dec = "decimal(38,0)"
-    comp = (
-        embeddings.select(
-            F.col(id_col).alias("_vid"),
-            F.posexplode(F.col(vec_col)).alias("i", "_v"),
-        )
-        .select(
-            "_vid",
-            "i",
-            F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
-            .cast("long")
-            .alias("_q"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    mu = comp.groupBy("i").agg(
-        F.expr("sum(_q) div count(1)").cast("long").alias("_mu"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    dev = (
-        comp.join(F.broadcast(mu), "i")
-        .select("_vid", "i", (F.col("_q") - F.col("_mu")).alias("_d"))
-        .localCheckpoint(eager=True)
-    )
-    a = dev
-    b = (
-        dev.withColumnRenamed("i", "j")
-        .withColumnRenamed("_d", "_e")
-    )
-    scatter = (
-        a.join(b, "_vid")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("_d").cast(dec) * F.col("_e").cast(dec)).cast(dec).alias("_s"))
-        .localCheckpoint(eager=True)
+    scatter, mu = scatter_mu or pca_corpus_scatter(
+        embeddings, vec_col, id_col, unit
     )
     spark = embeddings.sparkSession
     ndim = _embedding_dim(embeddings, vec_col)
@@ -1558,6 +1587,7 @@ def pca_components(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     unit: int = 10**6,
+    scatter_mu: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The leading ``n_components`` principal components by power
     iteration WITH DEFLATION — :func:`pca_top_component` generalized:
@@ -1579,41 +1609,8 @@ def pca_components(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     dec = "decimal(38,0)"
-    comp = (
-        embeddings.select(
-            F.col(id_col).alias("_vid"),
-            F.posexplode(F.col(vec_col)).alias("i", "_v"),
-        )
-        .select(
-            "_vid",
-            "i",
-            F.floor(F.col("_v").cast("double") * F.lit(float(unit)))
-            .cast("long")
-            .alias("_q"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    mu = comp.groupBy("i").agg(
-        F.expr("sum(_q) div count(1)").cast("long").alias("_mu"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    dev = (
-        comp.join(F.broadcast(mu), "i")
-        .select("_vid", "i", (F.col("_q") - F.col("_mu")).alias("_d"))
-        .localCheckpoint(eager=True)
-    )
-    scatter = (
-        dev.join(
-            dev.withColumnRenamed("i", "j").withColumnRenamed("_d", "_e"),
-            "_vid",
-        )
-        .groupBy("i", "j")
-        .agg(
-            F.sum(F.col("_d").cast(dec) * F.col("_e").cast(dec))
-            .cast(dec)
-            .alias("_s")
-        )
-        .localCheckpoint(eager=True)
+    scatter, mu = scatter_mu or pca_corpus_scatter(
+        embeddings, vec_col, id_col, unit
     )
     spark = embeddings.sparkSession
     ndim = _embedding_dim(embeddings, vec_col)

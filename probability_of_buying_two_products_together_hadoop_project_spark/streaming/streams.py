@@ -335,6 +335,10 @@ def merge_batch_into_bucketed_parquet(
 
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
     batch = batch_df.withColumn("_b", bucket)
+    # BOUNDED collect: distinct _b values are pmod(.., n_buckets)
+    # outputs, so this list is <= n_buckets integers (a config constant,
+    # default 64) regardless of batch or corpus size — driver-side by
+    # design, it picks WHICH bucket directories to swap, never data.
     touched = sorted(r["_b"] for r in batch.select("_b").distinct().collect())
     os.makedirs(path, exist_ok=True)
     # sweep staging debris from crashed batches (dot-prefixed, so
