@@ -256,6 +256,7 @@ def triangle_stats(
     a_col: str = "item",
     b_col: str = "neighbor",
     edge_sample_pct: int | None = None,
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of the
     undirected graph induced by pair evidence — the standard
@@ -298,11 +299,18 @@ def triangle_stats(
     n_edges keep describing the FULL graph.
     """
     a, b = F.col(a_col), F.col(b_col)
-    canon = (
-        pairs.filter(a != b)
-        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
-        .distinct()
-    )
+    if pre_canonical:
+        # caller certifies pairs are already the DISTINCT canonical
+        # (a < b) edge set — e.g. a pinned symmetric_edges relation
+        # filtered to src < dst — so the canonicalize + distinct
+        # shuffle is a no-op and gets skipped
+        canon = pairs.select(a.alias("lo"), b.alias("hi"))
+    else:
+        canon = (
+            pairs.filter(a != b)
+            .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+            .distinct()
+        )
     full_edges = canon
     if edge_sample_pct is not None:
         if not (1 <= edge_sample_pct <= 100) or 100 % edge_sample_pct != 0:
@@ -407,6 +415,7 @@ def kcore_peel(
     rounds: int = 4,
     a_col: str = "item",
     b_col: str = "neighbor",
+    pre_canonical: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling: repeatedly drop nodes of degree < k
     and take the induced subgraph — the classic "dense cohesive core"
@@ -436,12 +445,21 @@ def kcore_peel(
     # round's lazy lineage re-executes the whole upstream pair pipeline —
     # measured 27 s -> ~5 s at sf0.01 once rounds materialize exactly once
     # (the same materialization a Pregel superstep performs)
-    edges = (
-        pairs.filter(a != b)
-        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if pre_canonical:
+        # caller certifies pairs are already the DISTINCT canonical
+        # (a < b) edge set (e.g. pinned symmetric_edges filtered to
+        # src < dst): skip the canonicalize + distinct shuffle. Still
+        # pinned — round 1 consumes it three times.
+        edges = pairs.select(a.alias("lo"), b.alias("hi")).localCheckpoint(
+            eager=True
+        )
+    else:
+        edges = (
+            pairs.filter(a != b)
+            .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     out = None
     for r in range(1, rounds + 1):
         deg = (

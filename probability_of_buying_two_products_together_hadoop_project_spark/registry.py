@@ -6299,13 +6299,14 @@ def q_triangle_count(spark, sf_dir):
 def q_triangle_count_sampled(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    # cooccurrence_pairs, not raw basket_pairs — same A/B-measured
-    # reason as kcore_peel_items: the pre-aggregated relation makes the
-    # internal canonical-edge distinct cheaper than deduping raw
-    # windowed pair occurrences.
+    # shared pinned canonical edges (see q_kcore_peel) — skips the
+    # canonicalize + distinct shuffle entirely via pre_canonical
     return graph.triangle_stats(
-        basket.cooccurrence_pairs(baskets), edge_sample_pct=20
+        _cooc_sym_edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+        a_col="src",
+        b_col="dst",
+        edge_sample_pct=20,
+        pre_canonical=True,
     )
 
 
@@ -6679,14 +6680,20 @@ def _kcore_oracle(k: int = 100, rounds: int = 4) -> str:
 def q_kcore_peel(spark, sf_dir):
     from .operators import graph
 
-    baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
-    # cooccurrence_pairs (not raw basket_pairs) is the RIGHT feed even
-    # though kcore only consumes the edge structure: its groupBy
-    # pre-aggregates pair multiplicity, so the canonical-edge distinct
-    # inside kcore_peel shuffles distinct pairs, not windowed pair
-    # occurrences — measured A/B at sf0.1: equal-to-faster than the raw
-    # feed (the marginal window rides the same hash partitioning).
-    return graph.kcore_peel(basket.cooccurrence_pairs(baskets), k=80, rounds=4)
+    # the shared pinned symmetric edge list filtered to src < dst IS
+    # the distinct canonical edge set (symmetric_edges dedupes on
+    # canonical pairs before mirroring), so kcore skips its own
+    # canonicalize + distinct entirely. A raw-basket_pairs feed was
+    # A/B-measured slower first (pre-aggregation is the dedup the
+    # internal distinct needed); the shared pin beats both.
+    return graph.kcore_peel(
+        _cooc_sym_edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+        k=80,
+        rounds=4,
+        a_col="src",
+        b_col="dst",
+        pre_canonical=True,
+    )
 
 
 @register(
@@ -16436,6 +16443,10 @@ _ROTATION_TAIL.update({
     "pagerank_cooccurrence": "r12-local",
     "label_propagation_items": "r12-local",
     "ppr_seeded_cooccurrence": "r12-local",
+    # r12 (later): kcore/triangle_sampled joined the shared edge pin
+    # via the pre_canonical fast path
+    "kcore_peel_items": "r12-local",
+    "triangle_count_sampled": "r12-local",
 })
 
 # Rows-only entries (`err = no_oracle`) whose last driver row is stale
