@@ -17,12 +17,15 @@ driver-side collect overhead dominating.
 
 Shared-evidence methodology (r10 ADVICE): queries that read a
 per-(SparkContext, sf_dir) pinned cache (the SCAN sigma + triangle
-list, the blocked-Jaccard near-dup evidence) have the build absorbed
-by their per-query UNTIMED warmup run — every timed figure is the
-query's own marginal work, the per-query cost a pipeline pays after
-the first consumer. The COLD build costs are measured separately and
-recorded in SCALING.md decade rows (scan_edge_similarity_items /
-ngram_jaccard_pairs).
+list, the blocked-Jaccard near-dup evidence, and the r12 additions:
+the PCA scatter, the symmetric co-occurrence edge list, the DSIR
+log-weight table, the BPE _bpe_rounds pair, the duplicated-substring
+span table) have the build absorbed by their per-query UNTIMED warmup
+run — every timed figure is the query's own marginal work, the
+per-query cost a pipeline pays after the first consumer. The COLD
+build costs are measured separately and recorded in SCALING.md decade
+rows (scan_edge_similarity_items / ngram_jaccard_pairs / the r12
+shared-evidence tables).
 
 Usage:
 

@@ -1419,13 +1419,25 @@ def _bpe_rounds(
 
 
 def bpe_learn_merges(
-    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    rounds: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The learned BPE merge table: (round, left_sym, right_sym, merged,
     cnt) — one row per merge round in learning order.  See
     :func:`_bpe_rounds` for the dataflow and the engine-portable merge
-    contract."""
-    merges, _ = _bpe_rounds(docs, n_merges, text_col)
+    contract.
+
+    ``rounds`` (optional): a precomputed ``_bpe_rounds(docs, n_merges,
+    text_col)`` result for the SAME inputs, already pinned by the caller
+    — lets a pipeline that derives several views of one merge table run
+    the sequential merge loop once (the pca_corpus_scatter injection
+    precedent); result-invisible since the helper returns the identical
+    relation this function would build internally."""
+    merges, _ = rounds if rounds is not None else _bpe_rounds(
+        docs, n_merges, text_col
+    )
     return merges.select(
         "round",
         "left_sym",
@@ -1436,14 +1448,22 @@ def bpe_learn_merges(
 
 
 def bpe_encode_words(
-    docs: DataFrame, n_merges: int = 12, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    rounds: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The vocabulary after ``n_merges`` learned merges: every distinct
     corpus word with its frequency, its merged symbol sequence
     (space-joined), and its symbol count — the encode side of BPE
     (applying the merge table in learning order reproduces exactly this
-    segmentation for any word built from corpus characters)."""
-    _, seqs = _bpe_rounds(docs, n_merges, text_col)
+    segmentation for any word built from corpus characters).
+
+    ``rounds``: optional precomputed ``_bpe_rounds`` result, as in
+    :func:`bpe_learn_merges`."""
+    _, seqs = rounds if rounds is not None else _bpe_rounds(
+        docs, n_merges, text_col
+    )
     return seqs.select(
         "word",
         F.col("cnt").cast("long").alias("cnt"),

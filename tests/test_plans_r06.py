@@ -28,10 +28,24 @@ def test_audio_resample_zero_exchanges(spark, sf_smoke):
 def test_dsir_single_scan_broadcast_model(spark, sf_smoke):
     """After the (doc, bucket, cnt) checkpoint, the remaining plan must
     contain NO parquet scan (one corpus pass total) and must broadcast
-    the 512-row model table back."""
+    the 512-row model table back.
+
+    Built via the OPERATOR, not the registry entry: since r12 the
+    registry returns the shared localCheckpoint-pinned relation
+    (_dsir_lw), whose visible plan is just Scan ExistingRDD (LESSONS
+    39) — the plan contract below guards the relation the pin
+    materializes."""
     import re
 
-    df = _q(spark, sf_smoke, "dsir_importance_en")
+    from pyspark.sql import functions as F
+
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        text,
+    )
+
+    df = text.dsir_importance(
+        registry._t(spark, sf_smoke, "documents"), F.col("lang") == "en"
+    )
     plan = explain.formatted_plan(df)
     scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert scans == 0, f"dsir must not rescan the corpus, got {scans} scans"
