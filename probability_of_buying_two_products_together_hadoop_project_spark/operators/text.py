@@ -1941,35 +1941,55 @@ def byte_entropy(
     engine-exact. The float ``entropy`` column is one correctly-rounded
     cast + division outside the aggregation.
 
-    Plan shape: byte explode (hex-pair substrings over a distributed
-    ``sequence()``, all codegen — the audio-oracle construction) is
-    map-side only; the single exchange carries (doc, byte, cnt) rows,
-    <= 256 per document regardless of document size. Empty documents
-    survive via the left join with band 'empty' and null entropy.
+    Plan shape: the per-doc byte histogram is ONE Arrow-batched
+    ``mapInPandas`` over exactly (id, text) — ``numpy.bincount`` per
+    document (guide §4.2: hand whole batches to vectorized native
+    code), emitting <= 256 (doc, byte, cnt) rows per document with no
+    explode and no histogram exchange (a document is one input row, so
+    its counts are exact in-map). r12 A/B vs the previous all-codegen
+    formulation (hex-pair substrings exploded over ``sequence()``,
+    one row per corpus BYTE into a partial agg): 3.7 -> 0.7 s at
+    sf0.1 — the per-byte row generation dominated, not the shuffle.
+    The quantized entropy sum and banding stay in Spark SQL below, so
+    the decimal contract is untouched; the single exchange still
+    carries <= 256 rows per document regardless of document size.
+    Empty documents survive via the left join with band 'empty' and
+    null entropy.
     """
     d6, d18 = "decimal(18,6)", "decimal(18,0)"
     base = docs.select(
         F.col(id_col),
-        F.hex(F.encode(F.col(text_col), "utf-8")).alias("_h"),
         F.octet_length(F.encode(F.col(text_col), "utf-8"))
         .cast("long")
         .alias("n_bytes"),
     )
-    hist = (
-        base.filter(F.col("n_bytes") > 0)
-        .select(
-            id_col,
-            "_h",
-            "n_bytes",
-            F.explode(F.expr("sequence(0L, n_bytes - 1L)")).alias("_i"),
-        )
-        .select(
-            id_col,
-            "n_bytes",
-            F.expr("substring(_h, cast(2 * _i + 1 as int), 2)").alias("_byte"),
-        )
-        .groupBy(id_col, "n_bytes", "_byte")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    id_type = dict(docs.dtypes)[id_col]
+
+    def _hist_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, bvs, cnts = [], [], [], []
+            for doc_id, txt in zip(pdf[id_col].values, pdf[text_col].values):
+                if txt is None:
+                    continue
+                raw = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if raw.size == 0:
+                    continue
+                cnt = np.bincount(raw, minlength=256)
+                nz = np.nonzero(cnt)[0]
+                ids.extend([doc_id] * len(nz))
+                ns.extend([raw.size] * len(nz))
+                bvs.extend(nz.tolist())
+                cnts.extend(cnt[nz].tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": ns, "_bv": bvs, "_cnt": cnts}
+            )
+
+    hist = docs.select(id_col, text_col).mapInPandas(
+        _hist_batches,
+        f"{id_col} {id_type}, n_bytes long, _bv int, _cnt long",
     )
     term = F.col("_cnt").cast(d18) * F.round(
         F.log2(F.col("_cnt").cast("double") / F.col("n_bytes")), 6

@@ -16529,6 +16529,10 @@ _ROTATION_TAIL.update({
     "wordpiece_encode_bpe_vocab": "r12-local",
     "dedup_substring_spans": "r12-local",
     "dedup_cut_spans": "r12-local",
+    # r12 (final session): byte histogram moved from per-byte explode
+    # to an Arrow-batched mapInPandas bincount (guide §4.2) — output
+    # identical (reference test + oracle at all three SFs)
+    "entropy_screen_docs": "r12-local",
 })
 
 # Rows-only entries (`err = no_oracle`) whose last driver row is stale

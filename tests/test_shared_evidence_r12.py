@@ -45,6 +45,27 @@ def test_bpe_rounds_injection_is_result_invisible(docs):
     assert enc_inj == enc_direct and len(enc_inj) > 0
 
 
+def test_byte_entropy_null_text_contract(spark):
+    """The r12 mapInPandas histogram path must preserve the NULL/empty
+    contract of the explode formulation: both yield band 'empty' with
+    null entropy and 0 distinct bytes (a NULL text encodes to NULL
+    n_bytes; the left join supplies the row)."""
+    from probability_of_buying_two_products_together_hadoop_project_spark.operators import (
+        text as t,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abc")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in t.byte_entropy(df).collect()}
+    assert len(got) == 3
+    for i in (1, 2):
+        assert got[i].band == "empty"
+        assert got[i].entropy is None
+        assert got[i].n_distinct_bytes == 0
+    assert got[3].n_bytes == 3 and got[3].n_distinct_bytes == 3
+
+
 def test_registry_caches_return_identical_relation(spark, sf_smoke):
     """The pinned _dsir_lw / _substr_spans / _bpe_evidence relations
     equal what the operators build directly on the same inputs, and a
