@@ -43,13 +43,16 @@ def test_ks_bucketed_prefix_no_global_window(spark, sf_smoke):
     assert "_vb" in plan
 
 
-def test_entropy_screen_two_exchanges(spark, sf_smoke):
-    """(doc, byte) histogram agg + per-doc entropy agg; the join back
-    onto the full doc list broadcasts."""
+def test_entropy_screen_one_exchange(spark, sf_smoke):
+    """The Arrow-batched histogram emits exact per-doc (byte, cnt)
+    rows in-map (a document is one input row), so only the per-doc
+    entropy agg exchanges; the join back onto the full doc list
+    broadcasts."""
     df = _q(spark, sf_smoke, "entropy_screen_docs")
     n = explain.count_exchanges(df)
-    assert n == 2, f"entropy budget is 2 exchanges, got {n}"
+    assert n == 1, f"entropy budget is 1 exchange, got {n}"
     assert explain.has_broadcast_join(df)
+    assert "MapInPandas" in explain.formatted_plan(df)
 
 
 def test_hashing_trick_two_exchanges(spark, sf_smoke):
