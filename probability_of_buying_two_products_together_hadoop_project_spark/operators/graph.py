@@ -40,6 +40,8 @@ dangling-mass redistribution term.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,6 +71,19 @@ def symmetric_edges(
 
 
 UNITS = 10**12  # fixed-point scale: ranks in 1e-12 units
+
+# How many min-label rounds chain inside one checkpointed job in
+# scan_clusters: the self-loop round form consumes its state exactly
+# once, so chaining changes NO results and recomputes NO subtrees —
+# only the job-launch/checkpoint latency per round. 1 = the original
+# round-per-job form. Measured at sf0.1 (8 rounds, 598k eps-edges):
+# walls are host-noise-flat but the timed shuffle drops monotonically
+# with chaining (175 / 132 / 111 MB at cadence 1 / 4 / 8 — AQE sees
+# the label side's runtime size inside a chained job and broadcasts
+# it, so the edge table stops re-shuffling every round). Env-
+# overridable for A/B without code edits; result-invariant by
+# construction.
+_LABEL_CKPT_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_LABEL_CKPT", "8")))
 
 
 def pagerank(
@@ -109,7 +124,13 @@ def pagerank(
     if not broadcast_ranks:
         edges = edges.repartition("src")
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # deg is static across rounds — pin it once instead of re-running
+    # the degree aggregate inside every round's broadcast build
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
@@ -124,13 +145,18 @@ def pagerank(
         "node", F.lit(UNITS // n).cast("long").alias("rank_units")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # rank_units div _deg is per-src constant: computing it in the
+        # node-sized (broadcast) relation instead of per edge row makes
+        # each round ONE hash join against the edge table, not two —
+        # identical integers, the division just moves above the join
+        per_src = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .select("src", F.expr("rank_units div _deg").alias("_c"))
+        )
         contribs = (
-            edges.join(maybe_bcast(ranks.withColumnRenamed("node", "src")), "src")
-            .join(maybe_bcast(deg), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_units div _deg").alias("_c"),
-            )
+            edges.join(maybe_bcast(per_src), "src")
+            .select(F.col("dst").alias("node"), "_c")
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
@@ -205,17 +231,20 @@ def hits(
         raise ValueError("more sources than fixed-point units")
 
     def normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        # pin the RAW aggregate (the edge join + sum — the half-step's
+        # real work): the L1 total and the normalized projection are
+        # node-sized derivations every consumer recomputes in-place for
+        # ~nothing, where pinning the PROJECTION instead made the total's
+        # broadcast build re-run the whole half-step (raw evaluated
+        # twice per round)
+        raw = raw.localCheckpoint(eager=True)
         tot = raw.agg(F.sum("_raw").cast(dec).alias("_t"))
-        return (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                key,
-                F.expr(
-                    f"CAST((CAST(_raw AS {dec}) * CAST({UNITS} AS {dec}))"
-                    f" div _t AS LONG)"
-                ).alias(out),
-            )
-            .localCheckpoint(eager=True)
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"CAST((CAST(_raw AS {dec}) * CAST({UNITS} AS {dec}))"
+                f" div _t AS LONG)"
+            ).alias(out),
         )
 
     hubs = srcs.select(
@@ -750,10 +779,14 @@ def markov_removal_attribution(
     effects (a negative effect — removing the channel HELPS conversion,
     e.g. an error state — earns zero credit but is reported).
 
-    Scale: the transition relation is states²-bounded; every round is
-    a join+agg over ≤ states² rows against the broadcast value vector;
-    (channels+1) × iters tiny rounds total. The one corpus-sized pass
-    is upstream in :func:`attribution_transitions`.
+    Scale: the transition relation is states²-bounded; the whole
+    fixed point — the base chain AND every removed chain, all
+    ``iters`` rounds — runs as higher-order array expressions over ONE
+    collected (src, row-total, out-edges) row, so the entire query is
+    a single job (the relational round-per-job form cost 20 tiny
+    checkpointed rounds of pure stage latency for the same ≤ states²
+    rows). The one corpus-sized pass is upstream in
+    :func:`attribution_transitions`.
 
     Output per channel: (channel, base_conv_units, removed_conv_units,
     removal_effect_units — exact integers, VARCHAR-transported — plus
@@ -768,71 +801,70 @@ def markov_removal_attribution(
         raise ValueError(f"channels collide with sentinel states: {sorted(bad)}")
     if len(set(channels)) != len(channels):
         raise ValueError("channels must be distinct")
-    dec = "decimal(38,0)"
-    t = transitions.select("src", "dst", "n").localCheckpoint(eager=True)
-    row_tot = (
-        t.groupBy("src")
-        .agg(F.sum("n").cast(dec).alias("_rt"))
-        .localCheckpoint(eager=True)
-    )
-    states = row_tot.select(F.col("src").alias("state")).localCheckpoint(
-        eager=True
-    )
-
-    def absorb(edges: DataFrame) -> DataFrame:
-        a = states.select("state", F.lit(0).cast("long").alias("au"))
-        for _ in range(iters):
-            prev = F.broadcast(
-                a.select(
-                    F.col("state").alias("dst"), F.col("au").alias("_adst")
-                )
-            )
-            val = (
-                F.when(F.col("dst") == "CONV", F.lit(UNITS).cast(dec))
-                .when(F.col("dst") == "NULL", F.lit(0).cast(dec))
-                .otherwise(F.coalesce(F.col("_adst"), F.lit(0)).cast(dec))
-            )
-            sums = (
-                edges.join(prev, "dst", "left")
-                .select("src", (F.col("n").cast(dec) * val).alias("_c"))
-                .groupBy("src")
-                .agg(F.sum("_c").cast(dec).alias("_s"))
-            )
-            a = (
-                states.join(
-                    sums.withColumnRenamed("src", "state"), "state", "left"
-                )
-                .join(
-                    F.broadcast(row_tot.withColumnRenamed("src", "state")),
-                    "state",
-                )
-                .select(
-                    "state",
-                    F.expr(
-                        f"CAST(coalesce(_s, CAST(0 AS {dec})) div _rt AS BIGINT)"
-                    ).alias("au"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        return a
-
-    def start_value(a: DataFrame, name: str) -> DataFrame:
-        # aggregate form: exactly ONE row even when the journey log is
-        # empty (no START state) — max over zero rows coalesces to 0,
-        # no driver-side existence probe needed
-        return a.filter(F.col("state") == "START").agg(
-            F.coalesce(F.max("au"), F.lit(0)).cast("long").alias(name)
-        )
-
-    base = start_value(absorb(t), "_base")
-    removed_rows = None
     for c in channels:
-        a_c = absorb(t.filter(F.col("dst") != c))
-        r = start_value(a_c, "_removed").select(
-            F.lit(c).alias("channel"), F.col("_removed")
+        if "'" in c:
+            raise ValueError(f"channel name contains a quote: {c!r}")
+    dec = "decimal(38,0)"
+    # states²-bounded fold: one row per src with its exact row total
+    # (kept across removals — the redirect convention) and out-edge
+    # list; collect_list order is irrelevant (every consumer is a sum
+    # or a positional lookup within the same row).
+    per_src = transitions.groupBy("src").agg(
+        F.sum("n").cast(dec).alias("_rt"),
+        F.collect_list(
+            F.struct(F.col("dst").alias("dst"), F.col("n").cast(dec).alias("n"))
+        ).alias("_out"),
+    )
+    one = per_src.agg(
+        F.collect_list(F.struct("src", "_rt", "_out")).alias("_rows")
+    ).select("_rows", F.expr("transform(_rows, r -> r.src)").alias("_states"))
+
+    def absorb_expr(removed: str | None) -> str:
+        # K unrolled rounds: au_{k+1}[i] = (Σ_e n_e · val_k(e.dst)) div
+        # rt_i, exactly the relational rounds' DECIMAL(38,0) products +
+        # one truncating div per state per round (operands non-negative,
+        # so floor == trunc == DuckDB HUGEINT //).
+        edges = (
+            "r._out"
+            if removed is None
+            else f"filter(r._out, e -> e.dst != '{removed}')"
         )
-        removed_rows = r if removed_rows is None else removed_rows.unionByName(r)
-    joined = removed_rows.crossJoin(F.broadcast(base))
+        val = (
+            f"CASE WHEN e.dst = 'CONV' THEN CAST({UNITS} AS {dec}) "
+            f"WHEN e.dst = 'NULL' THEN CAST(0 AS {dec}) "
+            "ELSE CAST(coalesce(element_at(au, CAST(nullif("
+            "array_position(_states, e.dst), 0) AS INT)), 0L) "
+            f"AS {dec}) END"
+        )
+        return (
+            f"aggregate(sequence(1, {iters}), "
+            "transform(_rows, r -> 0L), "
+            "(au, k) -> transform(_rows, r -> "
+            f"CAST(aggregate({edges}, CAST(0 AS {dec}), "
+            f"(acc, e) -> CAST(acc + e.n * ({val}) AS {dec})) "
+            "div r._rt AS BIGINT)))"
+        )
+
+    start_of = (
+        "coalesce(element_at({a}, CAST(nullif("
+        "array_position(_states, 'START'), 0) AS INT)), 0L)"
+    )
+    joined = one.select(
+        F.expr(start_of.format(a=absorb_expr(None))).alias("_base"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"),
+                        F.expr(start_of.format(a=absorb_expr(c))).alias(
+                            "_removed"
+                        ),
+                    )
+                    for c in channels
+                ]
+            )
+        ).alias("_ch"),
+    ).select(F.col("_ch.channel").alias("channel"), "_ch._removed", "_base")
     re_units = F.when(
         F.col("_base") > 0,
         (
@@ -1237,30 +1269,34 @@ def scan_clusters(
         )
         .localCheckpoint(eager=True)
     )
+    # Self-loops appended once make each round ONE join + ONE min
+    # aggregate over labels referenced a single time:
+    # label_{k+1}(v) = min over N(v) ∪ {v} of label_k — identical to
+    # the least(own, min-neighbor) form, but with labels consumed once
+    # per round the rounds CHAIN inside one job without subtree
+    # recomputation (Catalyst dedupes no common subplans), so the
+    # checkpoint cadence is a latency knob, not a correctness one.
+    # _LABEL_CKPT_EVERY=1 restores the round-per-job form; the measured
+    # optimum at sf0.1 collapses 4 rounds per checkpointed job.
+    edges_sl = core_edges.unionByName(
+        cores.select("node", F.col("node").alias("nbr"))
+    ).localCheckpoint(eager=True)
     labels = cores.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
     )
-    for _ in range(label_rounds):
-        neigh_min = (
-            core_edges.join(
+    for r in range(1, label_rounds + 1):
+        labels = (
+            edges_sl.join(
                 labels.select(
-                    F.col("node").alias("nbr"), F.col("label").alias("_nl")
+                    F.col("node").alias("nbr"), F.col("label").alias("label")
                 ),
                 "nbr",
             )
             .groupBy("node")
-            .agg(F.min("_nl").alias("_nm"))
+            .agg(F.min("label").alias("label"))
         )
-        labels = (
-            labels.join(neigh_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nm"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        if r % _LABEL_CKPT_EVERY == 0 or r == label_rounds:
+            labels = labels.localCheckpoint(eager=True)
     core_lab = labels.select("node", F.col("label").alias("cluster_id"))
     border = (
         e_eps.join(
@@ -1404,31 +1440,34 @@ def truss_peel(
                     [f"lo{i}", f"hi{i}"],
                     "left_semi",
                 )
-            tri = tri.localCheckpoint(eager=True)
+            if r < rounds:
+                # next round's semi-joins re-read it; on the final
+                # round the chain is linear into surv — stay lazy
+                tri = tri.localCheckpoint(eager=True)
             counts = _triangle_edge_counts(tri)
-            sup = (
-                edges.join(counts, ["lo", "hi"], "left")
-                .select(
-                    "lo",
-                    "hi",
-                    F.coalesce(F.col("_sup"), F.lit(0))
-                    .cast("long")
-                    .alias("sup"),
-                )
-                .localCheckpoint(eager=True)
+            # single consumer (surv) — lazy, no per-round checkpoint:
+            # the survivor job computes join + filter in one pass
+            sup = edges.join(counts, ["lo", "hi"], "left").select(
+                "lo",
+                "hi",
+                F.coalesce(F.col("_sup"), F.lit(0)).cast("long").alias("sup"),
             )
         elif r > 1:
-            sup = _edge_support(edges).select("lo", "hi", "sup").localCheckpoint(
-                eager=True
-            )
+            sup = _edge_support(edges).select("lo", "hi", "sup")
         surv = (
             sup.crossJoin(t_df)
             .filter(F.col("sup") >= F.col("_t"))
             .select("lo", "hi")
             .localCheckpoint(eager=True)
         )
+        # n_edges_before == |sup| == |current edge set| (the left join
+        # preserves every edge): count the already-pinned relation —
+        # round 1 counts the pinned sup, later rounds the pinned
+        # survivor set — so the final action never re-runs the
+        # support pipeline just to count its input
+        before = sup if r == 1 else edges
         row = (
-            sup.agg(F.count(F.lit(1)).alias("n_edges_before"))
+            before.agg(F.count(F.lit(1)).alias("n_edges_before"))
             .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
             .crossJoin(t_df)
             .select(
@@ -1657,7 +1696,13 @@ def personalized_pagerank(
     if not broadcast_ranks:
         edges = edges.repartition("src")
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # deg pinned once; per-round division folded into the node-sized
+    # broadcast relation — the pagerank round shape (identical integers)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     s = len(seeds)
     is_seed = F.col("node").isin(*seeds)
@@ -1670,13 +1715,14 @@ def personalized_pagerank(
         .alias("rank_units"),
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        per_src = (
+            ranks.withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .select("src", F.expr("rank_units div _deg").alias("_c"))
+        )
         contribs = (
-            edges.join(maybe_bcast(ranks.withColumnRenamed("node", "src")), "src")
-            .join(maybe_bcast(deg), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_units div _deg").alias("_c"),
-            )
+            edges.join(maybe_bcast(per_src), "src")
+            .select(F.col("dst").alias("node"), "_c")
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )

@@ -851,6 +851,38 @@ def grouped_discrete_quantile(
     return picked.agg(F.min(value_col).alias(out_col))
 
 
+def grouped_discrete_quantiles(
+    cum_df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[tuple[int, int, str]],
+) -> DataFrame:
+    """Several :func:`grouped_discrete_quantile` picks from the SAME
+    cum table in ONE scan + one hash aggregate: each pick becomes a
+    conditional aggregate ``min(value WHERE cc >= rank-target)`` —
+    bit-identical values to the single-pick form (same rank targets,
+    same min-over-qualifying-rows), but k picks stop costing k scans
+    of the cum table glued by k-1 joins. ``quantiles`` is a list of
+    (q_num, q_den, out_col). One contract difference, irrelevant when
+    every target is reachable (targets are ≤ n and max(cc) = n by
+    construction): a group none of whose rows qualify for some pick
+    keeps its row with a NULL pick instead of dropping out.
+    """
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cc")
+                >= F.expr(f"CAST(({num} * n + {den - 1}) DIV {den} AS BIGINT)"),
+                F.col(value_col),
+            )
+        ).alias(out)
+        for num, den, out in quantiles
+    ]
+    if group_cols:
+        return cum_df.groupBy(*group_cols).agg(*aggs)
+    return cum_df.agg(*aggs)
+
+
 def mad_outlier_stats(
     df: DataFrame,
     group_cols: list[str],

@@ -1992,29 +1992,27 @@ def q_approx_distinct(spark, sf_dir):
 )
 def q_approx_percentile_bounds(spark, sf_dir):
     from .operators.relational import (
-        grouped_discrete_quantile,
+        grouped_discrete_quantiles,
         grouped_value_cum,
     )
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    # the cum table feeds SIX quantile picks — pin it (Catalyst dedupes
-    # no common subplans; without this the corpus aggregates six times)
-    cum = grouped_value_cum(li, ["l_returnflag"], "l_extendedprice").localCheckpoint(
-        eager=True
-    )
-
-    def pick(num: int, den: int, name: str) -> DataFrame:
-        return grouped_discrete_quantile(
-            cum, ["l_returnflag"], "l_extendedprice", num, den, out_col=name
-        )
-
-    bounds = (
-        pick(12, 25, "_p50_lo")  # q = 0.48
-        .join(pick(1, 2, "exact_p50"), "l_returnflag")
-        .join(pick(13, 25, "_p50_hi"), "l_returnflag")  # q = 0.52
-        .join(pick(22, 25, "_p90_lo"), "l_returnflag")  # q = 0.88
-        .join(pick(9, 10, "exact_p90"), "l_returnflag")
-        .join(pick(23, 25, "_p90_hi"), "l_returnflag")  # q = 0.92
+    # all SIX quantile picks come out of one cum scan as conditional
+    # aggregates (identical picked values), so the cum table has a
+    # single consumer — no pin, no six-scan join ladder
+    cum = grouped_value_cum(li, ["l_returnflag"], "l_extendedprice")
+    bounds = grouped_discrete_quantiles(
+        cum,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [
+            (12, 25, "_p50_lo"),  # q = 0.48
+            (1, 2, "exact_p50"),
+            (13, 25, "_p50_hi"),  # q = 0.52
+            (22, 25, "_p90_lo"),  # q = 0.88
+            (9, 10, "exact_p90"),
+            (23, 25, "_p90_hi"),  # q = 0.92
+        ],
     )
     ap = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

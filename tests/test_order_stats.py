@@ -120,3 +120,36 @@ def test_grouped_value_cum_inclusive_counts(spark):
         for r in relational.grouped_value_cum(df, ["g"], "v").collect()
     }
     assert got == {("a", 1.0): (2, 3), ("a", 2.0): (3, 3), ("b", 5.0): (1, 1)}
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_discrete_quantiles_match_single_picks(spark, vals):
+    """The one-scan conditional-aggregate multi-pick must return
+    bit-identical values to k independent grouped_discrete_quantile
+    calls over the same cum table (the GK-bounds collapse)."""
+    rows = [("g1" if v % 2 else "g2", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    cum = relational.grouped_value_cum(df, ["g"], "v")
+    qs = [(12, 25, "p48"), (1, 2, "p50"), (9, 10, "p90"), (1, 1, "p100")]
+    multi = {
+        r["g"]: tuple(r[out] for _, _, out in qs)
+        for r in relational.grouped_discrete_quantiles(
+            cum, ["g"], "v", qs
+        ).collect()
+    }
+    single = {}
+    for num, den, out in qs:
+        for r in relational.grouped_discrete_quantile(
+            cum, ["g"], "v", num, den, out_col=out
+        ).collect():
+            single.setdefault(r["g"], []).append(r[out])
+    assert multi == {g: tuple(v) for g, v in single.items()}
