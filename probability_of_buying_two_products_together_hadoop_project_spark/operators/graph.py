@@ -1170,6 +1170,7 @@ def scan_clusters(
     mu: int = 3,
     label_rounds: int = 8,
     sim: DataFrame | None = None,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Full SCAN structural clustering (Xu et al., KDD 2007) over pair
     evidence: cores / borders / hubs / outliers from the per-edge
@@ -1298,21 +1299,33 @@ def scan_clusters(
         if r % _LABEL_CKPT_EVERY == 0 or r == label_rounds:
             labels = labels.localCheckpoint(eager=True)
     core_lab = labels.select("node", F.col("label").alias("cluster_id"))
+    # The role-assembly tail joins NODE-sized relations (core labels,
+    # border picks, hub counts — 16-byte rows) onto the edge-sized
+    # e_eps/bidir relations; checkpoints erase their size stats, so
+    # without the hint every tail join sort-merge-shuffles the EDGE
+    # side (the pagerank broadcast_ranks lesson). broadcast_labels
+    # mirrors that contract: default on, escape hatch for graphs whose
+    # node catalog outgrows executor memory.
+    mb = F.broadcast if broadcast_labels else (lambda df: df)
     border = (
         e_eps.join(
-            core_lab.select(
-                F.col("node").alias("nbr"), F.col("cluster_id").alias("_bc")
+            mb(
+                core_lab.select(
+                    F.col("node").alias("nbr"), F.col("cluster_id").alias("_bc")
+                )
             ),
             "nbr",
         )
-        .join(cores, "node", "left_anti")
+        .join(mb(cores), "node", "left_anti")
         .groupBy("node")
         .agg(F.min("_bc").alias("cluster_id"))
     )
     raw_core_nbrs = (
         bidir.join(
-            core_lab.select(
-                F.col("node").alias("nbr"), F.col("cluster_id").alias("_rc")
+            mb(
+                core_lab.select(
+                    F.col("node").alias("nbr"), F.col("cluster_id").alias("_rc")
+                )
             ),
             "nbr",
         )
@@ -1321,9 +1334,11 @@ def scan_clusters(
     )
     allnodes = bidir.select("node").distinct()
     return (
-        allnodes.join(core_lab.withColumnRenamed("cluster_id", "_core_c"), "node", "left")
-        .join(border.withColumnRenamed("cluster_id", "_bord_c"), "node", "left")
-        .join(raw_core_nbrs, "node", "left")
+        allnodes.join(
+            mb(core_lab.withColumnRenamed("cluster_id", "_core_c")), "node", "left"
+        )
+        .join(mb(border.withColumnRenamed("cluster_id", "_bord_c")), "node", "left")
+        .join(mb(raw_core_nbrs), "node", "left")
         .select(
             "node",
             F.coalesce(F.col("_core_c"), F.col("_bord_c")).alias("cluster_id"),
