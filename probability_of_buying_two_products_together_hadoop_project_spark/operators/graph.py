@@ -970,6 +970,12 @@ def label_propagation(
                 ).alias("_m")
             )
             .select(F.col("src").alias("node"), F.col("_m._l").alias("label"))
+            # NOTE: unlike scan_clusters' shuffle-state rounds, these
+            # rounds BROADCAST the state — chaining them without the
+            # per-round pin nests broadcast builds (round k's broadcast
+            # subtree contains round k-1's broadcast), which measured
+            # 6.2-13.6 s vs a flat ~5.6 s pinned (A/B, sf0.1): nested
+            # builds serialize and replan badly. Keep the pin per round.
             .localCheckpoint(eager=True)
         )
     w_comm = Window.partitionBy("label")
