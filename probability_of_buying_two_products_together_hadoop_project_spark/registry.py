@@ -6684,8 +6684,16 @@ def q_kcore_peel(spark, sf_dir):
     # canonicalize + distinct entirely. A raw-basket_pairs feed was
     # A/B-measured slower first (pre-aggregation is the dedup the
     # internal distinct needed); the shared pin beats both.
+    # numeric-string ids cast to longs on top of the pin (the truss
+    # lesson): the per-round degree explodes and semi-joins ship
+    # 8-byte keys. Safe here because kcore uses ONLY equality joins
+    # and counts — never an id order (which the cast would change;
+    # triangle counting's orientation tie-breaks forbid this cast).
     return graph.kcore_peel(
-        _cooc_sym_edges(spark, sf_dir).filter(F.col("src") < F.col("dst")),
+        _cooc_sym_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst")),
         k=80,
         rounds=4,
         a_col="src",
@@ -15349,11 +15357,20 @@ def q_truss_peel(spark, sf_dir):
     # of re-running the wedge join — r10 bench was 27.2 s with all
     # three rounds recomputing wedges from scratch
     sig, tri = _scan_sigma_tri(spark, sf_dir)
+    # node ids are numeric partkey strings (the basket text contract):
+    # cast them to longs ON TOP of the shared pins so the three
+    # per-round semi-joins and the triangle explode shuffle 8-byte
+    # keys instead of ~16-byte UTF8 rows. Result-invariant: the cast
+    # is injective (no leading zeros), pair identity is preserved
+    # (canonicalization stays the STRING order — only equality is
+    # joined on), and the output is counts + a support-value threshold
+    # (value-ranked, never id-ranked).
     sup0 = sig.select(
-        F.col("item_a").alias("lo"),
-        F.col("item_b").alias("hi"),
+        F.col("item_a").cast("long").alias("lo"),
+        F.col("item_b").cast("long").alias("hi"),
         (F.col("common_closed") - 2).cast("long").alias("sup"),
     )
+    tri = tri.select(*[F.col(c).cast("long").alias(c) for c in tri.columns])
     baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
     return graph.truss_peel(
         basket.basket_pairs(baskets), rounds=3, sup0=sup0, tri0=tri
