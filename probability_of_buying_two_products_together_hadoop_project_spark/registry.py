@@ -14499,8 +14499,31 @@ def _lpa_oracle(iters: int = 4) -> str:
 def q_label_propagation(spark, sf_dir):
     from .operators import graph
 
-    # shared pinned co-occurrence edge list (see _cooc_sym_edges)
-    return graph.label_propagation(_cooc_sym_edges(spark, sf_dir), iters=4)
+    # shared pinned co-occurrence edge list (see _cooc_sym_edges).
+    # The vote rounds re-shuffle (src, label) STRING pairs every round
+    # (189 MB at sf0.1), and labels are order-bearing (min-label
+    # tie-break + the community value itself), so a plain long cast
+    # would change results ("10" < "9" but 9 < 10). Encode ids into
+    # STRING-ORDER-PRESERVING longs instead: for numeric strings
+    # without leading zeros, lexicographic order equals
+    # (right-zero-padded value, length) order, so
+    # enc(s) = rpad(s, 13, '0')::long * 16 + length(s) is an
+    # order-preserving injection (ids < 2^40 stay under 13 digits and
+    # enc < 2^63). Decode at the end reverses it exactly — the output
+    # is bit-identical, the rounds shuffle 8-byte labels.
+    def enc(c):
+        return (
+            F.rpad(F.col(c), 13, "0").cast("long") * 16 + F.length(F.col(c))
+        ).alias(c)
+
+    def dec(c):
+        return F.expr(
+            f"substring(CAST({c} div 16 AS STRING), 1, CAST({c} % 16 AS INT))"
+        ).alias(c)
+
+    edges = _cooc_sym_edges(spark, sf_dir).select(enc("src"), enc("dst"))
+    lab = graph.label_propagation(edges, iters=4)
+    return lab.select(dec("node"), dec("community"), "community_size")
 
 
 @register(
