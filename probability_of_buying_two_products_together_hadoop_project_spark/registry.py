@@ -5342,7 +5342,14 @@ def _pagerank_oracle(iters: int = 5) -> str:
 def q_pagerank(spark, sf_dir):
     from .operators import graph
 
-    return graph.pagerank(_cooc_sym_edges(spark, sf_dir), iters=5)
+    # 8-byte ids through the rank rounds (see _enc_numstr): rank math
+    # is id-order-free, but the shared encode keeps one audited code
+    # path across the graph family; node decodes back bit-identical
+    edges = _cooc_sym_edges(spark, sf_dir).select(
+        _enc_numstr("src"), _enc_numstr("dst")
+    )
+    pr = graph.pagerank(edges, iters=5)
+    return pr.select(_dec_numstr("node"), "rank_units", "rank")
 
 
 # pagerank / label_propagation / ppr_seeded all iterate over the SAME
@@ -5353,6 +5360,33 @@ def q_pagerank(spark, sf_dir):
 # honest 100 TB shape: materialize the co-occurrence graph once, run
 # the graph algorithms against the materialization.
 _SYM_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+# Node ids are numeric partkey strings (the basket text contract), and
+# the iterative graph rounds re-shuffle id-keyed state every round.
+# Several outputs are id-ORDER-bearing (min-label communities, the BFS
+# min-id default seed), so a plain long cast would change results
+# ("10" < "9" as strings, 9 < 10 as longs). For numeric strings
+# WITHOUT leading zeros, lexicographic order equals (right-zero-padded
+# value, length) order, so rpad(s, 13, '0')::long * 16 + length(s) is
+# a STRING-ORDER-PRESERVING injection into longs (ids < 2^40 stay
+# under 13 digits; enc < 2^63), and the decode below reverses it
+# exactly. Rounds then shuffle 8-byte keys; outputs decode back
+# bit-identical.
+def _enc_numstr(c: str):
+    return (
+        F.rpad(F.col(c), 13, "0").cast("long") * 16 + F.length(F.col(c))
+    ).alias(c)
+
+
+def _enc_numstr_py(s: str) -> int:
+    return int(s.ljust(13, "0")) * 16 + len(s)
+
+
+def _dec_numstr(c: str):
+    return F.expr(
+        f"substring(CAST({c} div 16 AS STRING), 1, CAST({c} % 16 AS INT))"
+    ).alias(c)
 
 
 def _cooc_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10026,10 +10060,16 @@ def q_bfs_hops(spark, sf_dir):
     from .operators import graph
 
     baskets = basket.baskets_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    # _enc_numstr ids through the frontier rounds: the default seed is
+    # the MIN node id — an ORDER-dependent pick the plain long cast
+    # would get wrong in general; the order-preserving encode keeps
+    # min(enc) == enc(string-min) universally. hops are id-free.
     edges = graph.symmetric_edges(
         basket.cooccurrence_counts(baskets).filter(F.col("pair_cnt") >= 2)
+    ).select(_enc_numstr("src"), _enc_numstr("dst"))
+    return graph.bfs_hops(edges, max_hops=4).select(
+        _dec_numstr("node"), "hops"
     )
-    return graph.bfs_hops(edges, max_hops=4)
 
 
 @register(
@@ -14502,28 +14542,17 @@ def q_label_propagation(spark, sf_dir):
     # shared pinned co-occurrence edge list (see _cooc_sym_edges).
     # The vote rounds re-shuffle (src, label) STRING pairs every round
     # (189 MB at sf0.1), and labels are order-bearing (min-label
-    # tie-break + the community value itself), so a plain long cast
-    # would change results ("10" < "9" but 9 < 10). Encode ids into
-    # STRING-ORDER-PRESERVING longs instead: for numeric strings
-    # without leading zeros, lexicographic order equals
-    # (right-zero-padded value, length) order, so
-    # enc(s) = rpad(s, 13, '0')::long * 16 + length(s) is an
-    # order-preserving injection (ids < 2^40 stay under 13 digits and
-    # enc < 2^63). Decode at the end reverses it exactly — the output
-    # is bit-identical, the rounds shuffle 8-byte labels.
-    def enc(c):
-        return (
-            F.rpad(F.col(c), 13, "0").cast("long") * 16 + F.length(F.col(c))
-        ).alias(c)
-
-    def dec(c):
-        return F.expr(
-            f"substring(CAST({c} div 16 AS STRING), 1, CAST({c} % 16 AS INT))"
-        ).alias(c)
-
-    edges = _cooc_sym_edges(spark, sf_dir).select(enc("src"), enc("dst"))
+    # tie-break + the community value itself) — the order-preserving
+    # _enc_numstr injection keeps the tie-breaks and community values
+    # bit-identical while the rounds shuffle 8-byte labels
+    # (189.4 -> 144.8 MB measured).
+    edges = _cooc_sym_edges(spark, sf_dir).select(
+        _enc_numstr("src"), _enc_numstr("dst")
+    )
     lab = graph.label_propagation(edges, iters=4)
-    return lab.select(dec("node"), dec("community"), "community_size")
+    return lab.select(
+        _dec_numstr("node"), _dec_numstr("community"), "community_size"
+    )
 
 
 @register(
@@ -15626,10 +15655,16 @@ def _ppr_oracle(iters: int = 5) -> str:
 def q_ppr_seeded(spark, sf_dir):
     from .operators import graph
 
-    # shared pinned co-occurrence edge list (see _cooc_sym_edges)
-    return graph.personalized_pagerank(
-        _cooc_sym_edges(spark, sf_dir), _PPR_SEEDS, iters=5
+    # shared pinned co-occurrence edge list (see _cooc_sym_edges),
+    # ids encoded to longs for the rounds (see _enc_numstr); the seed
+    # set encodes through the same injection
+    edges = _cooc_sym_edges(spark, sf_dir).select(
+        _enc_numstr("src"), _enc_numstr("dst")
     )
+    pr = graph.personalized_pagerank(
+        edges, tuple(_enc_numstr_py(s) for s in _PPR_SEEDS), iters=5
+    )
+    return pr.select(_dec_numstr("node"), "rank_units", "rank")
 
 
 @register(
