@@ -2707,6 +2707,15 @@ def heaps_law_fit(
     )
 
 
+# Vocabulary-size gate for wordpiece_greedy_encode's single-expression
+# path: each greedy step probes candidates with array_contains — an
+# O(|vocab|) scan per candidate substring — so folding the recursion
+# into one job only beats the round-per-job dataflow while the vocab is
+# small (BPE-learned vocabs here are base-chars + merges ≈ dozens); a
+# BERT-scale 30k vocab stays on the broadcast-join loop below.
+_WORDPIECE_EXPR_VOCAB_MAX = 1024
+
+
 def wordpiece_greedy_encode(
     words: DataFrame,
     vocab: DataFrame,
@@ -2760,13 +2769,20 @@ def wordpiece_greedy_encode(
     ).localCheckpoint(eager=True)
     # one driver-side probe bounds the round count AND guards the
     # candidate-length cap (a piece longer than max_piece_len would be
-    # silently unreachable — loud contract instead)
+    # silently unreachable — loud contract instead); it also sizes the
+    # vocabulary for the small-vocab expression path below
     probe = (
         state.agg(F.max(F.length("_tg")).alias("_a"))
-        .crossJoin(pieces.agg(F.max(F.length("_sub")).alias("_b")))
+        .crossJoin(
+            pieces.agg(
+                F.max(F.length("_sub")).alias("_b"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+        )
         .collect()[0]
     )
     longest, piece_max = int(probe["_a"] or 0), int(probe["_b"] or 0)
+    n_pieces_vocab = int(probe["_n"] or 0)
     if piece_max > max_piece_len:
         raise ValueError(
             f"vocab has a {piece_max}-char piece, beyond max_piece_len="
@@ -2774,6 +2790,65 @@ def wordpiece_greedy_encode(
         )
     max_piece_len = max(1, min(max_piece_len, piece_max))
     rounds = min(max_word_len, longest)
+    if n_pieces_vocab <= _WORDPIECE_EXPR_VOCAB_MAX:
+        # Small-vocab fast path: the whole greedy recursion folds into
+        # ONE higher-order expression per word (the markov-removal
+        # lesson — vocabulary-sized state never needed a cluster job
+        # per consumed character). The vocab rides along as one
+        # broadcast array; each step finds the longest matching piece
+        # with an array_contains probe — O(|vocab|) per candidate, so
+        # this path is gated to small vocabularies where the scan is
+        # cheaper than a round's fixed job cost; the per-round
+        # broadcast-join dataflow below stays the large-vocab path.
+        # The recursion, its tie-free longest pick, and every
+        # unk/exhaustion rule are IDENTICAL (property-tested against
+        # the loop path on random words/vocabs).
+        pv = F.broadcast(pieces.agg(F.collect_list("_sub").alias("_pv")))
+        bl_expr = (
+            "array_max(filter(transform("
+            f"sequence(1, least({max_piece_len}, length(_tg) - st.pos)), "
+            "l -> CASE WHEN array_contains(_pv, "
+            "substring(_tg, st.pos + 1, l)) THEN l END), "
+            "x -> x IS NOT NULL))"
+        )
+        step = (
+            "CASE WHEN st.pos < length(_tg) "
+            "AND NOT coalesce(st.unk, FALSE) THEN "
+            f"aggregate(array({bl_expr}), st, (s2, bl) -> "
+            "CASE WHEN bl IS NULL THEN "
+            "named_struct('pos', s2.pos, 'seq', s2.seq, "
+            "'unk', CAST(TRUE AS BOOLEAN)) "
+            "ELSE named_struct('pos', CAST(s2.pos + bl AS INT), "
+            "'seq', CASE WHEN s2.seq = '' THEN "
+            "substring(_tg, s2.pos + 1, bl) "
+            "ELSE concat(s2.seq, ' ', substring(_tg, s2.pos + 1, bl)) "
+            "END, 'unk', CAST(FALSE AS BOOLEAN)) END) "
+            "ELSE st END"
+        )
+        fold = (
+            f"aggregate(sequence(1, {rounds if rounds > 0 else 1}), "
+            "named_struct('pos', CAST(0 AS INT), 'seq', '', "
+            f"'unk', length(_tg) > {max_word_len}), "
+            f"(st, k) -> {step})"
+        )
+        done = state.crossJoin(pv).select(
+            "word",
+            "cnt",
+            F.expr(f"{fold}.seq").alias("_seq"),
+            F.expr(f"{fold}.unk").alias("_unk"),
+        )
+        return done.select(
+            "word",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.when(F.col("_unk"), F.lit(unk_token))
+            .otherwise(F.col("_seq"))
+            .alias("wp_seq"),
+            F.when(F.col("_unk"), F.lit(1))
+            .otherwise(F.size(F.split("_seq", " ")))
+            .cast("long")
+            .alias("n_pieces"),
+            F.col("_unk").cast("long").alias("is_unk"),
+        )
     for _ in range(rounds):
         live = F.col("_pos") < F.length("_tg")
         cands = (
