@@ -85,6 +85,13 @@ UNITS = 10**12  # fixed-point scale: ranks in 1e-12 units
 # construction.
 _LABEL_CKPT_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_LABEL_CKPT", "8")))
 
+# State-count gate for markov_stationary's single-expression fold: the
+# folded power iteration is O(states x edges) expression work per
+# round inside one task, which beats round-per-job latency while the
+# chain is states-bounded (event-type chains: dozens at any corpus
+# size) and would not on a genuinely large state space.
+_MARKOV_EXPR_STATES_MAX = 512
+
 
 def pagerank(
     edges: DataFrame,
@@ -651,6 +658,57 @@ def markov_stationary(
             "state",
             F.lit(0).cast("long").alias("mass_units"),
             F.lit(0.0).alias("mass"),
+        )
+    if n_states <= _MARKOV_EXPR_STATES_MAX:
+        # Small-chain fast path (the markov_removal_attribution
+        # lesson): the whole power iteration folds into higher-order
+        # array expressions over ONE collected (src, row-total,
+        # out-edges) row — a single job instead of iters checkpointed
+        # rounds of pure stage latency. Identical integers: each
+        # contribution is the same per-EDGE (mass * n) div row_total
+        # in DECIMAL(38,0), summed per destination; zip_with pairs
+        # each src row with its positional mass. Event-type chains are
+        # states-bounded at any corpus size; a genuinely large state
+        # space stays on the relational rounds below.
+        per_src = t.groupBy("src").agg(
+            F.sum("n").cast(dec).alias("_rt"),
+            F.collect_list(
+                F.struct(
+                    F.col("dst").alias("dst"), F.col("n").cast(dec).alias("n")
+                )
+            ).alias("_out"),
+        )
+        one = per_src.agg(
+            F.collect_list(F.struct("src", "_rt", "_out")).alias("_rows")
+        ).select("_rows", F.expr("transform(_rows, r -> r.src)").alias("_states"))
+        start = UNITS // n_states
+        step = (
+            "transform(_states, s -> CAST(aggregate("
+            "zip_with(_rows, au, (r, m) -> "
+            f"aggregate(filter(r._out, e -> e.dst = s), CAST(0 AS {dec}), "
+            f"(acc, e) -> CAST(acc + (CAST(m AS {dec}) * e.n) div r._rt "
+            f"AS {dec}))), "
+            f"CAST(0 AS {dec}), (a2, c) -> CAST(a2 + c AS {dec})) AS BIGINT))"
+        )
+        fold = (
+            f"aggregate(sequence(1, {iters}), "
+            f"transform(_rows, r -> {start}L), "
+            f"(au, k) -> {step})"
+        )
+        out = one.select(
+            F.explode(
+                F.expr(
+                    f"zip_with(_states, {fold}, (s, m) -> "
+                    "named_struct('state', s, 'mass_units', m))"
+                )
+            ).alias("_r")
+        ).select("_r.state", "_r.mass_units")
+        return out.select(
+            "state",
+            "mass_units",
+            (F.col("mass_units").cast("double") / F.lit(float(UNITS))).alias(
+                "mass"
+            ),
         )
     pi = states.select(
         "state", F.lit(UNITS // n_states).cast("long").alias("mass_units")

@@ -503,6 +503,27 @@ def test_markov_broadcast_and_generic_paths_agree(spark):
     assert bc == gen
 
 
+def test_markov_expr_fold_equals_relational_rounds(spark, monkeypatch):
+    """The small-chain single-expression fold must match the
+    round-per-job relational path unit for unit — including a pure
+    sink (mass into 'z' is discarded: states = distinct sources)."""
+    rows = [
+        ("a", "b", 3), ("b", "c", 2), ("c", "a", 4), ("b", "a", 1),
+        ("a", "z", 5),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, n bigint")
+    fast = {
+        r.state: (r.mass_units, r.mass)
+        for r in graph.markov_stationary(df, iters=5).collect()
+    }
+    monkeypatch.setattr(graph, "_MARKOV_EXPR_STATES_MAX", 0)
+    slow = {
+        r.state: (r.mass_units, r.mass)
+        for r in graph.markov_stationary(df, iters=5).collect()
+    }
+    assert fast == slow
+
+
 def test_local_clustering_coefficients_known_graph(spark):
     # triangle a-b-c plus pendant d-a: t(a)=t(b)=t(c)=1, t(d)=0;
     # lcc(a)=2/(3*2)=1/3, lcc(b)=lcc(c)=1, lcc(d)=0 (deg<2 convention)
