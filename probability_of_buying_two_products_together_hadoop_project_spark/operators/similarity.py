@@ -1453,6 +1453,139 @@ def pca_corpus_scatter(
     return scatter, mu
 
 
+# Dimension gate for the PCA single-expression fold: the folded power
+# iteration is O(d^2) expression work per round inside ONE task over
+# the collected d^2 scatter array, which beats round-per-job latency
+# for the dims this engine targets (d=64 registry embeddings) and
+# stops being a one-row value at very high d.
+_PCA_EXPR_DIM_MAX = 256
+
+
+def _pca_power_fold(
+    scatter: DataFrame,
+    mu: DataFrame,
+    ndim: int,
+    n_components: int,
+    iters: int,
+    unit: int,
+) -> DataFrame:
+    """(internal) The ENTIRE power-iteration-with-deflation recursion
+    as higher-order expressions over the collected d² scatter — one
+    job instead of n_components × (iters + 4) checkpointed rounds
+    (the markov_removal lesson). Arithmetic is replicated step for
+    step from the relational rounds: S·v in DECIMAL(38,0), L∞
+    normalization ``(t*unit) div max|t|`` with the max==0 guard, the
+    first-nonzero sign pin (size-guarded — ANSI element_at errors on
+    empty arrays), the unguarded Rayleigh division, and Hotelling
+    deflation with the vv==0 skip — so every output bit matches
+    (equality-tested against the relational path). Caller guarantees
+    the scatter is DENSE (count == ndim²) and ndim ≤
+    _PCA_EXPR_DIM_MAX."""
+    dec = "decimal(38,0)"
+    D, U = ndim, unit
+
+    def matvec(s: str, v: str) -> str:
+        return (
+            f"transform(sequence(0, {D - 1}), i -> "
+            f"aggregate(sequence(0, {D - 1}), CAST(0 AS {dec}), "
+            f"(acc, j2) -> CAST(acc + element_at({s}, i * {D} + j2 + 1) * "
+            f"CAST(element_at({v}, j2 + 1) AS {dec}) AS {dec})))"
+        )
+
+    # one-element-array aggregates act as let-bindings (the wordpiece
+    # trick): t, m, v, sgn, vp, tf, vv2, lam2 each bind once per use
+    power = (
+        f"aggregate(sequence(1, {iters}), "
+        f"transform(sequence(0, {D - 1}), z -> CAST({U} AS BIGINT)), "
+        f"(v, k2) -> "
+        f"aggregate(array({matvec('st.s', 'v')}), v, (v0, t) -> "
+        f"aggregate(array(array_max(transform(t, x -> abs(x)))), v0, "
+        f"(v1, m) -> transform(t, x -> "
+        f"CASE WHEN m = CAST(0 AS {dec}) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST((x * CAST({U} AS {dec})) div m AS BIGINT) END))))"
+    )
+    sg = (
+        "CASE WHEN size(filter(v, x -> x != 0L)) = 0 THEN CAST(1 AS BIGINT) "
+        "WHEN element_at(filter(v, x -> x != 0L), 1) < 0L "
+        "THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    )
+    vv = (
+        f"aggregate(transform(vp, x -> CAST(x AS {dec}) * CAST(x AS {dec})), "
+        f"CAST(0 AS {dec}), (a, b) -> CAST(a + b AS {dec}))"
+    )
+    # vv2 == 0 (zero loading vector) reproduces the relational path's
+    # degenerate contract: its empty sign relation cross-joined every
+    # downstream step away, so the component emits NO rows and the
+    # Rayleigh division never evaluates (ANSI would error on 0 div 0)
+    lam = (
+        f"CASE WHEN vv2 = CAST(0 AS {dec}) THEN CAST(0 AS {dec}) ELSE "
+        f"aggregate(zip_with(tf, vp, (tx, x) -> tx * CAST(x AS {dec})), "
+        f"CAST(0 AS {dec}), (a, b) -> CAST(a + b AS {dec})) div vv2 END"
+    )
+    deflate = (
+        f"CASE WHEN k >= {n_components} THEN s6.s "
+        f"WHEN vv2 = CAST(0 AS {dec}) THEN s6.s "
+        f"ELSE zip_with(s6.s, sequence(0, {D * D - 1}), (sv, p) -> "
+        f"CAST(sv - (lam2 * "
+        f"CAST(element_at(vp, CAST(p div {D} AS INT) + 1) AS {dec}) * "
+        f"CAST(element_at(vp, CAST(p % {D} AS INT) + 1) AS {dec})) "
+        f"div vv2 AS {dec})) END"
+    )
+    rows = (
+        f"CASE WHEN vv2 = CAST(0 AS {dec}) THEN "
+        f"slice(array(named_struct('component', CAST(0 AS INT), "
+        f"'pos', CAST(0 AS INT), 'vu', CAST(0 AS BIGINT), "
+        f"'lam', CAST(0 AS {dec}))), 1, 0) ELSE "
+        f"transform(sequence(0, {D - 1}), p -> named_struct("
+        f"'component', CAST(k - 1 AS INT), 'pos', CAST(p AS INT), "
+        f"'vu', element_at(vp, p + 1), 'lam', lam2)) END"
+    )
+    empty_rows = (
+        "slice(array(named_struct('component', CAST(0 AS INT), "
+        "'pos', CAST(0 AS INT), 'vu', CAST(0 AS BIGINT), "
+        f"'lam', CAST(0 AS {dec}))), 1, 0)"
+    )
+    merge = (
+        f"aggregate(array({power}), st, (s1, v) -> "
+        f"aggregate(array({sg}), s1, (s2, sgn) -> "
+        f"aggregate(array(transform(v, x -> x * sgn)), s2, (s3, vp) -> "
+        f"aggregate(array({matvec('s3.s', 'vp')}), s3, (s4, tf) -> "
+        f"aggregate(array({vv}), s4, (s5, vv2) -> "
+        f"aggregate(array({lam}), s5, (s6, lam2) -> "
+        f"named_struct('s', {deflate}, "
+        f"'rows', concat(s6.rows, {rows}))))))))"
+    )
+    fold = (
+        f"aggregate(sequence(1, {n_components}), "
+        f"named_struct('s', _S, 'rows', {empty_rows}), (st, k) -> {merge})"
+    )
+    trace = (
+        f"aggregate(sequence(0, {D - 1}), CAST(0 AS {dec}), "
+        f"(a, i2) -> CAST(a + element_at(_S, i2 * {D} + i2 + 1) AS {dec}))"
+    )
+    one = scatter.agg(
+        F.array_sort(F.collect_list(F.struct("i", "j", "_s"))).alias("_sij")
+    ).select(F.expr("transform(_sij, x -> x._s)").alias("_S"))
+    n1 = mu.agg(F.max("_n").cast("long").alias("n_vecs"))
+    res = one.select(F.expr(fold).alias("_st"), F.expr(trace).alias("_tr"))
+    return (
+        res.select(F.explode("_st.rows").alias("_r"), "_tr")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("_r.component").alias("component"),
+            F.col("_r.pos").alias("pos"),
+            F.col("_r.vu").alias("loading_units"),
+            (F.col("_r.vu").cast("double") / F.lit(float(U))).alias("loading"),
+            F.col("_r.lam").cast("string").alias("eigenvalue_str"),
+            F.when(
+                F.col("_tr") != 0,
+                F.col("_r.lam").cast("double") / F.col("_tr").cast("double"),
+            ).alias("var_ratio"),
+            "n_vecs",
+        )
+    )
+
+
 def pca_top_component(
     embeddings: DataFrame,
     iters: int = 6,
@@ -1504,6 +1637,13 @@ def pca_top_component(
             [],
             "pos int, loading_units long, loading double, "
             "eigenvalue_str string, var_ratio double, n_vecs long",
+        )
+    if ndim <= _PCA_EXPR_DIM_MAX and scatter.count() == ndim * ndim:
+        # dense small-d scatter: the whole recursion in one job (the
+        # count guard — one action on the pinned d²-row relation —
+        # protects the fold's positional indexing from ragged inputs)
+        return _pca_power_fold(scatter, mu, ndim, 1, iters, unit).drop(
+            "component"
         )
     v = spark.range(ndim).select(
         F.col("id").cast("int").alias("j"),
@@ -1620,6 +1760,10 @@ def pca_components(
     )
     if ndim is None:
         return spark.createDataFrame([], empty_schema)
+    if ndim <= _PCA_EXPR_DIM_MAX and scatter.count() == ndim * ndim:
+        # dense small-d scatter: all components' power runs + the
+        # Hotelling deflations in one job (see _pca_power_fold)
+        return _pca_power_fold(scatter, mu, ndim, n_components, iters, unit)
     trace0 = scatter.filter(F.col("i") == F.col("j")).agg(
         F.sum("_s").cast(dec).alias("_tr")
     ).localCheckpoint(eager=True)

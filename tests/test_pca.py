@@ -162,3 +162,46 @@ def test_pca_two_components_orthogonal_and_ordered(spark):
 
     with pytest.raises(ValueError):
         similarity.pca_components(df, n_components=0)
+
+
+def test_pca_fold_equals_relational_rounds(spark, monkeypatch):
+    """The single-job expression fold must match the round-per-job
+    relational path bit for bit: loadings, eigenvalue strings,
+    ratios, across two deflated components on a random corpus."""
+    rng = random.Random(7)
+    vecs = [
+        [rng.gauss(0, 3) + (1.5 if i % 2 else -1.5), rng.gauss(0, 1), rng.gauss(0, 0.3)]
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def rowset(out):
+        return sorted(
+            (
+                r.component,
+                r.pos,
+                r.loading_units,
+                r.loading,
+                r.eigenvalue_str,
+                r.var_ratio,
+                r.n_vecs,
+            )
+            for r in out.collect()
+        )
+
+    fast = rowset(similarity.pca_components(df, n_components=2, iters=5))
+    fast_top = sorted(
+        (r.pos, r.loading_units, r.eigenvalue_str, r.var_ratio)
+        for r in similarity.pca_top_component(df, iters=5).collect()
+    )
+    monkeypatch.setattr(similarity, "_PCA_EXPR_DIM_MAX", 0)
+    slow = rowset(similarity.pca_components(df, n_components=2, iters=5))
+    slow_top = sorted(
+        (r.pos, r.loading_units, r.eigenvalue_str, r.var_ratio)
+        for r in similarity.pca_top_component(df, iters=5).collect()
+    )
+    assert fast == slow
+    assert fast_top == slow_top
