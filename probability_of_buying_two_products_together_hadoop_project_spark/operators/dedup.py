@@ -1936,6 +1936,13 @@ def _fs_em_products(nf: int, dec: str) -> tuple[Column, Column]:
     return num_m, num_u
 
 
+# Test hook: False forces the relational round-per-job EM (the
+# equality test pins fold == rounds); the fold is otherwise always
+# applicable — its input is the <= 2^F-row pattern table by
+# construction, never corpus-sized.
+_FS_EM_EXPR_FOLD = True
+
+
 def _fs_em_loop(
     pairs: DataFrame,
     flag_cols: list[str],
@@ -1981,6 +1988,106 @@ def _fs_em_loop(
         return F.greatest(
             F.lit(1).cast(dec), F.least(F.lit(P6 - 1).cast(dec), c)
         )
+
+    if _FS_EM_EXPR_FOLD and not pat.isEmpty():
+        # Small-pattern fast path (the markov_removal lesson): the
+        # rounds iterate over <= 2^F pattern rows, so the whole EM —
+        # every E-step likelihood, posterior weight, M-step sum and
+        # clamp — folds into one expression over the collected pattern
+        # list, replicating the relational rounds' DECIMAL(38,0)
+        # products, truncating divisions and clamp order exactly
+        # (equality-tested). An EMPTY pattern table keeps the
+        # relational rounds (their NULL-aggregate clamp semantics).
+        pats1 = pat.agg(
+            F.collect_list(
+                F.struct(
+                    F.array(*[F.col(f"_g{i}") for i in range(nf)]).alias("g"),
+                    F.col("_n").cast(dec).alias("n"),
+                )
+            ).alias("_pats")
+        )
+        czero = f"CAST(0 AS {dec})"
+
+        def lik(start: str, off: int) -> str:
+            # Π over fields of (g_i ? param_i : 1e6 - param_i), seeded
+            # with `start` — the _fs_em_products left-to-right order
+            return (
+                f"aggregate(sequence(0, {nf - 1}), {start}, (ac, i) -> "
+                f"CAST(ac * (CASE WHEN element_at(x.g, i + 1) "
+                f"THEN element_at(pp, i + {off}) "
+                f"ELSE CAST({P6} AS {dec}) - element_at(pp, i + {off}) "
+                f"END) AS {dec}))"
+            )
+
+        nm = lik("element_at(pp, 1)", 2)
+        nu = lik(f"CAST({P6} AS {dec}) - element_at(pp, 1)", nf + 2)
+        zero_vec = f"transform(sequence(0, {nf - 1}), z -> {czero})"
+        sums = (
+            f"aggregate(_pats, named_struct("
+            f"'tw', {czero}, 'tnw', {czero}, 'nn', {czero}, "
+            f"'am', {zero_vec}, 'au', {zero_vec}), (s, x) -> "
+            f"aggregate(array({nm}), s, (s1, nmv) -> "
+            f"aggregate(array({nu}), s1, (s2, nuv) -> "
+            f"aggregate(array((nmv * CAST({P12} AS {dec})) div (nmv + nuv)), "
+            f"s2, (s3, wv) -> named_struct("
+            f"'tw', CAST(s3.tw + x.n * wv AS {dec}), "
+            f"'tnw', CAST(s3.tnw + x.n * (CAST({P12} AS {dec}) - wv) "
+            f"AS {dec}), "
+            f"'nn', CAST(s3.nn + x.n AS {dec}), "
+            f"'am', zip_with(s3.am, sequence(0, {nf - 1}), (a, i) -> "
+            f"CAST(a + CASE WHEN element_at(x.g, i + 1) THEN x.n * wv "
+            f"ELSE {czero} END AS {dec})), "
+            f"'au', zip_with(s3.au, sequence(0, {nf - 1}), (a, i) -> "
+            f"CAST(a + CASE WHEN element_at(x.g, i + 1) "
+            f"THEN x.n * (CAST({P12} AS {dec}) - wv) "
+            f"ELSE {czero} END AS {dec})))))))"
+        )
+
+        def cl(v: str) -> str:
+            return (
+                f"greatest(CAST(1 AS {dec}), "
+                f"least(CAST({P6 - 1} AS {dec}), CAST({v} AS {dec})))"
+            )
+
+        new_p = cl(
+            f"(s.tw * CAST({P6} AS {dec})) div (s.nn * CAST({P12} AS {dec}))"
+        )
+        new_m = (
+            f"transform(sequence(0, {nf - 1}), i -> "
+            + cl(f"(element_at(s.am, i + 1) * CAST({P6} AS {dec})) div s.tw")
+            + ")"
+        )
+        new_u = (
+            f"transform(sequence(0, {nf - 1}), i -> "
+            + cl(f"(element_at(s.au, i + 1) * CAST({P6} AS {dec})) div s.tnw")
+            + ")"
+        )
+        init = ", ".join(
+            [f"CAST({p0_units} AS {dec})"]
+            + [f"CAST({m0_units} AS {dec})"] * nf
+            + [f"CAST({u0_units} AS {dec})"] * nf
+        )
+        fold = (
+            f"aggregate(sequence(1, {iters}), array({init}), (pp, it) -> "
+            f"aggregate(array({sums}), pp, (q, s) -> "
+            f"concat(array({new_p}), {new_m}, {new_u})))"
+        )
+        params = (
+            pats1.select(F.expr(fold).alias("_pp"))
+            .select(
+                F.expr("element_at(_pp, 1)").alias("_p"),
+                *[
+                    F.expr(f"element_at(_pp, {i + 2})").alias(f"_m{i}")
+                    for i in range(nf)
+                ],
+                *[
+                    F.expr(f"element_at(_pp, {nf + i + 2})").alias(f"_u{i}")
+                    for i in range(nf)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        return pat, params
 
     for _ in range(iters):
         j = pat.crossJoin(F.broadcast(params))

@@ -332,3 +332,33 @@ def test_reciprocal_best_match_one_to_one(spark):
     # one-to-one: no id repeats on either side
     assert len({a for a, _ in got}) == len(got)
     assert len({b for _, b in got}) == len(got)
+
+
+def test_fs_em_fold_equals_relational_rounds(spark, monkeypatch):
+    """The one-expression EM fold must match the round-per-job
+    relational path unit for unit — params (via fs_em) and the
+    pattern diagnostics (via fs_em_fit) both."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (rng.random() < 0.6, rng.random() < 0.3, rng.random() < 0.5)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+
+    def snap():
+        em = sorted(
+            (r.field, r.m_units, r.u_units, r.p_units)
+            for r in dedup.fs_em(df, ["a", "b", "c"], iters=4).collect()
+        )
+        fit = sorted(
+            (r.pattern, r.n_obs, r.expected_n, r.residual, r.match_post_units)
+            for r in dedup.fs_em_fit(df, ["a", "b", "c"], iters=4).collect()
+        )
+        return em, fit
+
+    fast = snap()
+    monkeypatch.setattr(dedup, "_FS_EM_EXPR_FOLD", False)
+    slow = snap()
+    assert fast == slow
