@@ -16646,6 +16646,31 @@ def _ordered() -> dict[str, Query]:
     return {n: REGISTRY[n] for n in names}
 
 
+def shared_evidence_builders() -> dict[str, Callable[[SparkSession, str], object]]:
+    """Ordered inventory of every per-(SparkContext, sf_dir) shared-evidence
+    pin. Calling a builder forces the COLD build (each pin is
+    localCheckpoint(eager=True)-backed, so the call runs the corpus pass);
+    a second call is a dict hit. ``bench.py`` times these once per full
+    run and reports them as first-class ``pin_builds`` rows next to the
+    per-query marginal walls (r12 VERDICT item 1): the timed per-query
+    figures exclude pin construction by design (warmup-absorbed), so the
+    pin walls are the missing piece of the cold-session total.
+
+    Order matters only for cost attribution: ``near_dup_clusters`` builds
+    on ``near_dup_pairs`` and is timed after it, so each row is the pin's
+    own marginal build."""
+    return {
+        "near_dup_pairs": lambda s, d: _near_dup_evidence(s, d, "pairs"),
+        "near_dup_clusters": lambda s, d: _near_dup_evidence(s, d, "clusters"),
+        "cooc_sym_edges": _cooc_sym_edges,
+        "scan_sigma_tri": _scan_sigma_tri,
+        "pca_scatter": _pca_scatter,
+        "dsir_lw": _dsir_lw,
+        "bpe_evidence": _bpe_evidence,
+        "substr_spans": _substr_spans,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in _ordered().items()}
 
