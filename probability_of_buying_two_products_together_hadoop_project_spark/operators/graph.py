@@ -83,7 +83,12 @@ UNITS = 10**12  # fixed-point scale: ranks in 1e-12 units
 # it, so the edge table stops re-shuffling every round). Env-
 # overridable for A/B without code edits; result-invariant by
 # construction.
-_LABEL_CKPT_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_LABEL_CKPT", "8")))
+try:
+    _LABEL_CKPT_EVERY = max(
+        1, int(os.environ.get("SPARK_GRAFT_LABEL_CKPT", "8"))
+    )
+except ValueError:  # malformed env (A/B typo) must not break import
+    _LABEL_CKPT_EVERY = 8
 
 # State-count gate for markov_stationary's single-expression fold: the
 # folded power iteration is O(states x edges) expression work per
@@ -860,8 +865,13 @@ def markov_removal_attribution(
     if len(set(channels)) != len(channels):
         raise ValueError("channels must be distinct")
     for c in channels:
-        if "'" in c:
-            raise ValueError(f"channel name contains a quote: {c!r}")
+        # names are interpolated into SQL string literals below: reject
+        # the quote AND the escape character (a trailing backslash would
+        # swallow the closing quote — ADVICE r12)
+        if "'" in c or "\\" in c:
+            raise ValueError(
+                f"channel name contains a quote or backslash: {c!r}"
+            )
     dec = "decimal(38,0)"
     # states²-bounded fold: one row per src with its exact row total
     # (kept across removals — the redirect convention) and out-edge

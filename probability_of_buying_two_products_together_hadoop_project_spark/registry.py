@@ -5374,8 +5374,34 @@ _SYM_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 # exactly. Rounds then shuffle 8-byte keys; outputs decode back
 # bit-identical.
 def _enc_numstr(c: str):
+    # Runtime guard (ADVICE r12): the injection silently breaks on ids
+    # longer than 13 chars (rpad TRUNCATES), with leading zeros
+    # (non-injective), or non-numeric (NULL cast). Fail loudly instead
+    # of corrupting graph results if the id contract ever changes; the
+    # branch is never taken on conforming data and costs two length
+    # comparisons per row.
+    col = F.col(c)
+    enc = F.rpad(col, 13, "0").cast("long") * 16 + F.length(col)
+    bad = (
+        enc.isNull()
+        | (F.length(col) > 13)
+        | (F.length(col) == 0)
+        | ((F.length(col) > 1) & col.startswith("0"))
+    )
     return (
-        F.rpad(F.col(c), 13, "0").cast("long") * 16 + F.length(F.col(c))
+        F.when(
+            ~bad, enc
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "_enc_numstr precondition violated (numeric, "
+                        "no leading zeros, <= 13 digits): "
+                    ),
+                    F.coalesce(col, F.lit("NULL")),
+                )
+            )
+        )
     ).alias(c)
 
 

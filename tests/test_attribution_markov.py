@@ -133,6 +133,13 @@ def test_markov_removal_validates_inputs(spark):
         graph.markov_removal_attribution(t, channels=("a", "a"))
     with pytest.raises(ValueError):
         graph.markov_removal_attribution(t, channels=("a",), iters=0)
+    # names are interpolated into SQL literals: both the quote AND the
+    # escape character must be rejected (ADVICE r12 — a trailing
+    # backslash would swallow the closing quote)
+    with pytest.raises(ValueError):
+        graph.markov_removal_attribution(t, channels=("a'b",))
+    with pytest.raises(ValueError):
+        graph.markov_removal_attribution(t, channels=("a\\",))
 
 
 def test_markov_removal_no_conversions_gives_nulls(spark):

@@ -153,3 +153,23 @@ def test_grouped_discrete_quantiles_match_single_picks(spark, vals):
         ).collect():
             single.setdefault(r["g"], []).append(r[out])
     assert multi == {g: tuple(v) for g, v in single.items()}
+
+
+def test_grouped_discrete_quantiles_unreachable_target_keeps_null_row(spark):
+    """Pins the ONE documented contract divergence (ADVICE r12): for a
+    target no row can reach (q_num > q_den => rank target > n), the
+    single-pick form DROPS the group while the multi-pick form keeps
+    the group's row with a NULL pick. Irrelevant for real quantiles
+    (targets <= n by construction) — pinned here so a future caller
+    can't trip over it silently."""
+    df = spark.createDataFrame([("g1", 1.0), ("g1", 2.0)], ["g", "v"])
+    cum = relational.grouped_value_cum(df, ["g"], "v")
+    single = relational.grouped_discrete_quantile(
+        cum, ["g"], "v", 3, 2, out_col="p150"
+    ).collect()
+    assert single == []  # unreachable target: group drops out
+    multi = relational.grouped_discrete_quantiles(
+        cum, ["g"], "v", [(1, 2, "p50"), (3, 2, "p150")]
+    ).collect()
+    assert len(multi) == 1
+    assert multi[0]["p50"] == 1.0 and multi[0]["p150"] is None
