@@ -1474,9 +1474,14 @@ def truss_peel(
     is three semi-joins against the (monotonically shrinking) survivor
     set plus one explode + aggregate. Without ``tri0``, rounds >= 2
     recompute the wedge join on the surviving (~25% post-P75) edges.
+    On the ``tri0`` path with integral node ids in [0, 2^31), the
+    (lo, hi) pairs additionally pack into single-long edge keys for
+    the round loop (guide §2.3 — half the triangle-list shuffle
+    bytes); the pair loop is kept verbatim for any other id domain.
     Output is hash-identical along every path: round-1 support on the
-    same edges IS the sigma support, and filtered-triangle counts equal
-    recomputed subgraph counts by definition.
+    same edges IS the sigma support, filtered-triangle counts equal
+    recomputed subgraph counts by definition, and packing is a
+    bijection on the edge set feeding count-only outputs.
 
     Output: one row per round — (round, n_edges_before, n_survivors,
     support_threshold).
@@ -1509,13 +1514,61 @@ def truss_peel(
     cum = grouped_value_cum(
         sup.select("sup"), [], "sup", bucket_expr=F.col("sup")
     )
+    # pin the 1-row threshold pick: every round's survivor filter (and
+    # each output row) broadcasts it — without the pin the cum pipeline
+    # over the full support distribution re-executes once per consumer
     t_df = F.broadcast(
         grouped_discrete_quantile(
             cum, [], "sup", t_rank_num, t_rank_den, out_col="_t"
-        )
+        ).localCheckpoint(eager=True)
     )
     tri = tri0
+    # Edge-key packing (guide §2.3 "narrower types"): the output is
+    # counts + a support-value threshold — after the t_df pick the
+    # individual node ids are never read again on the triangle-list
+    # path, only edge IDENTITY is joined on. For integral ids in
+    # [0, 2^31) the pair packs injectively into ONE long
+    # (lo * 2^32 + hi, no overflow), so the per-round semi-joins and
+    # the support explode shuffle one 8-byte key instead of two — half
+    # the triangle-list bytes. Gated by one bounded aggregate on the
+    # PINNED sup relation (the fold-gate rule: actions on pins only);
+    # non-integral or out-of-range ids keep the (lo, hi) pair loop
+    # verbatim. Results are identical by construction: packing is a
+    # bijection on the edge set and every downstream value is a count.
+    packed = False
+    if tri is not None:
+        dts = dict(sup.dtypes)
+        if dts.get("lo") in ("bigint", "int") and dts.get("hi") in (
+            "bigint",
+            "int",
+        ):
+            b = sup.agg(
+                F.min(F.least("lo", "hi")).alias("mn"),
+                F.max(F.greatest("lo", "hi")).alias("mx"),
+            ).first()
+            packed = (
+                b["mn"] is not None and b["mn"] >= 0 and b["mx"] < (1 << 31)
+            )
+    if packed:
+        _p = F.lit(1 << 32).cast("long")
+
+        def _pk(lo: str, hi: str):
+            return F.col(lo).cast("long") * _p + F.col(hi).cast("long")
+
+        keyed_sup = sup.select(_pk("lo", "hi").alias("e"), "sup")
+        tri = tri.select(
+            _pk("lo1", "hi1").alias("e1"),
+            _pk("lo2", "hi2").alias("e2"),
+            _pk("lo3", "hi3").alias("e3"),
+        )
+        keys = ["e"]
+    else:
+        keyed_sup = sup
+        keys = ["lo", "hi"]
+    cur_sup = keyed_sup
     out = None
+    edges = None
+    n_before = None
     for r in range(1, rounds + 1):
         if r > 1 and tri is not None:
             # subgraph triangles = original triangles whose 3 edges all
@@ -1524,50 +1577,71 @@ def truss_peel(
             for i in (1, 2, 3):
                 tri = tri.join(
                     edges.select(
-                        F.col("lo").alias(f"lo{i}"), F.col("hi").alias(f"hi{i}")
+                        *[F.col(k).alias(f"{k}{i}") for k in keys]
                     ),
-                    [f"lo{i}", f"hi{i}"],
+                    [f"{k}{i}" for k in keys],
                     "left_semi",
                 )
             if r < rounds:
                 # next round's semi-joins re-read it; on the final
                 # round the chain is linear into surv — stay lazy
                 tri = tri.localCheckpoint(eager=True)
-            counts = _triangle_edge_counts(tri)
+            if packed:
+                counts = (
+                    tri.select(F.explode(F.array("e1", "e2", "e3")).alias("e"))
+                    .groupBy("e")
+                    .agg(F.count(F.lit(1)).alias("_sup"))
+                )
+            else:
+                counts = _triangle_edge_counts(tri)
             # single consumer (surv) — lazy, no per-round checkpoint:
             # the survivor job computes join + filter in one pass
-            sup = edges.join(counts, ["lo", "hi"], "left").select(
-                "lo",
-                "hi",
+            cur_sup = edges.join(counts, keys, "left").select(
+                *keys,
                 F.coalesce(F.col("_sup"), F.lit(0)).cast("long").alias("sup"),
             )
         elif r > 1:
-            sup = _edge_support(edges).select("lo", "hi", "sup")
+            cur_sup = _edge_support(edges).select("lo", "hi", "sup")
+        # persist (not localCheckpoint) the survivor set: an eagerly
+        # materialized InMemoryRelation carries REAL size stats, so the
+        # next round's three semi-joins broadcast it when it is small
+        # and fall back to SMJ when it is not — the scale-adaptive
+        # version of the broadcast_labels contract (a checkpoint erases
+        # stats and forces SMJ: 3 sorts of the triangle list per round,
+        # measured 2.8 -> 2.3 s/round at sf0.1). Lineage stays bounded:
+        # the triangle chain is checkpointed per round either way.
         surv = (
-            sup.crossJoin(t_df)
+            cur_sup.crossJoin(t_df)
             .filter(F.col("sup") >= F.col("_t"))
-            .select("lo", "hi")
-            .localCheckpoint(eager=True)
+            .select(*keys)
+            .persist()
         )
-        # n_edges_before == |sup| == |current edge set| (the left join
-        # preserves every edge): count the already-pinned relation —
-        # round 1 counts the pinned sup, later rounds the pinned
-        # survivor set — so the final action never re-runs the
-        # support pipeline just to count its input
-        before = sup if r == 1 else edges
-        row = (
-            before.agg(F.count(F.lit(1)).alias("n_edges_before"))
-            .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_survivors")))
-            .crossJoin(t_df)
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("n_edges_before").cast("long"),
-                F.col("n_survivors").cast("long"),
-                F.col("_t").cast("long").alias("support_threshold"),
-            )
+        # The materializing count IS the round's n_survivors (and the
+        # next round's n_edges_before): carry both as literals so the
+        # final action never re-aggregates a superseded survivor set,
+        # which lets round r-1's cache be dropped as soon as round r is
+        # materialized (persisted rounds otherwise accumulate across a
+        # session — measured GC pressure under the bench's 3-execution
+        # protocol). Counts stay exact: they are the same bounded
+        # actions on the same pinned relations, taken once.
+        n_surv = surv.count()
+        if n_before is None:  # round 1: |sup| (the left join preserves
+            n_before = sup.count()  # every edge), a pinned relation
+        row = t_df.select(
+            F.lit(r).cast("long").alias("round"),
+            F.lit(n_before).cast("long").alias("n_edges_before"),
+            F.lit(n_surv).cast("long").alias("n_survivors"),
+            F.col("_t").cast("long").alias("support_threshold"),
         )
         out = row if out is None else out.unionAll(row)
+        if edges is not None:
+            edges.unpersist()
         edges = surv
+        n_before = n_surv
+    if edges is not None:
+        # the output rows carry their counts as literals — the final
+        # survivor cache has no remaining consumer
+        edges.unpersist()
     return out
 
 

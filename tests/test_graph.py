@@ -639,6 +639,52 @@ def test_truss_peel_sup0_path_equals_recompute(spark):
         graph.truss_peel(pairs, rounds=3, tri0=tri)
 
 
+def test_truss_peel_packed_edge_keys_match_pair_loop(spark):
+    # with integral ids in [0, 2^31) the tri0 round loop runs on packed
+    # single-long edge keys (half the triangle-list shuffle); it must be
+    # row-identical to the (lo, hi) pair loop, and ids outside the safe
+    # range must fall back to the pair loop
+    rows = [("u", str(i % 23), str((i * 7) % 23)) for i in range(300)]
+    pairs = spark.createDataFrame(
+        rows, "c string, item string, neighbor string"
+    )
+    sig, tri = graph.scan_edge_similarity(pairs, return_triangles=True)
+    sup0_str = sig.select(
+        F.col("item_a").alias("lo"),
+        F.col("item_b").alias("hi"),
+        (F.col("common_closed") - 2).cast("long").alias("sup"),
+    )
+    base = graph.truss_peel(
+        pairs, rounds=3, sup0=sup0_str, tri0=tri
+    ).collect()  # string ids: pair loop
+    sup0_long = sup0_str.select(
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+        "sup",
+    )
+    tri_long = tri.select(
+        *[F.col(c).cast("long").alias(c) for c in tri.columns]
+    )
+    packed = graph.truss_peel(
+        pairs, rounds=3, sup0=sup0_long, tri0=tri_long
+    ).collect()  # long ids < 2^31: packed loop
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, base))
+    # shift every id past 2^31: the gate must refuse to pack and the
+    # pair loop must still produce the same counts (+big preserves
+    # lo < hi and all identities)
+    big = 1 << 31
+    sup0_big = sup0_long.select(
+        (F.col("lo") + big).alias("lo"), (F.col("hi") + big).alias("hi"), "sup"
+    )
+    tri_big = tri_long.select(
+        *[(F.col(c) + big).alias(c) for c in tri_long.columns]
+    )
+    fallback = graph.truss_peel(
+        pairs, rounds=3, sup0=sup0_big, tri0=tri_big
+    ).collect()
+    assert sorted(map(tuple, fallback)) == sorted(map(tuple, base))
+
+
 def test_triangle_stats_from_similarity_matches_self_contained(spark):
     # the registry derives triangle_count_items from the shared sigma;
     # the derived form must be row-identical to the wedge pipeline
