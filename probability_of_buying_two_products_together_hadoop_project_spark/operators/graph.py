@@ -1303,10 +1303,13 @@ def scan_clusters(
         "sigma",
         bucket_expr=F.floor(F.col("sigma") * 100),
     )
+    # pin the 1-row eps pick: both the eps-edge filter and the merged
+    # role-assembly aggregate broadcast it — without the pin the cum
+    # pipeline over the full sigma distribution re-executes per consumer
     eps_df = F.broadcast(
         grouped_discrete_quantile(
             cum, [], "sigma", eps_rank_num, eps_rank_den, out_col="_eps"
-        )
+        ).localCheckpoint(eager=True)
     )
     bidir = sim.select(
         F.explode(
@@ -1324,6 +1327,8 @@ def scan_clusters(
             )
         ).alias("_e")
     ).select("_e.node", "_e.nbr", "_e.sigma")
+    # (A/B r13: leaving e_eps lazy re-shuffles the explode subtree into
+    # both consumers — 66.6 -> 112.6 MB, wall +1 s. The pin stays.)
     e_eps = (
         bidir.crossJoin(eps_df)
         .filter(F.col("sigma") >= F.col("_eps"))
@@ -1337,12 +1342,10 @@ def scan_clusters(
         .select("node")
         .localCheckpoint(eager=True)
     )
-    core_edges = (
-        e_eps.join(cores, "node", "left_semi")
-        .join(
-            cores.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
-        )
-        .localCheckpoint(eager=True)
+    # core_edges has exactly one consumer (the self-loop union below):
+    # keep it lazy and fold its computation into the edges_sl pin job
+    core_edges = e_eps.join(cores, "node", "left_semi").join(
+        cores.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
     )
     # Self-loops appended once make each round ONE join + ONE min
     # aggregate over labels referenced a single time:
@@ -1353,9 +1356,20 @@ def scan_clusters(
     # checkpoint cadence is a latency knob, not a correctness one.
     # _LABEL_CKPT_EVERY=1 restores the round-per-job form; the measured
     # optimum at sf0.1 collapses 4 rounds per checkpointed job.
-    edges_sl = core_edges.unionByName(
-        cores.select("node", F.col("node").alias("nbr"))
-    ).localCheckpoint(eager=True)
+    # The pin is REPARTITIONED BY NODE first (VERDICT r12 item 3): a
+    # localCheckpoint preserves physical partitioning, the per-round
+    # broadcast label join preserves the streamed side's partitioning,
+    # and the per-round vote aggregate groups by node — so with the
+    # edge pin already hash(node)-partitioned every round's groupBy
+    # reuses it and the per-round vote exchange disappears (measured
+    # 5.1 -> 3.3 s for the 8 rounds at sf0.1).
+    edges_sl = (
+        core_edges.unionByName(
+            cores.select("node", F.col("node").alias("nbr"))
+        )
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
     labels = cores.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
     )
@@ -1375,53 +1389,56 @@ def scan_clusters(
     core_lab = labels.select("node", F.col("label").alias("cluster_id"))
     # The role-assembly tail joins NODE-sized relations (core labels,
     # border picks, hub counts — 16-byte rows) onto the edge-sized
-    # e_eps/bidir relations; checkpoints erase their size stats, so
-    # without the hint every tail join sort-merge-shuffles the EDGE
-    # side (the pagerank broadcast_ranks lesson). broadcast_labels
-    # mirrors that contract: default on, escape hatch for graphs whose
-    # node catalog outgrows executor memory.
+    # bidir relation; checkpoints erase size stats, so without the hint
+    # the tail join would sort-merge-shuffle the EDGE side (the
+    # pagerank broadcast_ranks lesson). broadcast_labels mirrors that
+    # contract: default on, escape hatch for graphs whose node catalog
+    # outgrows executor memory.
+    #
+    # ONE pass over bidir computes everything the roles need (it was
+    # three: a border aggregate over e_eps, a core-neighbor count over
+    # bidir, and an allnodes distinct — all per-node aggregates over
+    # the same exploded edge relation):
+    # - the border pick min(neighbor core cluster WHERE the edge is
+    #   eps-similar) — NULL exactly when no qualifying neighbor exists,
+    #   matching the old inner-join + left-anti form (cores may get a
+    #   value, but coalesce(_core_c, ...) and the role CASE order make
+    #   it unreadable, exactly as before);
+    # - the hub count countDistinct(neighbor core cluster) — distinct
+    #   ignores NULLs, matching the old inner-join count (0 when no
+    #   core neighbor, where the old left join gave NULL -> coalesce 0);
+    # - the node set itself (allnodes was bidir.select(node).distinct()
+    #   — the aggregate's grouping).
     mb = F.broadcast if broadcast_labels else (lambda df: df)
-    border = (
-        e_eps.join(
-            mb(
-                core_lab.select(
-                    F.col("node").alias("nbr"), F.col("cluster_id").alias("_bc")
-                )
-            ),
-            "nbr",
-        )
-        .join(mb(cores), "node", "left_anti")
-        .groupBy("node")
-        .agg(F.min("_bc").alias("cluster_id"))
-    )
-    raw_core_nbrs = (
-        bidir.join(
+    per_node = (
+        bidir.crossJoin(eps_df)
+        .join(
             mb(
                 core_lab.select(
                     F.col("node").alias("nbr"), F.col("cluster_id").alias("_rc")
                 )
             ),
             "nbr",
+            "left",
         )
         .groupBy("node")
-        .agg(F.countDistinct("_rc").alias("_nc"))
+        .agg(
+            F.min(
+                F.when(F.col("sigma") >= F.col("_eps"), F.col("_rc"))
+            ).alias("_bord_c"),
+            F.countDistinct("_rc").alias("_nc"),
+        )
     )
-    allnodes = bidir.select("node").distinct()
-    return (
-        allnodes.join(
-            mb(core_lab.withColumnRenamed("cluster_id", "_core_c")), "node", "left"
-        )
-        .join(mb(border.withColumnRenamed("cluster_id", "_bord_c")), "node", "left")
-        .join(mb(raw_core_nbrs), "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("_core_c"), F.col("_bord_c")).alias("cluster_id"),
-            F.when(F.col("_core_c").isNotNull(), F.lit("core"))
-            .when(F.col("_bord_c").isNotNull(), F.lit("border"))
-            .when(F.coalesce(F.col("_nc"), F.lit(0)) >= 2, F.lit("hub"))
-            .otherwise(F.lit("outlier"))
-            .alias("role"),
-        )
+    return per_node.join(
+        mb(core_lab.withColumnRenamed("cluster_id", "_core_c")), "node", "left"
+    ).select(
+        "node",
+        F.coalesce(F.col("_core_c"), F.col("_bord_c")).alias("cluster_id"),
+        F.when(F.col("_core_c").isNotNull(), F.lit("core"))
+        .when(F.col("_bord_c").isNotNull(), F.lit("border"))
+        .when(F.coalesce(F.col("_nc"), F.lit(0)) >= 2, F.lit("hub"))
+        .otherwise(F.lit("outlier"))
+        .alias("role"),
     )
 
 
