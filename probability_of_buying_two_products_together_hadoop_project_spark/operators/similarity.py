@@ -854,6 +854,166 @@ def quantize_int8(
     )
 
 
+# Arrow-kernel gate for the Lloyd rounds (guide §4.2, the entropy
+# precedent): centroid state is k x dim integers held by the driver
+# between rounds — bounded by PARAMETERS, not data — so cap the cells
+# and keep the relational loop for anything larger (or for ragged seed
+# vectors, whose per-position join semantics the dense matrix cannot
+# reproduce). _KMEANS_FORCE_RELATIONAL is the test hook pinning
+# kernel-vs-relational bit-equality (the FS-EM fold precedent).
+_KMEANS_KERNEL_MAX_CELLS = 65536
+_KMEANS_FORCE_RELATIONAL = False
+
+
+def _kmeans_trunc_div(s: int, n: int) -> int:
+    """Truncating integer division matching Spark/DuckDB ``div`` for
+    negative sums (Python ``//`` floors; ``div`` truncates toward 0)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _kmeans_quantize(vals) -> "object":
+    """floor(float32 -> float64 widen * unit) as int64 — the exact same
+    three IEEE ops the relational path's quantize expression performs."""
+    import numpy as np
+
+    return np.floor(
+        np.asarray(vals, dtype=np.float64) * 1.0e6
+    ).astype(np.int64)
+
+
+def _kmeans_kernel_state(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    unit: int,
+    seed_tag: str,
+):
+    """Collect the md5-draw seed vectors (<= k rows, bounded) and build
+    the dense int64 centroid matrix, or return None when the kernel
+    gate fails (non-1e6 unit, ragged/NULL seeds, k*dim over the cap,
+    empty input) — the caller then uses the relational loop."""
+    import numpy as np
+
+    if _KMEANS_FORCE_RELATIONAL or unit != 10**6:
+        return None
+    draw = F.md5(
+        F.concat(F.lit(seed_tag + "|"), F.col(id_col).cast("string"))
+    )
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), draw.alias("_draw"))
+        .orderBy("_draw")
+        .limit(k)
+        .select(
+            "_id",
+            (F.row_number().over(Window.orderBy("_draw")) - 1)
+            .cast("long")
+            .alias("cid"),
+        )
+    )
+    seed_rows = (
+        embeddings.join(seeds, embeddings[id_col] == seeds["_id"])
+        .select("cid", F.col(vec_col).alias("_v"))
+        .collect()
+    )
+    if not seed_rows:
+        return None
+    lens = {len(r["_v"]) for r in seed_rows if r["_v"] is not None}
+    if len(lens) != 1 or any(r["_v"] is None for r in seed_rows):
+        return None  # ragged/NULL seeds: per-position join semantics
+    dim = lens.pop()
+    if dim == 0 or len(seed_rows) * dim > _KMEANS_KERNEL_MAX_CELLS:
+        return None
+    cid_arr = np.array(sorted(r["cid"] for r in seed_rows), dtype=np.int64)
+    M = np.zeros((len(cid_arr), dim), dtype=np.int64)
+    by_cid = {int(r["cid"]): r["_v"] for r in seed_rows}
+    for i, c in enumerate(cid_arr):
+        M[i] = _kmeans_quantize(by_cid[int(c)])
+    return M, cid_arr
+
+
+def _kmeans_kernel_partials(M, cid_arr):
+    """mapInPandas closure: per batch, quantize the raw vectors, take
+    the exact int64 argmin (first occurrence = smallest cid — rows are
+    cid-sorted), and emit k x dim partial (count, sum) rows. Positions
+    beyond min(len(v), dim) contribute nothing, matching the relational
+    per-position inner join on ragged points."""
+    import numpy as np
+    import pandas as pd
+
+    dim = M.shape[1]
+
+    def fn(batches):
+        for pdf in batches:
+            out_c, out_p, out_n, out_s = [], [], [], []
+            bylen: dict[int, list] = {}
+            for v in pdf.iloc[:, 0].tolist():
+                if v is None or len(v) == 0:
+                    continue
+                bylen.setdefault(len(v), []).append(v)
+            for L, vs in bylen.items():
+                Lc = min(L, dim)
+                V = _kmeans_quantize(vs)
+                D = ((V[:, None, :Lc] - M[None, :, :Lc]) ** 2).sum(axis=2)
+                a = np.argmin(D, axis=1)
+                for ci in range(len(cid_arr)):
+                    mask = a == ci
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    s = V[mask][:, :Lc].sum(axis=0)
+                    c = int(cid_arr[ci])
+                    for p in range(Lc):
+                        out_c.append(c)
+                        out_p.append(p)
+                        out_n.append(n)
+                        out_s.append(int(s[p]))
+            yield pd.DataFrame(
+                {"cid": out_c, "pos": out_p, "_n": out_n, "_s": out_s}
+            )
+
+    return fn
+
+
+def _kmeans_kernel_rounds(
+    embeddings: DataFrame,
+    M,
+    cid_arr,
+    iters: int,
+    vec_col: str,
+):
+    """Run ``iters`` Lloyd rounds: one Arrow corpus pass emitting k x
+    dim partial sums + one small Spark aggregate per round; the
+    trunc-div update runs on the driver over the bounded state. Returns
+    (M, n_members) after the final round."""
+    import numpy as np
+
+    vec_only = embeddings.select(vec_col)
+    nm = np.zeros(M.shape, dtype=np.int64)
+    for _ in range(iters):
+        upd = (
+            vec_only.mapInPandas(
+                _kmeans_kernel_partials(M, cid_arr),
+                "cid long, pos int, _n long, _s long",
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+            .collect()
+        )
+        got = {(int(r["cid"]), int(r["pos"])): (int(r["_n"]), int(r["_s"])) for r in upd}
+        newM = M.copy()
+        nm = np.zeros(M.shape, dtype=np.int64)
+        for i, c in enumerate(cid_arr):
+            for p in range(M.shape[1]):
+                hit = got.get((int(c), p))
+                if hit is not None:
+                    n, s = hit
+                    newM[i, p] = _kmeans_trunc_div(s, n)
+                    nm[i, p] = n
+        M = newM
+    return M, nm
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 8,
@@ -902,6 +1062,23 @@ def kmeans_lloyd(
     """
     if k < 1 or iters < 1:
         raise ValueError(f"kmeans_lloyd: k and iters must be >= 1 ({k=}, {iters=})")
+    state = _kmeans_kernel_state(embeddings, k, id_col, vec_col, unit, seed_tag)
+    if state is not None:
+        import numpy as np
+
+        M0, cid_arr = state
+        M, nm = _kmeans_kernel_rounds(embeddings, M0, cid_arr, iters, vec_col)
+        spark = embeddings.sparkSession
+        rows = [
+            (int(c), p, int(M[i, p]), int(M[i, p]) / float(unit), int(nm[i, p]))
+            for i, c in enumerate(cid_arr)
+            for p in range(M.shape[1])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cid long, pos long, centroid_units long, centroid double, "
+            "n_members long",
+        )
     pts = embeddings.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "_v"),
@@ -1187,6 +1364,39 @@ def kmeans_assign(
     SemDeDup, cluster labeling, and IVF-style bucketing all start from.
     Centroids (k x dim) broadcast; shuffle is the per-(point, cid)
     integer partial sums, never raw vectors."""
+    state = _kmeans_kernel_state(embeddings, k, id_col, vec_col, unit, seed_tag)
+    if state is not None:
+        import numpy as np
+        import pandas as pd
+
+        M0, cid_arr = state
+        M, _ = _kmeans_kernel_rounds(embeddings, M0, cid_arr, iters, vec_col)
+        dim = M.shape[1]
+
+        def assign_fn(batches):
+            for pdf in batches:
+                ids, cids, d2s = [], [], []
+                bylen: dict[int, list] = {}
+                for _id, v in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+                    if v is None or len(v) == 0:
+                        continue
+                    bylen.setdefault(len(v), []).append((_id, v))
+                for L, pairs in bylen.items():
+                    Lc = min(L, dim)
+                    V = _kmeans_quantize([v for _, v in pairs])
+                    D = ((V[:, None, :Lc] - M[None, :, :Lc]) ** 2).sum(axis=2)
+                    a = np.argmin(D, axis=1)
+                    best = D[np.arange(len(pairs)), a]
+                    for j, (_id, _) in enumerate(pairs):
+                        ids.append(_id)
+                        cids.append(int(cid_arr[a[j]]))
+                        d2s.append(int(best[j]))
+                yield pd.DataFrame({"_id": ids, "cid": cids, "_d2": d2s})
+
+        id_type = dict(embeddings.dtypes)[id_col]
+        return embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col)
+        ).mapInPandas(assign_fn, f"_id {id_type}, cid long, _d2 long")
     cents = kmeans_lloyd(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         unit=unit, seed_tag=seed_tag,
@@ -1213,6 +1423,94 @@ def kmeans_assign(
         d.withColumn("_rk", F.row_number().over(w_assign))
         .filter(F.col("_rk") == 1)
         .select("_id", "cid", "_d2")
+    )
+
+
+# Memory gate for the Arrow pair screen: a group's m x m cosine matrix
+# is float64, so 4096 members = 128 MB per task — anything larger keeps
+# the relational self-join, which streams instead of materializing the
+# group (the SemDeDup design keeps clusters ~n/k, far below this).
+_SEMDEDUP_KERNEL_MAX_CLUSTER = 4096
+
+
+def _semantic_dedup_kernel_screen(
+    assign: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    unit: int,
+):
+    """SemDeDup's greedy upper-triangular screen as ONE applyInPandas
+    pass per cluster (guide §4.2): the relational pair self-join
+    evaluates an interpreted higher-order dot per candidate pair (no
+    codegen for HOFs — measured 3.2 s of the 5.3 s wall at sf0.1);
+    int64 Q @ Q.T plus the identical sqrt/divide IEEE ops reproduce
+    every cosine bit-for-bit. Returns None (caller keeps the relational
+    path) when the force hook is set, the unit is non-default, or any
+    cluster exceeds the matrix-memory gate — the gate reads a k-row
+    aggregate over the persisted carry relation, the bounded-action
+    rule."""
+    if _KMEANS_FORCE_RELATIONAL or unit != 10**6:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    carry = assign.join(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ),
+        "_id",
+    ).persist()
+    sizes = carry.groupBy("cid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    if not sizes or max(r["_n"] for r in sizes) > _SEMDEDUP_KERNEL_MAX_CLUSTER:
+        carry.unpersist()
+        return None
+    thr = float(threshold)
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rank = (d2 to own centroid DESC, id ASC) — row_number order
+        pdf = pdf.sort_values(
+            ["_d2", "_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        m = len(pdf)
+        Q = _kmeans_quantize(pdf["_v"].tolist()) if m else None
+        out_sim = [None] * m
+        if m:
+            nq = (Q * Q).sum(axis=1)  # int64, exact by the overflow bound
+            D = Q @ Q.T  # exact int64 dots
+            sq = np.sqrt(nq.astype(np.float64))
+            valid = nq > 0
+            for i in range(1, m):
+                if not valid[i]:
+                    continue  # zero-norm: cosines NULL, always kept
+                js = np.nonzero(valid[:i])[0]
+                if len(js) == 0:
+                    continue
+                # the same two IEEE ops as the SQL expression, in the
+                # same order: int dot -> double, / (sqrt(na) * sqrt(nb))
+                cos = D[i, js].astype(np.float64) / (sq[i] * sq[js])
+                out_sim[i] = float(cos.max())
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "cid": pdf["cid"],
+                "rk": np.arange(1, m + 1, dtype=np.int64),
+                "max_prior_sim": pd.array(out_sim, dtype="float64"),
+                "kept": pd.array(
+                    [s is None or s < thr for s in out_sim], dtype="boolean"
+                ),
+            }
+        )
+
+    id_type = dict(assign.dtypes)["_id"]
+    out = carry.groupBy("cid").applyInPandas(
+        screen,
+        f"_id {id_type}, cid long, rk long, max_prior_sim double, "
+        "kept boolean",
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "cid", "rk", "max_prior_sim", "kept"
     )
 
 
@@ -1268,6 +1566,11 @@ def semantic_dedup(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         unit=unit, seed_tag=seed_tag,
     )
+    screened = _semantic_dedup_kernel_screen(
+        assign, embeddings, threshold, id_col, vec_col, unit
+    )
+    if screened is not None:
+        return screened
     qarr = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(
